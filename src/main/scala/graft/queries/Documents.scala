@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over the `documents` table
+  * (doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG):
+  * deduplication (exact / MinHash+LSH / n-gram Jaccard), text quality
+  * scoring, token counting, fingerprinting.
+  *
+  * Everything is expressed with codegen'd built-ins (split / transform /
+  * explode / md5 / window) — no UDFs — so the pipelines scale: shingling
+  * is a per-row generator, signatures are a groupBy, and LSH banding
+  * turns all-pairs similarity into an equi-join on band keys.
+  *
+  * MinHash here uses salted-md5 min-strings (min over k salted hashes of
+  * the shingle set), which both Spark and DuckDB compute identically —
+  * the classic integer-permutation construction replaced by an
+  * engine-portable one.
+  */
+object Documents {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val normText: Column =
+    trim(regexp_replace(lower(col("text")), "\\s+", " "))
+
+  /** Word 3-shingles of the space-tokenized text. */
+  private def shingled(d: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    d.withColumn("ws", ws)
+      .filter(size(col("ws")) >= 3)
+      .withColumn("sh", transform(
+        sequence(lit(0), size(col("ws")) - 3),
+        i => concat_ws(" ",
+          element_at(col("ws"), i + 1),
+          element_at(col("ws"), i + 2),
+          element_at(col("ws"), i + 3))))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+  }
+
+  private val shingleSqlCte =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+      |       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w)""".stripMargin
+
+  /** Exact dedup: group by md5 of whitespace-normalized lowercase text,
+    * keep the smallest doc_id (hash-groupBy — one shuffle on a short
+    * digest key at any scale). */
+  def d01DedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("fp", md5(normText))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper"))
+
+  val d01Sql: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |  MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin
+
+  /** MinHash signatures (4 salted hash functions over 3-shingles). */
+  def d02MinhashSig(s: SparkSession, dir: String): DataFrame =
+    shingled(docs(s, dir))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0|"), col("s")))).as("mh0"),
+        min(md5(concat(lit("1|"), col("s")))).as("mh1"),
+        min(md5(concat(lit("2|"), col("s")))).as("mh2"),
+        min(md5(concat(lit("3|"), col("s")))).as("mh3"))
+      .orderBy(col("doc_id"))
+
+  val d02Sql: String =
+    s"""WITH $shingleSqlCte
+       |SELECT doc_id, MIN(md5('0|' || s)) AS mh0, MIN(md5('1|' || s)) AS mh1,
+       |  MIN(md5('2|' || s)) AS mh2, MIN(md5('3|' || s)) AS mh3
+       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** MinHash + LSH candidate pairs: band = 4-hex-char prefix of each
+    * signature component; docs sharing any band bucket become candidate
+    * pairs (equi-join on (band_idx, band_key) — never all-pairs). */
+  def d03LshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sig = d02MinhashSig(s, dir)
+    val bands = sig.select(col("doc_id"), posexplode(array(
+      substring(col("mh0"), 1, 4), substring(col("mh1"), 1, 4),
+      substring(col("mh2"), 1, 4), substring(col("mh3"), 1, 4)))
+      .as(Seq("band_idx", "band_key")))
+    val a = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("a"))
+    val b = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .orderBy(col("a"), col("b"))
+  }
+
+  val d03Sql: String =
+    s"""WITH $shingleSqlCte,
+       |sig AS (SELECT doc_id, MIN(md5('0|' || s)) AS mh0, MIN(md5('1|' || s)) AS mh1,
+       |        MIN(md5('2|' || s)) AS mh2, MIN(md5('3|' || s)) AS mh3 FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band_idx, substring(mh0, 1, 4) AS band_key FROM sig UNION ALL
+       |  SELECT doc_id, 1, substring(mh1, 1, 4) FROM sig UNION ALL
+       |  SELECT doc_id, 2, substring(mh2, 1, 4) FROM sig UNION ALL
+       |  SELECT doc_id, 3, substring(mh3, 1, 4) FROM sig)
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       |WHERE x.doc_id < y.doc_id ORDER BY a, b""".stripMargin
+
+  /** n-gram Jaccard near-dup: top-20 pairs by exact Jaccard over distinct
+    * 3-shingles. The shingle equi-join computes |A∩B| without an
+    * all-pairs product. */
+  def d04JaccardTop(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(docs(s, dir)).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"), col("x.s") === col("y.s"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sza") + col("szb") - col("c")))
+      .select(col("a"), col("b"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val d04Sql: String =
+    s"""WITH $shingleSqlCte,
+       |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY doc_id),
+       |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+       |          FROM ds x JOIN ds y ON x.s = y.s WHERE x.doc_id < y.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT a, b, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+       |FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+       |JOIN sizes sb ON inter.b = sb.doc_id
+       |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin
+
+  /** Per-doc token statistics. */
+  def t01TextStats(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    docs(s, dir)
+      .withColumn("ws", ws)
+      .select(
+        col("doc_id"),
+        size(col("ws")).as("n_tokens"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        length(col("text")).as("len_chars"),
+        (size(array_distinct(col("ws"))).cast("double") / size(col("ws")))
+          .as("type_token_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t01Sql: String =
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |  length(text) AS len_chars,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS type_token_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val stopwords = Seq("the", "a", "of", "and", "or", "is", "to", "in")
+
+  /** Quality score: stopword ratio + mean token length — the standard
+    * cheap text-quality heuristics. */
+  def t02QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val sw = array(stopwords.map(lit): _*)
+    docs(s, dir)
+      .withColumn("ws", ws)
+      .select(
+        col("doc_id"),
+        (size(filter(col("ws"), w => array_contains(sw, w))).cast("double") /
+          size(col("ws"))).as("stopword_ratio"),
+        (aggregate(transform(col("ws"), w => length(w).cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("double") / size(col("ws")))
+          .as("mean_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t02Sql: String = {
+    val swList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> list_contains($swList, w))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS stopword_ratio,
+       |  CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS mean_token_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Regex token counting (BPE-ish pre-tokenizer: words + punctuation). */
+  def t03TokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
+          .as("n_bpe_tokens"),
+        size(split(col("text"), " ")).as("n_ws_tokens"))
+      .orderBy(col("doc_id"))
+
+  val t03Sql: String =
+    """SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+      |  len(string_split(text, ' ')) AS n_ws_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Corpus language distribution + length stats. */
+  def t04LangDist(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+
+  val t04Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Document fingerprint: full digest + a 16-hex prefix bucket (the
+    * rolling-hash fingerprint family, engine-portable via md5). */
+  def t05Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), md5(normText).as("fp"),
+        substring(md5(normText), 1, 16).as("fp64"))
+      .orderBy(col("doc_id"))
+
+  val t05Sql: String =
+    """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |  substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp64
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_dedup_exact" -> d01DedupExact _,
+    "d02_minhash_sig" -> d02MinhashSig _,
+    "d03_lsh_candidates" -> d03LshCandidates _,
+    "d04_jaccard_top" -> d04JaccardTop _,
+    "t01_text_stats" -> t01TextStats _,
+    "t02_quality_score" -> t02QualityScore _,
+    "t03_token_count" -> t03TokenCount _,
+    "t04_lang_dist" -> t04LangDist _,
+    "t05_fingerprint" -> t05Fingerprint _)
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" -> d01Sql,
+    "d02_minhash_sig" -> d02Sql,
+    "d03_lsh_candidates" -> d03Sql,
+    "d04_jaccard_top" -> d04Sql,
+    "t01_text_stats" -> t01Sql,
+    "t02_quality_score" -> t02Sql,
+    "t03_token_count" -> t03Sql,
+    "t04_lang_dist" -> t04Sql,
+    "t05_fingerprint" -> t05Sql)
+}

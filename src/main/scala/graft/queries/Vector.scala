@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.index.IVFIndex
+import graft.search.{FlatSearch, IVFSearch}
+
+/** Vector-search query inventory over the `embeddings` table
+  * (vec_id LONG, embedding ARRAY<FLOAT>[64], label INT).
+  *
+  * Distances are summed left-to-right in double (see
+  * [[graft.functions.Kernels]]), which the DuckDB oracles reproduce with
+  * `list_sum(list_transform(range(1,65), ...))` — bit-identical, so the
+  * driver's hash compare holds for float outputs too.
+  */
+object Vector {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def base(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"),
+      col("label"))
+
+  private def qs(s: SparkSession, dir: String, pred: String): DataFrame =
+    emb(s, dir).filter(expr(pred))
+      .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+
+  // DuckDB fragment: exact squared-L2 between q.qv and b.embedding
+  private val l2SqlFrag =
+    "list_sum(list_transform(range(1, 65), i -> " +
+      "(CAST(q.qv[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) * " +
+      "(CAST(q.qv[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))"
+
+  private val dotSqlFrag =
+    "list_sum(list_transform(range(1, 65), i -> " +
+      "CAST(q.qv[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+
+  /** O1 — exact brute-force k-NN (flat scan): 8 queries, k=10, L2. */
+  def v01KnnFlat(s: SparkSession, dir: String): DataFrame =
+    FlatSearch.knn(base(s, dir), qs(s, dir, "vec_id < 8"), k = 10)
+      .orderBy(col("qid"), col("rank"))
+
+  val v01Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |d AS (SELECT q.qid, b.vec_id AS id, $l2SqlFrag AS dist
+       |      FROM q CROSS JOIN embeddings b)
+       |SELECT qid, id, dist, rank FROM (
+       |  SELECT qid, id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  /** O2 — k-NN restricted to an id subset (label = 3). */
+  def v02KnnSubset(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir)
+    FlatSearch.knn(b.filter(col("label") === 3), qs(s, dir, "vec_id < 8"), k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v02Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |d AS (SELECT q.qid, b.vec_id AS id, $l2SqlFrag AS dist
+       |      FROM q CROSS JOIN embeddings b WHERE b.label = 3)
+       |SELECT qid, id, dist, rank FROM (
+       |  SELECT qid, id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** O3 — range search: all neighbors within squared-L2 radius. */
+  def v03Range(s: SparkSession, dir: String): DataFrame =
+    FlatSearch.range(base(s, dir), qs(s, dir, "vec_id < 8"), radius = 1.5)
+      .orderBy(col("qid"), col("id"))
+
+  val v03Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8)
+       |SELECT q.qid, b.vec_id AS id, $l2SqlFrag AS dist
+       |FROM q CROSS JOIN embeddings b
+       |WHERE $l2SqlFrag < 1.5
+       |ORDER BY qid, id""".stripMargin
+
+  /** Cosine top-k (inner-product family; declarative column-function
+    * path — stays fully inside WholeStageCodegen). */
+  def v04CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val q = broadcast(qs(s, dir, "vec_id >= 8 AND vec_id < 16")
+      .select(col("qid"), col("vec").as("qvec")))
+    val b = base(s, dir)
+    val sim = b.crossJoin(q)
+      .withColumn("sim", cosine(col("qvec"), col("vec")))
+      .filter(col("qid") =!= col("id"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    sim.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("id"), col("sim"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v04Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id >= 8 AND vec_id < 16),
+       |n AS (SELECT q.qid, b.vec_id AS id,
+       |  $dotSqlFrag /
+       |  (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+       |   sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS sim
+       |  FROM q CROSS JOIN embeddings b WHERE q.qid <> b.vec_id)
+       |SELECT qid, id, sim, rank FROM (
+       |  SELECT qid, id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM n)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** O5 with nprobe = nlist — the IVF path degenerates to exact search,
+    * so the brute-force SQL oracle applies: proves the IVF partition/
+    * probe/merge machinery loses nothing. */
+  def v05IvfExact(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir)
+    val model = IVFIndex.train(b, nlist = 16, metric = "l2", seed = 42L)
+    val assigned = IVFIndex.assign(b, model)
+    IVFSearch.search(assigned, model, qs(s, dir, "vec_id >= 16 AND vec_id < 24"),
+      k = 10, nprobe = 16)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v05Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id >= 16 AND vec_id < 24),
+       |d AS (SELECT q.qid, b.vec_id AS id, $l2SqlFrag AS dist
+       |      FROM q CROSS JOIN embeddings b)
+       |SELECT qid, id, dist, rank FROM (
+       |  SELECT qid, id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  /** Approximate IVF search (nprobe = 4 of 16) — no SQL oracle (ANN
+    * result depends on the trained partitioning); recall vs exact is
+    * asserted in IVFSearchSpec instead. */
+  def v06IvfProbe(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir)
+    val model = IVFIndex.train(b, nlist = 16, metric = "l2", seed = 42L)
+    val assigned = IVFIndex.assign(b, model)
+    IVFSearch.search(assigned, model, qs(s, dir, "vec_id < 8"), k = 10, nprobe = 4)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: top-20 most-similar distinct pairs
+    * by cosine — the embedding-cosine near-dup detector. */
+  def v07NearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val a = emb(s, dir).select(col("vec_id").as("a"), col("embedding").as("va"))
+    val b = emb(s, dir).select(col("vec_id").as("b"), col("embedding").as("vb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .select(col("a"), col("b"), col("sim"))
+      .orderBy(col("sim").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val v07Sql: String =
+    """SELECT x.vec_id AS a, y.vec_id AS b,
+      |  list_sum(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) /
+      |  (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))) *
+      |   sqrt(list_sum(list_transform(range(1, 65), i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))) AS sim
+      |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+      |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v01_knn_flat" -> v01KnnFlat _,
+    "v02_knn_subset" -> v02KnnSubset _,
+    "v03_range_search" -> v03Range _,
+    "v04_cosine_topk" -> v04CosineTopK _,
+    "v05_ivf_exact" -> v05IvfExact _,
+    "v06_ivf_probe" -> v06IvfProbe _,
+    "v07_neardup_pairs" -> v07NearDupPairs _)
+
+  val oracles: Map[String, String] = Map(
+    "v01_knn_flat" -> v01Sql,
+    "v02_knn_subset" -> v02Sql,
+    "v03_range_search" -> v03Sql,
+    "v04_cosine_topk" -> v04Sql,
+    "v05_ivf_exact" -> v05Sql,
+    "v07_neardup_pairs" -> v07Sql)
+}

@@ -1,0 +1,79 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.functions.Kernels
+import graft.index.IVFModel
+import graft.operators.TopK
+
+/** Fixed-nprobe IVF top-k search — the Spark form of
+  * `IndexIVF::search_preassigned` (`Auncel/IndexIVF.cpp:382-760`) without
+  * the adaptive termination (that lives in [[BoundedSearch]]).
+  *
+  * Plan shape (scale-first):
+  *  1. coarse quantization per query against the broadcast centroid
+  *     matrix (nlist is small — `Auncel/eval/bound.cpp:220` uses 1024);
+  *  2. the union of probed lists becomes `list_no IN (...)` → Parquet
+  *     partition pruning, so only nprobe/nlist of the bytes are read;
+  *  3. per-partition bounded top-k heaps per probing query (map-side
+  *     combine), shuffling only `#parts × nq × k` rows;
+  *  4. global merge = window rank (≡ `dist/reduce.cpp:98-119`).
+  */
+object IVFSearch {
+
+  /** @param ivfData (id LONG, vec ARRAY<FLOAT>, list_no INT) — ideally
+    *                read from a `partitionBy("list_no")` Parquet table
+    * @param queries (qid LONG, vec ARRAY<FLOAT>)
+    * @return (qid, id, dist, rank)
+    */
+  def search(ivfData: DataFrame, model: IVFModel, queries: DataFrame,
+             k: Int, nprobe: Int): DataFrame = {
+    val spark = ivfData.sparkSession
+    import spark.implicits._
+
+    val q: Array[(Long, Array[Float])] = queries
+      .select(col("qid").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val np = math.min(nprobe, model.nlist)
+
+    // per-list → probing queries (qid, qvec); driver-side: nq × nlist flops
+    val qNorm = if (model.metric == "ip")
+      q.map { case (qid, v) => (qid, Kernels.l2Normalize(v)) } else q
+    val probesByList: Map[Int, Array[(Long, Array[Float])]] = qNorm
+      .flatMap { case (qid, v) =>
+        model.rankCentroids(v).take(np).map { case (l, _) => (l, (qid, v)) }
+      }
+      .groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2)) }
+
+    val allLists = probesByList.keys.toSeq.sorted
+    val bq = spark.sparkContext.broadcast(probesByList)
+    val m = model.metric
+
+    val partials: Dataset[(Long, Long, Double)] = ivfData
+      .filter(col("list_no").isin(allLists: _*)) // partition pruning
+      .select(col("list_no").cast("int"), col("id").cast("long"), col("vec"))
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { it =>
+        val byList = bq.value
+        val heaps = scala.collection.mutable.HashMap.empty[Long, TopK]
+        it.foreach { case (listNo, id, vec) =>
+          byList.get(listNo) match {
+            case Some(qs) =>
+              var i = 0
+              while (i < qs.length) {
+                val (qid, qv) = qs(i)
+                heaps.getOrElseUpdate(qid, new TopK(k))
+                  .add(Kernels.distance(m, qv, vec), id)
+                i += 1
+              }
+            case None =>
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.sorted.iterator.map { case (d, id) => (qid, id, d) }
+        }
+      }
+
+    FlatSearch.mergeTopK(partials.toDF("qid", "id", "dist"), k)
+  }
+}
