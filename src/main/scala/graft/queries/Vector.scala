@@ -162,7 +162,32 @@ object Vector {
       |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
       |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin
 
+  /** Auncel's flagship operator end-to-end: train the error profile on
+    * the collection, then run bounded-error adaptive search
+    * (required recall 0.9). Output includes per-query nprobe_used —
+    * inherently not SQL-expressible (rows-only check; the bound
+    * guarantee is asserted in BoundedSearchSpec). */
+  def a01BoundedSearch(s: SparkSession, dir: String): DataFrame = {
+    import graft.profile.ProfileTrainer
+    import graft.search.{BoundedSearch, FlatSearch}
+    val b = base(s, dir)
+    val model = IVFIndex.train(b, nlist = 16, metric = "l2", seed = 42L)
+    val assigned = IVFIndex.assign(b, model).cache()
+    val trainQ = qs(s, dir, "vec_id >= 100 AND vec_id < 200")
+    val gt = FlatSearch.knn(b, trainQ, k = 10)
+    val traces = ProfileTrainer.train(assigned, model, trainQ, gt, maxTopk = 10, bs = 50)
+    val evalQ = qs(s, dir, "vec_id < 32").withColumn("required_recall", lit(0.9f))
+    val res = BoundedSearch.search(assigned, model, traces, evalQ, k = 10,
+      multiplier = 4.0f, stdM = 1.0f)
+    val statsDF = s.createDataFrame(res.stats)
+      .select(col("qid").as("s_qid"), col("nprobeUsed").as("nprobe_used"))
+    res.results.join(broadcast(statsDF), col("qid") === col("s_qid"))
+      .select(col("qid"), col("id"), col("dist"), col("rank"), col("nprobe_used"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a01_bounded_search" -> a01BoundedSearch _,
     "v01_knn_flat" -> v01KnnFlat _,
     "v02_knn_subset" -> v02KnnSubset _,
     "v03_range_search" -> v03Range _,

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.index.IVFIndex
+import graft.profile.ProfileTrainer
+import graft.search.{BoundedSearch, FlatSearch}
+
+/** End-to-end Auncel-semantics acceptance: train the error profile on
+  * seeded data, run bounded-error search, and check the reference's own
+  * success criterion — worst-case distance-threshold recall ≥ required
+  * (`Auncel/eval/bound.cpp:400-414`). */
+class BoundedSearchSpec extends SparkSpec {
+
+  val d = 24
+  val k = 20
+  val nlist = 64 // nlist/8 = 8 → trace levels {1,2,4,8}
+
+  // clustered data — the structure IVF (and the error profile) exploits;
+  // uniform random vectors would legitimately force every query to the cap
+  lazy val pool = clusteredVecs(4210, d, nClusters = 48, seed = 21)
+  lazy val base = pool.take(4000)
+  lazy val baseDF = vecDF(base)
+  lazy val model = IVFIndex.train(baseDF, nlist, metric = "l2", seed = 42L)
+  lazy val assigned = IVFIndex.assign(baseDF, model).cache()
+
+  lazy val trainQ = pool.slice(4000, 4150)
+  lazy val evalQ = pool.slice(4150, 4210)
+
+  lazy val traces = {
+    val tq = vecDF(trainQ, "qid")
+    val gt = FlatSearch.knn(baseDF, tq, k)
+    ProfileTrainer.train(assigned, model, tq, gt, maxTopk = k, bs = 100)
+  }
+
+  /** Distance-threshold recall@k (the reference's `true_recall`:
+    * returned dist ≤ GT k-th dist × 1.0005). */
+  def achievedRecall(results: Map[Long, Array[Double]],
+                     gtKth: Map[Long, Double]): Map[Long, Double] =
+    results.map { case (qid, dists) =>
+      (qid, dists.count(_ <= gtKth(qid) * 1.0005).toDouble / k)
+    }
+
+  test("traces are trained, monotone-indexed, and non-trivial") {
+    assert(traces.length == 4)
+    traces.zipWithIndex.foreach { case (t, j) =>
+      assert(t.nprobe == (1 << j))
+      assert(t.phis.nonEmpty, s"level $j has no points")
+      assert(t.phis.sameElements(t.phis.sorted), s"level $j φ not ascending")
+      // U ≥ 1: a result's GT rank can only be ≥ its current rank
+      assert(t.us.forall(_ >= 1f - 1e-6f), s"level $j U<1")
+    }
+    // deeper probes → smaller rank inflation at comparable φ
+    assert(traces.last.us.head <= traces.head.us.last + 1e-3)
+  }
+
+  test("bounded search meets the error bound for every query (ε=0.2)") {
+    import spark.implicits._
+    val require = 0.8f
+    val qdf = evalQ.zipWithIndex.map { case (v, i) => (i.toLong, v, require) }
+      .toSeq.toDF("qid", "vec", "required_recall")
+    val res = BoundedSearch.search(assigned, model, traces, qdf, k,
+      multiplier = 8.0f, stdM = 1.5f)
+
+    val got = res.results.select(col("qid"), col("dist"))
+      .as[(Long, Double)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val gtKth = evalQ.zipWithIndex.map { case (q, i) =>
+      (i.toLong, bruteForce(base, q, k).last._1)
+    }.toMap
+
+    val rec = achievedRecall(got, gtKth)
+    val worst = rec.values.min
+    assert(worst >= require, s"worst-case recall $worst < $require")
+
+    // and it is actually adaptive: not every query paid the max probes
+    val probes = res.stats.map(_.nprobeUsed)
+    assert(probes.max <= nlist)
+    assert(probes.distinct.size > 1, s"no per-query adaptivity: $probes")
+    val meanProbes = probes.sum.toDouble / probes.size
+    assert(meanProbes < nlist, s"mean nprobe $meanProbes not below full scan")
+  }
+
+  test("higher required recall costs more probes") {
+    import spark.implicits._
+    def meanProbes(require: Float): Double = {
+      val qdf = evalQ.take(30).zipWithIndex
+        .map { case (v, i) => (i.toLong, v, require) }
+        .toSeq.toDF("qid", "vec", "required_recall")
+      val res = BoundedSearch.search(assigned, model, traces, qdf, k,
+        multiplier = 8.0f, stdM = 1.5f)
+      res.stats.map(_.nprobeUsed).sum.toDouble / res.stats.size
+    }
+    val lo = meanProbes(0.3f)
+    val hi = meanProbes(0.9f)
+    assert(lo <= hi, s"probes(0.3)=$lo > probes(0.9)=$hi")
+  }
+
+  test("latency-bounded search respects the probe budget") {
+    import spark.implicits._
+    val qdf = evalQ.take(10).zipWithIndex
+      .map { case (v, i) => (i.toLong, v, 8.0) } // 8ms budget
+      .toSeq.toDF("qid", "vec", "budget_ms")
+    val res = BoundedSearch.timeSearch(assigned, model, qdf, k,
+      costPerProbeMs = 1.0)
+    assert(res.stats.forall(_.nprobeUsed <= 8))
+    assert(res.results.count() > 0)
+  }
+}

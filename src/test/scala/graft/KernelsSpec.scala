@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Kernels, VectorFunctions}
+import graft.operators.TopK
+
+class KernelsSpec extends SparkSpec {
+
+  test("l2Sqr/dot match naive and column-function paths bitwise") {
+    import spark.implicits._
+    val vs = randVecs(50, 16, seed = 7)
+    // naive double loop oracle
+    def naiveL2(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) =>
+        s + (a(i).toDouble - b(i).toDouble) * (a(i).toDouble - b(i).toDouble))
+    for (i <- 0 until 10; j <- 0 until 10) {
+      assert(Kernels.l2Sqr(vs(i), vs(j)) == naiveL2(vs(i), vs(j)))
+    }
+    // column path parity
+    val df = vs.take(10).zipWithIndex.map { case (v, i) => (i, v, vs(0)) }
+      .toSeq.toDF("i", "a", "b")
+    val got = df.select(VectorFunctions.l2Sqr(col("a"), col("b"))).as[Double].collect()
+    val want = vs.take(10).map(v => Kernels.l2Sqr(v, vs(0)))
+    assert(got.sameElements(want))
+    val gotDot = df.select(VectorFunctions.dot(col("a"), col("b"))).as[Double].collect()
+    assert(gotDot.sameElements(vs.take(10).map(v => Kernels.dot(v, vs(0)))))
+  }
+
+  test("TopK keeps k smallest with id tie-break") {
+    val rnd = new scala.util.Random(3)
+    val items = Array.fill(500)((rnd.nextInt(40).toDouble, rnd.nextLong().abs))
+    val h = new TopK(10)
+    items.foreach { case (d, i) => h.add(d, i) }
+    val want = items.sortBy { case (d, i) => (d, i) }.take(10)
+    assert(h.sorted.sameElements(want))
+    // under-full
+    val h2 = new TopK(10)
+    h2.add(5.0, 1); h2.add(1.0, 2)
+    assert(h2.sorted.sameElements(Array((1.0, 2L), (5.0, 1L))))
+  }
+
+  test("l2Normalize produces unit vectors") {
+    val v = randVecs(5, 32, seed = 9, normalize = false)
+    v.map(Kernels.l2Normalize).foreach { u =>
+      assert(math.abs(Kernels.norm(u) - 1.0) < 1e-5)
+    }
+  }
+}
