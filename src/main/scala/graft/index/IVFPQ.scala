@@ -1,0 +1,121 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Kernels
+import graft.operators.TopK
+import graft.quantize.PQModel
+import graft.search.FlatSearch
+
+/** IVF + PQ with residual encoding (`Auncel/IndexIVFPQ.cpp`,
+  * by_residual=true): each vector stores a PQ code of (vec − centroid of
+  * its list); at query time, per probed list the ADC table is built from
+  * the query's residual against that centroid. Optional exact-rerank
+  * refinement mirrors IVFPQR's second pass (`IndexIVFPQ.cpp`, refine):
+  * rerank the top k·kFactor ADC candidates with exact distances via a
+  * join back to the raw vectors.
+  */
+object IVFPQ {
+
+  /** Train a PQ on residuals: needs the IVF assignment first. */
+  def trainResidualPQ(assigned: DataFrame, model: IVFModel, m: Int,
+                      nbits: Int = 8, seed: Long = 42L): PQModel = {
+    val bm = assigned.sparkSession.sparkContext.broadcast(model)
+    val resU = udf { (v: Seq[Float], listNo: Int) =>
+      val c = bm.value.centroids(listNo)
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+    val residuals = assigned.select(resU(col("vec"), col("list_no")).as("vec"))
+    graft.quantize.ProductQuantizer.train(residuals, m, nbits, seed)
+  }
+
+  /** Add PQ residual codes to the assigned table. */
+  def encode(assigned: DataFrame, model: IVFModel, pq: PQModel): DataFrame = {
+    val spark = assigned.sparkSession
+    val bm = spark.sparkContext.broadcast(model)
+    val bpq = spark.sparkContext.broadcast(pq)
+    val u = udf { (v: Seq[Float], listNo: Int) =>
+      val c = bm.value.centroids(listNo)
+      bpq.value.encode(Array.tabulate(v.length)(i => v(i) - c(i)))
+    }
+    assigned.withColumn("code", u(col("vec"), col("list_no")))
+  }
+
+  /** ADC search over the probed lists. Reads only (list_no, id, code) —
+    * for d=64/M=8 that is ~32× fewer bytes than raw vectors, which is
+    * the point at 100 TB. */
+  def search(encoded: DataFrame, model: IVFModel, pq: PQModel,
+             queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("qid").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val np = math.min(nprobe, model.nlist)
+    val probesByList: Map[Int, Array[Int]] = q.indices.flatMap { qi =>
+      model.rankCentroids(q(qi)._2).take(np).map { case (l, _) => (l, qi) }
+    }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }
+
+    val bq = spark.sparkContext.broadcast(q)
+    val bp = spark.sparkContext.broadcast(probesByList)
+    val bm = spark.sparkContext.broadcast(model)
+    val bpq = spark.sparkContext.broadcast(pq)
+
+    val partials = encoded
+      .filter(col("list_no").isin(probesByList.keys.toSeq.sorted: _*))
+      .select(col("list_no").cast("int"), col("id").cast("long"), col("code"))
+      .as[(Int, Long, Array[Byte])]
+      .mapPartitions { it =>
+        val qs = bq.value
+        val pm = bp.value
+        val ivf = bm.value
+        val codec = bpq.value
+        val heaps = scala.collection.mutable.HashMap.empty[Int, TopK]
+        // per (query, list) residual ADC tables, built lazily per partition
+        val tables = scala.collection.mutable.HashMap.empty[(Int, Int), Array[Array[Float]]]
+        it.foreach { case (listNo, id, code) =>
+          pm.get(listNo) match {
+            case Some(qis) =>
+              var i = 0
+              while (i < qis.length) {
+                val qi = qis(i)
+                val table = tables.getOrElseUpdate((qi, listNo), {
+                  val c = ivf.centroids(listNo)
+                  val qv = qs(qi)._2
+                  codec.adcTable(Array.tabulate(qv.length)(j => qv(j) - c(j)))
+                })
+                heaps.getOrElseUpdate(qi, new TopK(k))
+                  .add(codec.adcDistance(table, code), id)
+                i += 1
+              }
+            case None =>
+          }
+        }
+        heaps.iterator.flatMap { case (qi, h) =>
+          h.sorted.iterator.map { case (d, id) => (qs(qi)._1, id, d) }
+        }
+      }.toDF("qid", "id", "dist")
+    FlatSearch.mergeTopK(partials, k)
+  }
+
+  /** IVFPQR-style refinement: ADC top (k·kFactor) candidates reranked
+    * with exact distances (join back to raw vectors). */
+  def searchRefine(encoded: DataFrame, raw: DataFrame, model: IVFModel,
+                   pq: PQModel, queries: DataFrame, k: Int, nprobe: Int,
+                   kFactor: Int = 4): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val cand = search(encoded, model, pq, queries, k * kFactor, nprobe)
+      .select(col("qid"), col("id"))
+    val q = queries.select(col("qid").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect().toMap
+    val bq = spark.sparkContext.broadcast(q)
+    val exactU = udf { (qid: Long, v: Seq[Float]) =>
+      Kernels.l2Sqr(bq.value(qid), v.toArray)
+    }
+    val rescored = cand
+      .join(raw.select(col("id"), col("vec")), Seq("id"))
+      .withColumn("dist", exactU(col("qid"), col("vec")))
+      .select(col("qid"), col("id"), col("dist"))
+    FlatSearch.mergeTopK(rescored, k)
+  }
+}

@@ -1,0 +1,139 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.quantize.{ProductQuantizer, PQModel, ScalarQuantizer, SQModel}
+import graft.search.{FlatSearch, IVFSearch}
+import graft.transforms._
+
+/** The index-spec string DSL (`Auncel/AutoTune.cpp:741-960`):
+  * `index_factory("PCA32,IVF64,Flat")`, `"L2norm,IVF256,PQ8"`,
+  * `"IVF64,SQ8"`, `"IDMap,Flat"`, `"RR64,Flat"` … parsed into a
+  * transform chain + coarse index + encoding, trained and searched
+  * through one handle.
+  *
+  * Supported tokens: `PCA<d>` / `PCAW<d>` (whitened), `RR<d>` (random
+  * rotation), `L2norm`, `Remap<d>`, `IDMap` (no-op — ids are explicit
+  * columns here), coarse `IVF<nlist>` or flat, encodings `Flat`,
+  * `PQ<M>`, `SQ8`. HNSW is out of scope (the reference's experiments
+  * run `IVF1024,Flat` exclusively — `Auncel/eval/bound.cpp:220`).
+  */
+object IndexFactory {
+
+  sealed trait Encoding
+  case object FlatEnc extends Encoding
+  final case class PQEnc(m: Int) extends Encoding
+  case object SQ8Enc extends Encoding
+
+  final case class Spec(pre: Seq[PreTok], nlist: Option[Int], enc: Encoding)
+  sealed trait PreTok
+  final case class PcaTok(d: Int, whiten: Boolean) extends PreTok
+  final case class RrTok(d: Int) extends PreTok
+  case object L2Tok extends PreTok
+  final case class RemapTok(d: Int) extends PreTok
+
+  def parse(spec: String): Spec = {
+    var pre = Vector.empty[PreTok]
+    var nlist: Option[Int] = None
+    var enc: Option[Encoding] = None
+    val pcaW = "PCAW(\\d+)".r; val pca = "PCA(\\d+)".r; val rr = "RR(\\d+)".r
+    val ivf = "IVF(\\d+)".r; val pqp = "PQ(\\d+)".r; val remap = "Remap(\\d+)".r
+    spec.split(",").map(_.trim).filter(_.nonEmpty).foreach {
+      case pcaW(d)   => pre :+= PcaTok(d.toInt, whiten = true)
+      case pca(d)    => pre :+= PcaTok(d.toInt, whiten = false)
+      case rr(d)     => pre :+= RrTok(d.toInt)
+      case "L2norm"  => pre :+= L2Tok
+      case remap(d)  => pre :+= RemapTok(d.toInt)
+      case "IDMap" | "IDMap2" => // ids are explicit columns; nothing to do
+      case ivf(n)    => nlist = Some(n.toInt)
+      case "Flat"    => enc = Some(FlatEnc)
+      case pqp(m)    => enc = Some(PQEnc(m.toInt))
+      case "SQ8"     => enc = Some(SQ8Enc)
+      case tok => throw new IllegalArgumentException(
+        s"index_factory: unsupported token '$tok' in '$spec'")
+    }
+    Spec(pre, nlist, enc.getOrElse(FlatEnc))
+  }
+
+  /** A trained index: transform chain + optional IVF coarse model +
+    * optional code model, and the encoded collection. */
+  final case class GraftIndex(spec: Spec, chain: TransformChain,
+                              ivf: Option[IVFModel], pq: Option[PQModel],
+                              sq: Option[SQModel], data: DataFrame) {
+
+    def search(queries: DataFrame, k: Int, nprobe: Int = 8): DataFrame = {
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val tq = {
+        val bc = spark.sparkContext.broadcast(chain)
+        val u = udf { v: Seq[Float] => bc.value.applyVec(v.toArray) }
+        queries.withColumn("vec", u(col("vec")))
+      }
+      (ivf, pq, sq) match {
+        case (Some(m), Some(p), _) => IVFPQ.search(data, m, p, tq, k, nprobe)
+        case (Some(m), None, Some(s)) =>
+          // SQ inside IVF: decode-scan the probed lists
+          decodeScanIVF(m, s, tq, k, nprobe)
+        case (Some(m), None, None) => IVFSearch.search(data, m, tq, k, nprobe)
+        case (None, Some(p), _)    => ProductQuantizer.knnADC(data, p, tq, k)
+        case (None, None, Some(s)) => ScalarQuantizer.knn(data, s, tq, k)
+        case (None, None, None)    => FlatSearch.knn(data, tq, k)
+      }
+    }
+
+    private def decodeScanIVF(m: IVFModel, s: SQModel, tq: DataFrame,
+                              k: Int, nprobe: Int): DataFrame = {
+      val spark = data.sparkSession
+      val bs = spark.sparkContext.broadcast(s)
+      val dec = udf { code: Array[Byte] => bs.value.decode(code) }
+      val decoded = data.withColumn("vec", dec(col("code")))
+      IVFSearch.search(decoded, m, tq, k, nprobe)
+    }
+  }
+
+  /** Train everything the spec needs and encode the collection.
+    * @param df (id, vec) */
+  def build(spec: String, df: DataFrame, metric: String = "l2",
+            seed: Long = 42L): GraftIndex = {
+    val s = parse(spec)
+    import df.sparkSession.implicits._
+    val dIn = df.select(size(col("vec"))).as[Int].head()
+    // fit the transform chain left-to-right
+    var dim = dIn
+    var cur = df
+    val fitted = s.pre.map { tok =>
+      val t: VecTransform = tok match {
+        case PcaTok(d, w) => PCATransform.fit(cur, d, w)
+        case RrTok(d)     => LinearTransform.randomRotation(d, seed)
+        case L2Tok        => L2NormTransform
+        case RemapTok(d)  => RemapTransform(d)
+      }
+      cur = t.apply(cur); dim = t.outDim(dim)
+      t
+    }
+    val chain = TransformChain(fitted)
+
+    val ivfModel = s.nlist.map(n => IVFIndex.train(cur, n, metric, seed))
+    val assigned = ivfModel.map(m => IVFIndex.assign(cur, m)).getOrElse(cur)
+
+    s.enc match {
+      case FlatEnc =>
+        GraftIndex(s, chain, ivfModel, None, None, assigned.cache())
+      case PQEnc(m) =>
+        ivfModel match {
+          case Some(im) =>
+            val pq = IVFPQ.trainResidualPQ(assigned, im, m, seed = seed)
+            GraftIndex(s, chain, ivfModel, Some(pq), None,
+              IVFPQ.encode(assigned, im, pq).drop("vec").cache())
+          case None =>
+            val pq = ProductQuantizer.train(assigned, m, seed = seed)
+            GraftIndex(s, chain, None, Some(pq), None,
+              ProductQuantizer.encode(assigned, pq).drop("vec").cache())
+        }
+      case SQ8Enc =>
+        val sq = ScalarQuantizer.train(assigned)
+        GraftIndex(s, chain, ivfModel, None, Some(sq),
+          ScalarQuantizer.encode(assigned, sq).drop("vec").cache())
+    }
+  }
+}

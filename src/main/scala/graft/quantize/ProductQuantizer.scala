@@ -1,0 +1,217 @@
+package graft.quantize
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Kernels
+import graft.operators.TopK
+
+/** Product quantizer (`Auncel/ProductQuantizer.h:23-175`, .cpp): the
+  * vector is split into M subvectors, each encoded by a 2^nbits-entry
+  * codebook trained with per-subspace k-means. Codes live in a
+  * BinaryType column; search uses asymmetric distance (ADC): per query a
+  * M×ksub table of partial distances is built once, then each code's
+  * distance is M table lookups — the classic memory-bandwidth trade.
+  *
+  * @param codebooks M × ksub × dsub
+  */
+final case class PQModel(m: Int, nbits: Int, codebooks: Array[Array[Array[Float]]])
+    extends Serializable {
+  val ksub: Int = 1 << nbits
+  def dsub: Int = codebooks(0)(0).length
+  def dim: Int = m * dsub
+
+  def encode(v: Array[Float]): Array[Byte] = {
+    val code = new Array[Byte](m)
+    var sub = 0
+    while (sub < m) {
+      val off = sub * dsub
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val cb = codebooks(sub)(c)
+        var d = 0.0; var j = 0
+        while (j < dsub) {
+          val diff = v(off + j).toDouble - cb(j); d += diff * diff; j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      code(sub) = best.toByte
+      sub += 1
+    }
+    code
+  }
+
+  def decode(code: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](dim)
+    var sub = 0
+    while (sub < m) {
+      val cb = codebooks(sub)(code(sub) & 0xff)
+      System.arraycopy(cb, 0, out, sub * dsub, dsub)
+      sub += 1
+    }
+    out
+  }
+
+  /** ADC table: adc(sub)(c) = ‖q_sub − codebook(sub)(c)‖². */
+  def adcTable(q: Array[Float]): Array[Array[Float]] =
+    Array.tabulate(m) { sub =>
+      val off = sub * dsub
+      Array.tabulate(ksub) { c =>
+        val cb = codebooks(sub)(c)
+        var d = 0.0; var j = 0
+        while (j < dsub) {
+          val diff = q(off + j).toDouble - cb(j); d += diff * diff; j += 1
+        }
+        d.toFloat
+      }
+    }
+
+  def adcDistance(table: Array[Array[Float]], code: Array[Byte]): Double = {
+    var s = 0.0; var sub = 0
+    while (sub < m) { s += table(sub)(code(sub) & 0xff); sub += 1 }
+    s
+  }
+}
+
+object ProductQuantizer {
+
+  /** Train per-subspace codebooks with MLlib KMeans (25 iter, mirroring
+    * `Clustering.h:25`; the reference trains all subspaces from one
+    * sample pass — we run M small distributed fits). */
+  def train(df: DataFrame, m: Int, nbits: Int = 8, seed: Long = 42L,
+            vecCol: String = "vec"): PQModel = {
+    import df.sparkSession.implicits._
+    val d = df.select(size(col(vecCol))).as[Int].head()
+    require(d % m == 0, s"dim $d not divisible by M=$m")
+    val dsub = d / m
+    val ksub = 1 << nbits
+    val n = df.count()
+    val k = math.min(ksub, n).toInt
+    val sliced = df.select(col(vecCol)).cache()
+    val codebooks = (0 until m).map { sub =>
+      val toVec = udf { v: Seq[Float] =>
+        Vectors.dense(v.slice(sub * dsub, (sub + 1) * dsub).map(_.toDouble).toArray)
+      }
+      val feat = sliced.select(toVec(col(vecCol)).as("features"))
+      val km = new KMeans().setK(k).setSeed(seed + sub).setMaxIter(25)
+        .setFeaturesCol("features")
+      val centers = km.fit(feat).clusterCenters
+        .map(_.toArray.map(_.toFloat))
+      // pad (dedup'd centers) to ksub by repeating the last
+      Array.tabulate(ksub)(c => centers(math.min(c, centers.length - 1)))
+    }.toArray
+    sliced.unpersist()
+    PQModel(m, nbits, codebooks)
+  }
+
+  /** Add a BinaryType `code` column. */
+  def encode(df: DataFrame, model: PQModel, vecCol: String = "vec"): DataFrame = {
+    val bm = df.sparkSession.sparkContext.broadcast(model)
+    val u = udf { v: Seq[Float] => bm.value.encode(v.toArray) }
+    df.withColumn("code", u(col(vecCol)))
+  }
+
+  /** ADC brute-force k-NN over codes: broadcast per-query ADC tables,
+    * per-partition bounded heaps, window merge — same scale shape as
+    * FlatSearch but reading only the `code` column (32× smaller scan for
+    * d=64, M=8 than raw floats). */
+  def knnADC(codes: DataFrame, model: PQModel, queries: DataFrame,
+             k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("qid").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bm = spark.sparkContext.broadcast(model)
+    val bq = spark.sparkContext.broadcast(q.map(_._1))
+    val bTables = spark.sparkContext.broadcast(q.map { case (_, v) => model.adcTable(v) })
+    val partials = codes.select(col("id").cast("long"), col("code"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val tables = bTables.value
+        val qids = bq.value
+        val pq = bm.value
+        val heaps = qids.map(_ => new TopK(k))
+        it.foreach { case (id, code) =>
+          var i = 0
+          while (i < qids.length) {
+            heaps(i).add(pq.adcDistance(tables(i), code), id)
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.sorted.iterator.map { case (dd, id) => (qids(i), id, dd) }
+        }
+      }.toDF("qid", "id", "dist")
+    graft.search.FlatSearch.mergeTopK(partials, k)
+  }
+}
+
+/** Scalar quantizer, 8-bit uniform per dimension
+  * (`Auncel/IndexScalarQuantizer.cpp` QT_8bit): per-dim [min, max] from
+  * the collection, code = round(255·(x−min)/(max−min)). */
+final case class SQModel(vmin: Array[Float], vmax: Array[Float]) extends Serializable {
+  def dim: Int = vmin.length
+  /** Per-dim range; float like the reference's trained vdiff. */
+  val vdiff: Array[Float] = Array.tabulate(vmin.length)(i => vmax(i) - vmin(i))
+  def encode(v: Array[Float]): Array[Byte] =
+    Array.tabulate(dim) { i =>
+      val x = if (vdiff(i) == 0f) 0.0
+        else (v(i) - vmin(i)) / vdiff(i) * 255.0
+      math.max(0, math.min(255, math.round(x))).toByte
+    }
+  def decode(code: Array[Byte]): Array[Float] =
+    Array.tabulate(dim) { i =>
+      vmin(i) + (((code(i) & 0xff) + 0.5f) / 256.0f) * vdiff(i)
+    }
+}
+
+object ScalarQuantizer {
+  def train(df: DataFrame, vecCol: String = "vec"): SQModel = {
+    import df.sparkSession.implicits._
+    val stats = df.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .as[(Int, Float, Float)].collect().sortBy(_._1)
+    SQModel(stats.map(_._2), stats.map(_._3))
+  }
+
+  def encode(df: DataFrame, model: SQModel, vecCol: String = "vec"): DataFrame = {
+    val bm = df.sparkSession.sparkContext.broadcast(model)
+    val u = udf { v: Seq[Float] => bm.value.encode(v.toArray) }
+    df.withColumn("code", u(col(vecCol)))
+  }
+
+  /** Decode-and-scan k-NN over SQ codes. */
+  def knn(codes: DataFrame, model: SQModel, queries: DataFrame, k: Int,
+          metric: String = "l2"): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("qid").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bm = spark.sparkContext.broadcast(model)
+    val bq = spark.sparkContext.broadcast(q)
+    val m = metric
+    val partials = codes.select(col("id").cast("long"), col("code"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val qs = bq.value
+        val sq = bm.value
+        val heaps = qs.map(_ => new TopK(k))
+        it.foreach { case (id, code) =>
+          val v = sq.decode(code)
+          var i = 0
+          while (i < qs.length) {
+            heaps(i).add(Kernels.distance(m, qs(i)._2, v), id)
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.sorted.iterator.map { case (d, id) => (qs(i)._1, id, d) }
+        }
+      }.toDF("qid", "id", "dist")
+    graft.search.FlatSearch.mergeTopK(partials, k)
+  }
+}

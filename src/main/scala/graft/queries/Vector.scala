@@ -162,6 +162,91 @@ object Vector {
       |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
       |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin
 
+  /** O5+PQ — IVFPQ with exact-rerank refinement, configured so the
+    * candidate pool covers the collection (nprobe=nlist, kFactor·k ≥ N):
+    * the ADC stage is exercised end-to-end and the refined result is
+    * provably exact → brute-force SQL oracle applies. */
+  def v08IvfpqRefine(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.IVFPQ
+    val b = base(s, dir)
+    val model = IVFIndex.train(b, nlist = 16, metric = "l2", seed = 42L)
+    val assigned = IVFIndex.assign(b, model)
+    val pq = IVFPQ.trainResidualPQ(assigned, model, m = 8, nbits = 8, seed = 42L)
+    val enc = IVFPQ.encode(assigned, model, pq)
+    IVFPQ.searchRefine(enc.drop("vec"), b, model, pq,
+      qs(s, dir, "vec_id >= 24 AND vec_id < 32"), k = 10, nprobe = 16, kFactor = 50)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v08Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id >= 24 AND vec_id < 32),
+       |d AS (SELECT q.qid, b.vec_id AS id, $l2SqlFrag AS dist
+       |      FROM q CROSS JOIN embeddings b)
+       |SELECT qid, id, dist, rank FROM (
+       |  SELECT qid, id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  /** SQ8 scalar quantization: per-vector squared reconstruction error,
+    * computed with double arithmetic + float-rounded decode in both
+    * engines (the quantizer grid comes from per-dim min/max). */
+  def v09Sq8Error(s: SparkSession, dir: String): DataFrame = {
+    import graft.quantize.ScalarQuantizer
+    val b = base(s, dir)
+    val sq = ScalarQuantizer.train(b)
+    val mins = sq.vmin.map(_.toDouble)
+    // range in DOUBLE (the oracle subtracts doubles; float mx-mn differs in ulp)
+    val diffs = Array.tabulate(sq.dim)(i => sq.vmax(i).toDouble - sq.vmin(i).toDouble)
+    val err = aggregate(
+      transform(sequence(lit(0), lit(sq.dim - 1)), i => {
+        val x = element_at(col("vec"), i + 1).cast("double")
+        val mn = element_at(lit(mins), i + 1)
+        val df = element_at(lit(diffs), i + 1)
+        val code = least(lit(255.0), greatest(lit(0.0), round((x - mn) / df * 255)))
+        val dec = (mn + (code + 0.5) / 256.0 * df).cast("float").cast("double")
+        (x - dec) * (x - dec)
+      }),
+      lit(0.0), (acc, x) => acc + x)
+    b.select(col("id").as("vec_id"), err.as("sq_err")).orderBy(col("vec_id"))
+  }
+
+  val v09Sql: String =
+    """WITH dims AS (
+      |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM (
+      |    SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+      |           MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+      |    FROM embeddings, range(1, 65) t(i) GROUP BY i))
+      |SELECT e.vec_id, list_sum(list_transform(list_transform(range(1, 65), i ->
+      |  CAST(e.embedding[i] AS DOUBLE) -
+      |    CAST(CAST(d.mns[i] + (LEAST(255.0, GREATEST(0.0,
+      |      round((CAST(e.embedding[i] AS DOUBLE) - d.mns[i]) / (d.mxs[i] - d.mns[i]) * 255, 0)))
+      |      + 0.5) / 256.0 * (d.mxs[i] - d.mns[i]) AS FLOAT) AS DOUBLE)
+      |), y -> y * y)) AS sq_err
+      |FROM embeddings e CROSS JOIN dims d ORDER BY e.vec_id""".stripMargin
+
+  /** O9/O20 — sharded search: split the collection into 2 shards, exact
+    * top-k per shard, global merge — must equal single-index search. */
+  def v10ShardedKnn(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir)
+    val q = qs(s, dir, "vec_id >= 32 AND vec_id < 40")
+    val shard0 = FlatSearch.knn(b.filter(pmod(col("id"), lit(2)) === 0), q, k = 10)
+    val shard1 = FlatSearch.knn(b.filter(pmod(col("id"), lit(2)) === 1), q, k = 10)
+    FlatSearch.mergeTopK(
+      shard0.drop("rank").unionByName(shard1.drop("rank")), k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v10Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id >= 32 AND vec_id < 40),
+       |d AS (SELECT q.qid, b.vec_id AS id, $l2SqlFrag AS dist
+       |      FROM q CROSS JOIN embeddings b)
+       |SELECT qid, id, dist, rank FROM (
+       |  SELECT qid, id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   /** Auncel's flagship operator end-to-end: train the error profile on
     * the collection, then run bounded-error adaptive search
     * (required recall 0.9). Output includes per-query nprobe_used —
@@ -188,6 +273,9 @@ object Vector {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_bounded_search" -> a01BoundedSearch _,
+    "v08_ivfpq_refine" -> v08IvfpqRefine _,
+    "v09_sq8_error" -> v09Sq8Error _,
+    "v10_sharded_knn" -> v10ShardedKnn _,
     "v01_knn_flat" -> v01KnnFlat _,
     "v02_knn_subset" -> v02KnnSubset _,
     "v03_range_search" -> v03Range _,
@@ -197,6 +285,9 @@ object Vector {
     "v07_neardup_pairs" -> v07NearDupPairs _)
 
   val oracles: Map[String, String] = Map(
+    "v08_ivfpq_refine" -> v08Sql,
+    "v09_sq8_error" -> v09Sql,
+    "v10_sharded_knn" -> v10Sql,
     "v01_knn_flat" -> v01Sql,
     "v02_knn_subset" -> v02Sql,
     "v03_range_search" -> v03Sql,

@@ -1,0 +1,82 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers/writers for the reference's vector file formats
+  * (`Auncel/eval/bound.cpp:29-113`, `dist/gt.cpp:60-90`,
+  * `dist/split.cpp:66-80`):
+  *
+  *  - `.fvecs`: per row `int32 d` + d × float32 (little-endian)
+  *  - `.ivecs`: same layout, int32 payload
+  *  - `.fbin`:  `int32 n, int32 d` header + n·d float32
+  *
+  * Ingest path: file → DataFrame (id = row number) → Parquet; at scale
+  * the one-time conversion job is the supported route (parquet is the
+  * native scan format — column-pruned, predicate-pushed).
+  */
+object VecFiles {
+
+  def readFvecs(path: String): Array[Array[Float]] = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    while (buf.remaining() >= 4) {
+      val d = buf.getInt()
+      require(d > 0 && d < (1 << 24), s"bad fvecs dim $d")
+      val v = new Array[Float](d)
+      var i = 0
+      while (i < d) { v(i) = buf.getFloat(); i += 1 }
+      out += v
+    }
+    out.toArray
+  }
+
+  def readIvecs(path: String): Array[Array[Int]] = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    while (buf.remaining() >= 4) {
+      val d = buf.getInt()
+      require(d > 0 && d < (1 << 24), s"bad ivecs dim $d")
+      val v = new Array[Int](d)
+      var i = 0
+      while (i < d) { v(i) = buf.getInt(); i += 1 }
+      out += v
+    }
+    out.toArray
+  }
+
+  def readFbin(path: String): Array[Array[Float]] = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val n = buf.getInt(); val d = buf.getInt()
+    Array.fill(n) {
+      val v = new Array[Float](d)
+      var i = 0
+      while (i < d) { v(i) = buf.getFloat(); i += 1 }
+      v
+    }
+  }
+
+  def writeFvecs(path: String, vecs: Array[Array[Float]]): Unit = {
+    val buf = ByteBuffer.allocate(vecs.map(v => 4 + 4 * v.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    vecs.foreach { v => buf.putInt(v.length); v.foreach(buf.putFloat) }
+    Files.write(Paths.get(path), buf.array())
+  }
+
+  /** fvecs → DataFrame (id LONG, vec ARRAY<FLOAT>). For files beyond
+    * driver memory, split upstream (`dist/split.cpp`) and union. */
+  def fvecsToDF(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    readFvecs(path).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+  }
+
+  /** One-time conversion job: fvecs → Parquet collection. */
+  def convertToParquet(spark: SparkSession, src: String, dest: String): Unit =
+    fvecsToDF(spark, src).write.mode("overwrite").parquet(dest)
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Kernels
+import graft.index.IndexFactory
+import graft.search.FlatSearch
+import graft.transforms._
+
+class FactorySpec extends SparkSpec {
+
+  lazy val pool = clusteredVecs(1550, 32, nClusters = 16, seed = 41)
+  lazy val base = pool.take(1500)
+  lazy val baseDF = vecDF(base).cache()
+  lazy val qDF = vecDF(pool.drop(1500), "qid")
+
+  def recallVsExact(res: org.apache.spark.sql.DataFrame, k: Int): Double = {
+    import spark.implicits._
+    val exact = FlatSearch.knn(baseDF, qDF, k)
+      .select(col("qid"), col("id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = res.select(col("qid"), col("id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    exact.map { case (q, ids) => (got.getOrElse(q, Set.empty) & ids).size.toDouble / k }
+      .sum / exact.size
+  }
+
+  test("parse handles the reference's spec grammar") {
+    val s = IndexFactory.parse("PCA16,IVF64,PQ8")
+    assert(s.pre == Seq(IndexFactory.PcaTok(16, whiten = false)))
+    assert(s.nlist.contains(64))
+    assert(s.enc == IndexFactory.PQEnc(8))
+    assert(IndexFactory.parse("L2norm,Flat").pre == Seq(IndexFactory.L2Tok))
+    assert(IndexFactory.parse("IVF32,SQ8").enc == IndexFactory.SQ8Enc)
+    assert(IndexFactory.parse("IDMap,Flat").pre.isEmpty)
+    intercept[IllegalArgumentException](IndexFactory.parse("HNSW32"))
+  }
+
+  test("IVF32,Flat via factory: full-probe equals exact search") {
+    import spark.implicits._
+    val idx = IndexFactory.build("IVF32,Flat", baseDF)
+    val got = idx.search(qDF, k = 10, nprobe = 32)
+      .select(col("qid"), col("rank"), col("id")).as[(Long, Int, Long)]
+      .collect().sorted
+    val want = FlatSearch.knn(baseDF, qDF, k = 10)
+      .select(col("qid"), col("rank"), col("id")).as[(Long, Int, Long)]
+      .collect().sorted
+    assert(got.sameElements(want))
+  }
+
+  test("PCA16,IVF16,Flat reduces dim and keeps decent recall") {
+    val idx = IndexFactory.build("PCA16,IVF16,Flat", baseDF)
+    import spark.implicits._
+    val d = idx.data.select(size(col("vec"))).as[Int].head()
+    assert(d == 16)
+    val r = recallVsExact(idx.search(qDF, k = 10, nprobe = 16), 10)
+    assert(r > 0.4, s"PCA16 recall $r") // PCA loses info; exactness not expected
+  }
+
+  test("IVF16,PQ8 and IVF16,SQ8 search through the one handle") {
+    val rPq = recallVsExact(IndexFactory.build("IVF16,PQ8", baseDF)
+      .search(qDF, k = 10, nprobe = 16), 10)
+    assert(rPq > 0.5, s"IVF,PQ recall $rPq")
+    val rSq = recallVsExact(IndexFactory.build("IVF16,SQ8", baseDF)
+      .search(qDF, k = 10, nprobe = 16), 10)
+    assert(rSq > 0.9, s"IVF,SQ8 recall $rSq")
+  }
+
+  test("random rotation preserves distances; L2norm makes unit vectors") {
+    val rot = LinearTransform.randomRotation(32, seed = 5L)
+    val a = base(0); val b = base(1)
+    val d0 = Kernels.l2Sqr(a, b)
+    val d1 = Kernels.l2Sqr(rot.applyVec(a), rot.applyVec(b))
+    assert(math.abs(d0 - d1) / d0 < 1e-4, s"$d0 vs $d1")
+    assert(math.abs(Kernels.norm(L2NormTransform.applyVec(a)) - 1) < 1e-5)
+  }
+
+  test("centering subtracts the collection mean") {
+    val c = CenterTransform.fit(baseDF)
+    val centered = c.apply(baseDF)
+    val m2 = CenterTransform.fit(centered)
+    assert(m2.mean.forall(x => math.abs(x) < 1e-4))
+  }
+}

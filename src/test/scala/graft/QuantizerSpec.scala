@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Kernels
+import graft.index.{IVFIndex, IVFPQ}
+import graft.quantize.{ProductQuantizer, ScalarQuantizer}
+import graft.search.FlatSearch
+
+class QuantizerSpec extends SparkSpec {
+
+  lazy val base = clusteredVecs(2000, 32, nClusters = 24, seed = 31)
+  lazy val baseDF = vecDF(base).cache()
+  lazy val qDF = vecDF(clusteredVecs(2010, 32, nClusters = 24, seed = 31).drop(2000), "qid")
+  lazy val exact = {
+    import spark.implicits._
+    FlatSearch.knn(baseDF, qDF, k = 10)
+      .select(col("qid"), col("id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  }
+
+  def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+    import spark.implicits._
+    val got = res.select(col("qid"), col("id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    exact.map { case (q, ids) => (got.getOrElse(q, Set.empty) & ids).size / 10.0 }
+      .sum / exact.size
+  }
+
+  test("PQ encode/decode round-trip has bounded reconstruction error") {
+    val pq = ProductQuantizer.train(baseDF, m = 8, nbits = 8, seed = 1L)
+    val errs = base.take(100).map { v =>
+      Kernels.l2Sqr(v, pq.decode(pq.encode(v)))
+    }
+    val meanNorm = base.take(100).map(Kernels.normSqr(_)).sum / 100
+    assert(errs.max < meanNorm, s"reconstruction worse than zero vector")
+    assert(errs.sum / errs.length < 0.15 * meanNorm,
+      s"mean rec err ${errs.sum / errs.length} vs norm $meanNorm")
+  }
+
+  test("ADC brute-force k-NN recall is high") {
+    val pq = ProductQuantizer.train(baseDF, m = 8, nbits = 8, seed = 1L)
+    val codes = ProductQuantizer.encode(baseDF, pq).drop("vec")
+    val r = recallOf(ProductQuantizer.knnADC(codes, pq, qDF, k = 10))
+    assert(r > 0.5, s"ADC recall $r") // raw (non-residual) PQ; residual IVFPQ scores higher below
+  }
+
+  test("IVFPQ residual search beats raw-PQ locality and refine restores exactness") {
+    val model = IVFIndex.train(baseDF, nlist = 16, seed = 42L)
+    val assigned = IVFIndex.assign(baseDF, model).cache()
+    val pq = IVFPQ.trainResidualPQ(assigned, model, m = 8, nbits = 8)
+    val enc = IVFPQ.encode(assigned, model, pq).cache()
+    val r = recallOf(IVFPQ.search(enc.drop("vec"), model, pq, qDF, k = 10, nprobe = 16))
+    assert(r > 0.6, s"IVFPQ recall $r")
+    val rr = recallOf(IVFPQ.searchRefine(enc.drop("vec"), baseDF, model, pq, qDF,
+      k = 10, nprobe = 16, kFactor = 5))
+    assert(rr >= r, s"refine $rr < adc $r")
+    assert(rr > 0.9, s"refined recall $rr")
+  }
+
+  test("SQ8 quantization error is small and knn recall near-exact") {
+    val sq = ScalarQuantizer.train(baseDF)
+    val v = base(7)
+    val rt = sq.decode(sq.encode(v))
+    val err = math.sqrt(Kernels.l2Sqr(v, rt) / Kernels.normSqr(v))
+    assert(err < 0.02, s"SQ8 relative err $err")
+    val codes = ScalarQuantizer.encode(baseDF, sq).drop("vec")
+    val r = recallOf(ScalarQuantizer.knn(codes, sq, qDF, k = 10))
+    assert(r > 0.95, s"SQ8 recall $r")
+  }
+}
