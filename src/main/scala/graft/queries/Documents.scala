@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.search.FlatSearch
 
 /** Training-data-pipeline operators over the `documents` table
   * (doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG):
@@ -231,7 +232,86 @@ object Documents {
       |  substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp64
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Rolling-hash fingerprint (modular fold over characters). */
+  def t06RollingFp(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.rollingFingerprint(docs(s, dir))
+      .orderBy(col("doc_id"))
+
+  val t06Sql: String =
+    """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |  list_transform(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''),
+      |    c -> CAST(ascii(c) AS BIGINT))),
+      |  (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic: argmax of per-language stopword hits (tie →
+    * lexicographically larger lang, matching array_max on (hits, lang);
+    * all-zero → 'und'). */
+  def t07LangId(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.languageId(docs(s, dir))
+      .select(col("doc_id"), col("lang"), col("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  val t07Sql: String = {
+    val langs = graft.ops.TextAnalysis.profiles.toSeq.sortBy(_._1)
+    def cnt(l: String, ws: Set[String]) =
+      s"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> list_contains(" +
+        ws.toSeq.sorted.map(w => s"'$w'").mkString("[", ", ", "]") + s", w))) AS c_$l"
+    val cases = langs.map(_._1).sortBy(identity).reverse.map { l =>
+      val others = langs.map(_._1).filter(_ != l)
+      s"WHEN ${others.map(o => s"c_$l >= c_$o").mkString(" AND ")} THEN '$l'"
+    }
+    s"""WITH c AS (SELECT doc_id, lang, ${langs.map { case (l, ws) => cnt(l, ws) }.mkString(",\n  ")}
+       |FROM documents)
+       |SELECT doc_id, lang,
+       |  CASE WHEN ${langs.map(l => s"c_${l._1} <= 0").mkString(" AND ")} THEN 'und'
+       |  ${cases.mkString("\n  ")} END AS pred_lang
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash fingerprints + banded near-dup candidate pairs (rows-only:
+    * the bit arithmetic is asserted in OpsSpec; no portable SQL twin for
+    * 60-bit folds). */
+  def t08Simhash(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.simhash(docs(s, dir)).orderBy(col("doc_id"))
+
+  /** Multimodal bookkeeping layer over binary payloads (text bytes stand
+    * in for media blobs — the codecs are stubbed, the plumbing is real). */
+  def mm01BinaryStats(s: SparkSession, dir: String): DataFrame = {
+    val media = docs(s, dir).select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("text/plain").as("mime"),
+      lit(8).as("width"), lit(8).as("height"))
+    graft.ops.Multimodal.binaryStats(media).orderBy(col("media_id"))
+  }
+
+  val mm01Sql: String =
+    """SELECT doc_id AS media_id, 'text/plain' AS mime,
+      |  octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Multimodal feature pipeline: decode(stub) → resize → 16-d feature
+    * vector → brute-force top-3 self-similarity — exercises the full
+    * media → vector-search handoff (rows-only; stub pixels). */
+  def mm02MediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = docs(s, dir).limit(64).select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("image/fake").as("mime"),
+      lit(16).as("width"), lit(16).as("height"))
+    val feats = graft.ops.Multimodal.decodeResizeFeatures(media, w2 = 4, h2 = 4)
+      .select(col("media_id").as("id"), col("features").as("vec"))
+    val q = feats.limit(8).select(col("id").as("qid"), col("vec"))
+    FlatSearch.knn(feats, q, k = 3).orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t06_rolling_fp" -> t06RollingFp _,
+    "t07_lang_id" -> t07LangId _,
+    "t08_simhash" -> t08Simhash _,
+    "mm01_binary_stats" -> mm01BinaryStats _,
+    "mm02_media_features" -> mm02MediaFeatures _,
     "d01_dedup_exact" -> d01DedupExact _,
     "d02_minhash_sig" -> d02MinhashSig _,
     "d03_lsh_candidates" -> d03LshCandidates _,
@@ -243,6 +323,9 @@ object Documents {
     "t05_fingerprint" -> t05Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "t06_rolling_fp" -> t06Sql,
+    "t07_lang_id" -> t07Sql,
+    "mm01_binary_stats" -> mm01Sql,
     "d01_dedup_exact" -> d01Sql,
     "d02_minhash_sig" -> d02Sql,
     "d03_lsh_candidates" -> d03Sql,

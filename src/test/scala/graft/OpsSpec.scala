@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.index.IVFIndex
+import graft.operators.AutoTune
+import graft.ops.{Multimodal, TextAnalysis}
+import graft.streaming.EventStream
+
+class OpsSpec extends SparkSpec {
+
+  test("languageId discriminates stopword profiles") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat sat on the mat and it was warm in the sun"),
+      (1L, "el gato de la casa y los perros en un patio del pueblo"),
+      (2L, "der hund und die katze von den kindern mit der mutter"),
+      (3L, "xyzzy qwerty plugh")).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(docs)
+      .select(col("doc_id"), col("pred_lang")).as[(Long, String)]
+      .collect().toMap
+    assert(got(0L) == "en"); assert(got(1L) == "es")
+    assert(got(2L) == "de"); assert(got(3L) == "und")
+  }
+
+  test("simhash: similar docs are close, different docs are far") {
+    import spark.implicits._
+    val shared = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$shared alpha"),
+      (1L, s"$shared beta"), // one word of 41 differs → tiny hamming
+      (2L, "completely unrelated words about cooking pasta with tomato sauce and basil and garlic and olive oil"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.simhash(docs).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(0L), fps(1L)) < ham(fps(0L), fps(2L)),
+      s"${ham(fps(0L), fps(1L))} !< ${ham(fps(0L), fps(2L))}")
+    val pairs = TextAnalysis.simhashPairs(TextAnalysis.simhash(docs), maxDist = 8)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"ham01=${ham(fps(0L), fps(1L))} pairs=$pairs")
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("rollingFingerprint is normalization-invariant and collision-free here") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "Hello   World"), (1L, "hello world"), (2L, "other text"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.rollingFingerprint(docs).as[(Long, Long)].collect().toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L) != fp(2L))
+  }
+
+  test("multimodal decode/resize plumbing: schema, nulls, determinism") {
+    import spark.implicits._
+    val media = Seq(
+      (0L, "img0payloadbytes".getBytes("UTF-8"), "image/fake", 4, 4),
+      (1L, null.asInstanceOf[Array[Byte]], "image/fake", 4, 4),
+      (2L, "anotherpayload!!".getBytes("UTF-8"), "image/fake", 4, 4))
+      .toDF("media_id", "payload", "mime", "width", "height")
+    val out = Multimodal.decodeResizeFeatures(media, w2 = 2, h2 = 2)
+    assert(out.schema("features").dataType.typeName == "array")
+    val rows = out.select(col("media_id"), col("features"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    assert(rows(1)._2 == null)            // null payload passes through
+    assert(rows(0)._2.length == 4)
+    val again = Multimodal.decodeResizeFeatures(media, w2 = 2, h2 = 2)
+      .select(col("media_id"), col("features"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    assert(rows(0)._2.sameElements(again(0)._2)) // deterministic stub
+    // frame sampling: 16 bytes, 4-byte frames, stride 2 → frames 0 and 2
+    val frames = Multimodal.sampleFrames(media.filter(col("media_id") === 0L),
+      frameBytes = 4, stride = 2)
+    assert(frames.count() == 2)
+    assert(Multimodal.binaryStats(media).count() == 3)
+  }
+
+  test("streaming: watermarked windowed agg over a file stream") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val agg = EventStream.hourlyCounts(stream)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("hourly")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // append mode emits only watermark-closed windows; compare against
+    // the batch twin on the closed subset
+    val got = spark.sql("SELECT * FROM hourly")
+    val batch = EventStream.hourlyCounts(spark.read.parquet(s"$dir/in"))
+    assert(got.count() > 0)
+    val j = got.join(batch.withColumnRenamed("n", "n_b"),
+      Seq("hour", "event_type"))
+    assert(j.filter(col("n") =!= col("n_b")).count() == 0)
+  }
+
+  test("streaming vector ingest assigns lists and batches") {
+    val model = IVFIndex.train(vecDF(randVecs(200, 8, seed = 61)), nlist = 8)
+    val batch = EventStream.assignStream(vecDF(randVecs(50, 8, seed = 62)), model, batchId = 3L)
+    assert(batch.columns.toSet == Set("id", "vec", "list_no", "batch_id"))
+    assert(batch.select("batch_id").distinct().count() == 1)
+  }
+
+  test("sessionize accumulates per-user state") {
+    import spark.implicits._
+    implicit val s = spark
+    val ev = Seq((1L, 2.0), (1L, 3.0), (2L, 5.0)).toDS()
+    val sess = EventStream.sessionize(ev).collect().sortBy(_.userId)
+    assert(sess(0) == EventStream.Session(1L, 2, 5.0))
+    assert(sess(1) == EventStream.Session(2L, 1, 5.0))
+  }
+
+  test("autotune sweep: monotone recall, pareto front, bounded-case select") {
+    val base = clusteredVecs(1500, 16, nClusters = 16, seed = 71)
+    val df = vecDF(base).cache()
+    val model = IVFIndex.train(df, nlist = 16, seed = 42L)
+    val assigned = IVFIndex.assign(df, model).cache()
+    val qDF = vecDF(clusteredVecs(1520, 16, nClusters = 16, seed = 71).drop(1500), "qid")
+    val pts = AutoTune.sweep(assigned, model, qDF, k = 10)
+    assert(pts.last.nprobe == 16 && pts.last.minRecall == 1.0)
+    assert(pts.map(_.meanRecall).sliding(2).forall(p => p(0) <= p(1) + 1e-9))
+    val front = AutoTune.paretoFront(pts)
+    assert(front.nonEmpty && front.map(_.cost).sliding(2).forall(p => p.head < p.last || p.size == 1))
+    val sel = AutoTune.select(pts, 0.95)
+    assert(sel.minRecall >= 0.95)
+    assert(sel.cost <= 1.0)
+  }
+}
