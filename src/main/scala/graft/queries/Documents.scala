@@ -27,19 +27,18 @@ object Documents {
   private val normText: Column =
     trim(regexp_replace(lower(col("text")), "\\s+", " "))
 
-  /** Word 3-shingles of the space-tokenized text. */
-  private def shingled(d: DataFrame): DataFrame = {
-    val ws = split(col("text"), " ")
-    d.withColumn("ws", ws)
-      .filter(size(col("ws")) >= 3)
-      .withColumn("sh", transform(
-        sequence(lit(0), size(col("ws")) - 3),
-        i => concat_ws(" ",
-          element_at(col("ws"), i + 1),
-          element_at(col("ws"), i + 2),
-          element_at(col("ws"), i + 3))))
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+  /** Word 3-shingles of the space-tokenized text. Scalar UDF rather than
+    * transform(sequence(...)) — the interpreted higher-order chain costs
+    * ~20× on long documents; the shingle strings (and so every
+    * downstream hash) are identical either way. */
+  private val shingleU = udf { text: String =>
+    val ws = text.split(" ", -1)
+    if (ws.length < 3) Array.empty[String]
+    else Array.tabulate(ws.length - 2)(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
   }
+
+  private def shingled(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(shingleU(col("text"))).as("s"))
 
   private val shingleSqlCte =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),

