@@ -1,0 +1,151 @@
+package graft.baselines
+
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Kernels
+import graft.index.IVFModel
+import graft.operators.TopK
+import graft.profile.ProfileTrainer
+import graft.search.FlatSearch
+
+/** LAET baseline (SIGMOD'20 learned early termination,
+  * `LAET/IndexIVF.cpp:469-760`, `LAET/benchs/learned_termination/`):
+  * a GBDT regressor predicts each query's required probe count from
+  * cheap features — the query's nearest-centroid distances plus the
+  * intermediate top-k distances after probing one list — trained
+  * against the minimal power-of-2 stage that reaches the target recall
+  * on ground truth. MLlib GBTRegressor stands in for LightGBM.
+  *
+  * This is the average-case baseline Auncel's error profile is compared
+  * against: no per-query guarantee, just a learned point estimate.
+  */
+object LAET {
+
+  final case class Model(gbt: GBTRegressionModel, levels: Int, nCoarse: Int)
+      extends Serializable
+
+  private def features(coarse: Array[Float], stage1: Array[Double],
+                       nCoarse: Int, k: Int): Array[Double] = {
+    val cd = Array.tabulate(nCoarse)(i =>
+      if (i < coarse.length) coarse(i).toDouble else coarse.last.toDouble)
+    val ratios = cd.map(d => if (cd(0) > 0) d / cd(0) else 1.0)
+    val inter = Array.tabulate(k)(i =>
+      if (i < stage1.length) stage1(i) else
+        (if (stage1.nonEmpty) stage1.last else 0.0))
+    cd ++ ratios ++ inter
+  }
+
+  /** Train on (query, GT) pairs: label = log2 of the minimal stage whose
+    * staged top-k reaches `targetRecall` (distance-threshold recall). */
+  def train(ivfData: DataFrame, model: IVFModel, trainQueries: DataFrame,
+            gt: DataFrame, k: Int, targetRecall: Double,
+            seed: Long = 42L, nCoarse: Int = 10): Model = {
+    val spark = ivfData.sparkSession
+    import spark.implicits._
+    val levels = ProfileTrainer.numLevels(model.nlist)
+
+    val staged = ProfileTrainer.stagedTopK(ivfData, model, trainQueries, k)
+      .as[(Long, Int, Array[Double])].collect()
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).toMap).toMap
+    val gtKth: Map[Long, Double] = gt.filter(col("rank") === k)
+      .select(col("qid").cast("long"), col("dist"))
+      .as[(Long, Double)].collect().toMap
+    val q = trainQueries.select(col("qid").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect()
+
+    val rows = q.flatMap { case (qid, v) =>
+      for {
+        stages <- staged.get(qid)
+        kth <- gtKth.get(qid)
+      } yield {
+        val label = (0 until levels).find { j =>
+          stages.get(j).exists { dists =>
+            dists.count(_ <= kth * 1.0005) >= targetRecall * k
+          }
+        }.getOrElse(levels).toDouble
+        val coarse = model.rankCentroids(v).take(nCoarse).map(_._2)
+        val f = features(coarse, stages.getOrElse(0, Array.empty), nCoarse, k)
+        (Vectors.dense(f), label)
+      }
+    }.toSeq.toDF("features", "label")
+
+    val gbt = new GBTRegressor().setMaxIter(30).setMaxDepth(5).setSeed(seed)
+      .setFeaturesCol("features").setLabelCol("label")
+    Model(gbt.fit(rows), levels, nCoarse)
+  }
+
+  /** Predict per-query nprobe (2^ceil(pred), clamped to [1, nlist]):
+    * probe one list for the intermediate-distance features, predict,
+    * then search with the per-query budget — the LAET
+    * `search_mode=2` flow. */
+  def search(ivfData: DataFrame, model: IVFModel, laet: Model,
+             queries: DataFrame, k: Int): (DataFrame, Map[Long, Int]) = {
+    val spark = ivfData.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("qid").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+
+    val stage1 = ProfileTrainer.stagedTopK(ivfData, model, queries, k)
+      .filter(col("stage") === 0)
+      .select(col("qid").cast("long"), col("dists"))
+      .as[(Long, Array[Double])].collect().toMap
+
+    val nprobes: Map[Long, Int] = q.map { case (qid, v) =>
+      val coarse = model.rankCentroids(v).take(laet.nCoarse).map(_._2)
+      val f = features(coarse, stage1.getOrElse(qid, Array.empty), laet.nCoarse, k)
+      val pred = laet.gbt.predict(Vectors.dense(f))
+      val np = 1 << math.min(laet.levels, math.max(0, math.ceil(pred).toInt))
+      (qid, math.min(model.nlist, np))
+    }.toMap
+
+    (searchPerQueryNprobe(ivfData, model, queries, k, nprobes), nprobes)
+  }
+
+  /** Fixed-plan IVF search where each query has its own nprobe. */
+  def searchPerQueryNprobe(ivfData: DataFrame, model: IVFModel,
+                           queries: DataFrame, k: Int,
+                           nprobes: Map[Long, Int]): DataFrame = {
+    val spark = ivfData.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("qid").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val qn = q.map { case (qid, v) =>
+      (qid, if (model.metric == "ip") Kernels.l2Normalize(v) else v)
+    }
+    val probeMap: Map[Int, Array[Int]] = qn.indices.flatMap { qi =>
+      val np = math.min(nprobes.getOrElse(qn(qi)._1, 1), model.nlist)
+      model.rankCentroids(qn(qi)._2).take(np).map { case (l, _) => (l, qi) }
+    }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }
+    val bq = spark.sparkContext.broadcast(qn)
+    val bp = spark.sparkContext.broadcast(probeMap)
+    val metric = model.metric
+    val partials = ivfData
+      .filter(col("list_no").isin(probeMap.keys.toSeq.sorted: _*))
+      .select(col("list_no").cast("int"), col("id").cast("long"), col("vec"))
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { it =>
+        val pm = bp.value
+        val qs = bq.value
+        val heaps = scala.collection.mutable.HashMap.empty[Int, TopK]
+        it.foreach { case (listNo, id, vec) =>
+          pm.get(listNo) match {
+            case Some(qis) =>
+              var i = 0
+              while (i < qis.length) {
+                val qi = qis(i)
+                heaps.getOrElseUpdate(qi, new TopK(k))
+                  .add(Kernels.distance(metric, qs(qi)._2, vec), id)
+                i += 1
+              }
+            case None =>
+          }
+        }
+        heaps.iterator.flatMap { case (qi, h) =>
+          h.sorted.iterator.map { case (d, id) => (qs(qi)._1, id, d) }
+        }
+      }.toDF("qid", "id", "dist")
+    FlatSearch.mergeTopK(partials, k)
+  }
+}

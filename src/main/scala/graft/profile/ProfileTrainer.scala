@@ -43,6 +43,27 @@ object ProfileTrainer {
     * @param maxTopk      k used for profiling (the map granularity is
     *                     maxTopk/4 points per query per stage)
     */
+  /** The staged-capture scan shared by profile training and the LAET
+    * baseline: per (query, power-of-2 stage) the sorted partial top-k
+    * distance list, computed in ONE pass over the probed lists.
+    * @return (qid LONG, stage INT, dists ARRAY<DOUBLE> ascending) */
+  def stagedTopK(ivfData: DataFrame, model: IVFModel, trainQueries: DataFrame,
+                 maxTopk: Int): DataFrame = {
+    val spark = ivfData.sparkSession
+    import spark.implicits._
+    val nlist = model.nlist
+    val levels = numLevels(nlist)
+    val maxRank = 1 << (levels - 1)
+    val q: Array[(Long, Array[Float])] = trainQueries
+      .select(col("qid").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val qVecs = q.map { case (qid, v) =>
+      (qid, if (model.metric == "ip") Kernels.l2Normalize(v) else v)
+    }
+    val ranks = qVecs.map { case (_, v) => model.rankCentroids(v) }
+    stagedTopKImpl(ivfData, model, qVecs, ranks, maxTopk, levels, maxRank)
+  }
+
   def train(ivfData: DataFrame, model: IVFModel, trainQueries: DataFrame,
             gt: DataFrame, maxTopk: Int, bs: Int = 250): Array[Trace] = {
     val spark = ivfData.sparkSession
@@ -65,6 +86,48 @@ object ProfileTrainer {
       ErrorProfile.boundaryDistances(r.map(_._2), r.map(_._1), model.interdisAt, nlist)
     }
 
+    val metric = model.metric
+    val k = maxTopk
+    val stageTopk = stagedTopKImpl(ivfData, model, qVecs, ranks, maxTopk,
+      levels, maxRank)
+
+    // (φ, U) point generation against ground truth
+    val gtByQid: Map[Long, Array[Float]] = gt
+      .select(col("qid").cast("long"), col("dist"), col("rank"))
+      .as[(Long, Double, Int)].collect()
+      .groupBy(_._1).map { case (qid, xs) =>
+        (qid, xs.sortBy(_._3).map(x => rawDist(metric, x._2)))
+      }
+    val qidToIdx: Map[Long, Int] = qVecs.map(_._1).zipWithIndex.toMap
+    val bGt = spark.sparkContext.broadcast(gtByQid)
+    val bDb = spark.sparkContext.broadcast(dBs)
+    val bQidIdx = spark.sparkContext.broadcast(qidToIdx)
+
+    val points: Array[(Int, Float, Float)] = stageTopk
+      .select(col("qid").cast("long"), col("stage"), col("dists"))
+      .as[(Long, Int, Array[Double])]
+      .flatMap { case (qid, stage, dists) =>
+        val gtd = bGt.value(qid)
+        val dB = bDb.value(bQidIdx.value(qid))
+        genPoints(metric, stage, dists, gtd, dB, k)
+      }.collect()
+
+    (0 until levels).map { j =>
+      val pts = points.filter(_._1 == j).map { case (_, phi, u) => (phi, u) }.toSeq
+      Trace.sortAndBatch(1 << j, pts, bs)
+    }.toArray
+  }
+
+  /** One scan: per-partition, per (query, first-probed-stage) bounded
+    * heaps; stage s top-k = window top-k over partials with j0 ≤ s. */
+  private def stagedTopKImpl(ivfData: DataFrame, model: IVFModel,
+                             qVecs: Array[(Long, Array[Float])],
+                             ranks: Array[Array[(Int, Float)]], maxTopk: Int,
+                             levels: Int, maxRank: Int): DataFrame = {
+    val spark = ivfData.sparkSession
+    import spark.implicits._
+    val k = maxTopk
+    val metric = model.metric
     // list_no → [(query index, first stage level j0 at which it's probed)]
     val byList: Map[Int, Array[(Int, Int)]] = ranks.zipWithIndex.flatMap {
       case (r, qi) =>
@@ -78,10 +141,7 @@ object ProfileTrainer {
 
     val bByList = spark.sparkContext.broadcast(byList)
     val bQ = spark.sparkContext.broadcast(qVecs)
-    val metric = model.metric
-    val k = maxTopk
 
-    // one scan: per-partition, per (query, first-probed-stage) bounded heaps
     val partials = ivfData
       .filter(col("list_no").isin(byList.keys.toSeq.sorted: _*))
       .select(col("list_no").cast("int"), col("id").cast("long"), col("vec"))
@@ -109,42 +169,15 @@ object ProfileTrainer {
       }
       .toDF("qid", "j0", "id", "dist")
 
-    // stage s top-k = top-k over partials with j0 <= s
     val stages = (0 until levels).toArray
     val exploded = partials.withColumn("stage",
       explode(filter(lit(stages), s => s >= col("j0"))))
     val w = Window.partitionBy(col("qid"), col("stage"))
       .orderBy(col("dist"), col("id"))
-    val stageTopk = exploded
+    exploded
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .groupBy(col("qid"), col("stage"))
       .agg(sort_array(collect_list(col("dist"))).as("dists"))
-
-    // (φ, U) point generation against ground truth
-    val gtByQid: Map[Long, Array[Float]] = gt
-      .select(col("qid").cast("long"), col("dist"), col("rank"))
-      .as[(Long, Double, Int)].collect()
-      .groupBy(_._1).map { case (qid, xs) =>
-        (qid, xs.sortBy(_._3).map(x => rawDist(metric, x._2)))
-      }
-    val qidToIdx: Map[Long, Int] = qVecs.map(_._1).zipWithIndex.toMap
-    val bGt = spark.sparkContext.broadcast(gtByQid)
-    val bDb = spark.sparkContext.broadcast(dBs)
-    val bQidIdx = spark.sparkContext.broadcast(qidToIdx)
-
-    val points: Array[(Int, Float, Float)] = stageTopk
-      .select(col("qid").cast("long"), col("stage"), col("dists"))
-      .as[(Long, Int, Array[Double])]
-      .flatMap { case (qid, stage, dists) =>
-        val gtd = bGt.value(qid)
-        val dB = bDb.value(bQidIdx.value(qid))
-        genPoints(metric, stage, dists, gtd, dB, k)
-      }.collect()
-
-    (0 until levels).map { j =>
-      val pts = points.filter(_._1 == j).map { case (_, phi, u) => (phi, u) }.toSeq
-      Trace.sortAndBatch(1 << j, pts, bs)
-    }.toArray
   }
 
   /** Back to the reference's raw distance space: our "ip" distances are

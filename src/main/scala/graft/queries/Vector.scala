@@ -278,6 +278,23 @@ object Vector {
        |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** O1, inner-product metric: top-k by dot product (dist = −dot,
+    * mirroring the CMax→CMin heap flip). */
+  def v11IpKnn(s: SparkSession, dir: String): DataFrame =
+    FlatSearch.knn(base(s, dir), qs(s, dir, "vec_id >= 40 AND vec_id < 48"),
+      k = 10, metric = "ip")
+      .orderBy(col("qid"), col("rank"))
+
+  val v11Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id >= 40 AND vec_id < 48),
+       |d AS (SELECT q.qid, b.vec_id AS id, -$dotSqlFrag AS dist
+       |      FROM q CROSS JOIN embeddings b)
+       |SELECT qid, id, dist, rank FROM (
+       |  SELECT qid, id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   /** Auncel's flagship operator end-to-end: train the error profile on
     * the collection, then run bounded-error adaptive search
     * (required recall 0.9). Output includes per-query nprobe_used —
@@ -305,6 +322,7 @@ object Vector {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_bounded_search" -> a01BoundedSearch _,
     "v08_ivfpq_refine" -> v08IvfpqRefine _,
+    "v11_ip_knn" -> v11IpKnn _,
     "v09_sq8_error" -> v09Sq8Error _,
     "v10_sharded_knn" -> v10ShardedKnn _,
     "v01_knn_flat" -> v01KnnFlat _,
@@ -317,6 +335,7 @@ object Vector {
 
   val oracles: Map[String, String] = Map(
     "v08_ivfpq_refine" -> v08Sql,
+    "v11_ip_knn" -> v11Sql,
     "v09_sq8_error" -> v09Sql,
     "v10_sharded_knn" -> v10Sql,
     "v01_knn_flat" -> v01Sql,

@@ -1,0 +1,36 @@
+package graft.tools_dev
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.index.IVFIndex
+
+/** Dev tool: dump physical plans for the scan-shape-critical paths —
+  * verifies PushedFilters / PartitionFilters / WholeStageCodegen reach
+  * where they must (run: sbt "runMain graft.tools_dev.ExplainAudit"). */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+
+    println("=== q01 filter+projection pushdown ===")
+    graft.queries.Relational.q01PricingSummary(spark, dir).explain("formatted")
+
+    println("=== IVF partitioned-table probe pruning ===")
+    import spark.implicits._
+    val b = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val model = IVFIndex.train(b, nlist = 16)
+    val tmp = java.nio.file.Files.createTempDirectory("audit").toString
+    IVFIndex.write(IVFIndex.assign(b, model), s"$tmp/ivf")
+    val ivf = spark.read.parquet(s"$tmp/ivf")
+    ivf.filter(col("list_no").isin(1, 3, 5))
+      .select(col("id"), col("vec")).explain("formatted")
+
+    println("=== q02 join strategy (dims broadcast, fact shuffle) ===")
+    graft.queries.Relational.q02RevenueByNation(spark, dir).explain("formatted")
+    spark.stop()
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.baselines.LAET
+import graft.index.{BinaryHash, IVFIndex}
+import graft.profile.Calibration
+import graft.search.FlatSearch
+
+class BaselinesSpec extends SparkSpec {
+
+  lazy val pool = clusteredVecs(3100, 24, nClusters = 32, seed = 81)
+  lazy val base = pool.take(2800)
+  lazy val baseDF = vecDF(base).cache()
+  lazy val model = IVFIndex.train(baseDF, nlist = 64, seed = 42L)
+  lazy val assigned = IVFIndex.assign(baseDF, model).cache()
+  lazy val trainQ = pool.slice(2800, 3000)
+  lazy val evalQ = pool.slice(3000, 3100)
+
+  def recallVsExact(res: org.apache.spark.sql.DataFrame,
+                    queries: Array[Array[Float]], k: Int): Double = {
+    import spark.implicits._
+    val got = res.select(col("qid"), col("id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    queries.zipWithIndex.map { case (q, qi) =>
+      val want = bruteForce(base, q, k).map(_._2).toSet
+      (got.getOrElse(qi.toLong, Set.empty) & want).size.toDouble / k
+    }.sum / queries.length
+  }
+
+  test("LAET learns per-query nprobe and hits decent mean recall below full scan") {
+    import spark.implicits._
+    val k = 10
+    val tq = vecDF(trainQ, "qid")
+    val gt = FlatSearch.knn(baseDF, tq, k)
+    val laet = LAET.train(assigned, model, tq, gt, k, targetRecall = 0.9)
+    val eq = vecDF(evalQ, "qid")
+    val (res, nprobes) = LAET.search(assigned, model, laet, eq, k)
+    val rec = recallVsExact(res, evalQ, k)
+    assert(rec > 0.75, s"LAET mean recall $rec")
+    val mean = nprobes.values.sum.toDouble / nprobes.size
+    assert(mean < model.nlist, s"mean nprobe $mean")
+    assert(nprobes.values.toSet.size > 1, "no per-query variation")
+  }
+
+  test("LSH hamming search + exact rerank recovers most true neighbors") {
+    val lsh = BinaryHash.train(d = 24, nbits = 63, seed = 7L)
+    val qDF = vecDF(evalQ.take(20), "qid")
+    val res = BinaryHash.search(baseDF, qDF, lsh, k = 10, kFactor = 10)
+    val rec = recallVsExact(res, evalQ.take(20), 10)
+    assert(rec > 0.5, s"LSH recall $rec")
+    // signatures are deterministic
+    val s1 = lsh.signature(base(0))
+    assert(s1 == BinaryHash.train(d = 24, nbits = 63, seed = 7L).signature(base(0)))
+  }
+
+  test("calibration table round-trips and matches the committed constants") {
+    assert(Calibration.reference.size == 12)
+    assert(Calibration.forFigure(8).multiplier == 26.5f)
+    val dir = java.nio.file.Files.createTempDirectory("calib").toString
+    Calibration.save(spark, s"$dir/c")
+    assert(Calibration.load(spark, s"$dir/c") == Calibration.reference)
+  }
+}
