@@ -20,21 +20,33 @@ object VectorFunctions {
 
   private def d(c: Column): Column = c.cast(DoubleType)
 
-  /** Squared L2 distance between two ARRAY<FLOAT> columns (double). */
+  /** Squared L2 distance between two ARRAY<FLOAT> columns (double) —
+    * native codegen expression (see
+    * [[org.apache.spark.sql.graft.L2SqrExpr]]); bit-identical to the
+    * higher-order formulation in [[l2SqrHof]] but compiles to a tight
+    * loop inside WholeStageCodegen. */
   def l2Sqr(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.l2Sqr(a, b)
+
+  /** Inner product of two ARRAY<FLOAT> columns (double) — codegen. */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.dot(a, b)
+
+  /** Reference formulation via Spark's built-in higher-order functions —
+    * slower (interpreted per element) but dependency-free; kept for
+    * cross-checking the codegen kernels. */
+  def l2SqrHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => { val diff = d(x) - d(y); diff * diff }),
       lit(0.0),
       (acc, x) => acc + x)
 
-  /** Inner product of two ARRAY<FLOAT> columns (double). */
-  def dot(a: Column, b: Column): Column =
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0),
       (acc, x) => acc + x)
 
   /** Squared L2 norm of an ARRAY<FLOAT> column (double). */
-  def normSqr(a: Column): Column =
-    aggregate(transform(a, x => d(x) * d(x)), lit(0.0), (acc, x) => acc + x)
+  def normSqr(a: Column): Column = dot(a, a)
 
   /** L2 norm (double). */
   def norm(a: Column): Column = sqrt(normSqr(a))

@@ -121,9 +121,13 @@ object IVFIndex {
   }
 
   /** Write the inverted-file table partitioned by list — probes become
-    * partition-pruned scans. */
+    * partition-pruned scans. The repartition co-locates each list into
+    * one task so each `list_no=` directory holds ONE file; without it,
+    * `partitionBy` fans every input task across every list
+    * (tasks × nlist tiny files — the classic small-files trap). */
   def write(assigned: DataFrame, path: String): Unit =
-    assigned.write.mode("overwrite").partitionBy("list_no").parquet(path)
+    assigned.repartition(col("list_no"))
+      .write.mode("overwrite").partitionBy("list_no").parquet(path)
 
   def saveModel(model: IVFModel, path: String, spark: SparkSession): Unit = {
     import spark.implicits._

@@ -1,0 +1,70 @@
+package graft.tools_dev
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.index.IVFIndex
+import graft.search.{FlatSearch, IVFSearch}
+
+/** Dev tool: the probe-pruning story at a more serious local scale —
+  * 200k × 64-d vectors in a list_no-partitioned parquet table; compare
+  * flat scan vs IVF probe (bytes read via partition pruning, time).
+  * run: sbt "runMain graft.tools_dev.ScaleDemo"
+  */
+object ScaleDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val n = 200000; val d = 64; val nlist = 256; val k = 10; val nq = 16
+    val dir = java.nio.file.Files.createTempDirectory("scale").toString
+    println(s"corpus: $n × $d, nlist=$nlist, out=$dir")
+
+    // distributed seeded generation — nothing driver-side
+    val nClusters = 256
+    val gen = udf { (id: Long) =>
+      val r = new scala.util.Random(id * 2654435761L + 42)
+      val c = new scala.util.Random((id % nClusters) * 7919 + 1)
+      Array.fill(d)((c.nextGaussian() + 0.15 * r.nextGaussian()).toFloat)
+    }
+    val baseDF = spark.range(n).toDF("id").withColumn("vec", gen(col("id"))).cache()
+    baseDF.count()
+
+    var t = System.nanoTime()
+    val model = IVFIndex.train(baseDF.sample(0.25, 42L), nlist)
+    println(f"kmeans train (50k sample): ${(System.nanoTime() - t) / 1e9}%.1fs")
+
+    t = System.nanoTime()
+    IVFIndex.write(IVFIndex.assign(baseDF, model), s"$dir/ivf")
+    println(f"assign+write partitioned: ${(System.nanoTime() - t) / 1e9}%.1fs")
+
+    // flat baseline reads unpartitioned parquet — same storage medium
+    baseDF.write.mode("overwrite").parquet(s"$dir/flat")
+    val flatTbl = spark.read.parquet(s"$dir/flat")
+    val ivf = spark.read.parquet(s"$dir/ivf")
+    val queries = baseDF.limit(nq).select(col("id").as("qid"), col("vec"))
+
+    t = System.nanoTime()
+    val flat = FlatSearch.knn(flatTbl, queries, k)
+    flat.count()
+    val tFlat = (System.nanoTime() - t) / 1e9
+
+    for (np <- Seq(8, 16, 32)) {
+      t = System.nanoTime()
+      val r = IVFSearch.search(ivf, model, queries, k, np)
+      r.count()
+      val tIvf = (System.nanoTime() - t) / 1e9
+      // recall vs flat
+      val exact = flat.select(col("qid"), col("id")).as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val got = r.select(col("qid"), col("id")).as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rec = exact.map { case (q, ids) =>
+        (got.getOrElse(q, Set.empty) & ids).size.toDouble / k }.sum / exact.size
+      println(f"nprobe=$np%3d: ${tIvf}%.2fs (flat ${tFlat}%.2fs, ${tFlat / tIvf}%.1fx) recall=$rec%.3f")
+    }
+    spark.stop()
+  }
+}

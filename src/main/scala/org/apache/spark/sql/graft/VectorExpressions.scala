@@ -1,0 +1,92 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions (with `doGenCode`) for the two hot
+  * distance kernels — the codegen'd fast path the reference implements
+  * as SIMD loops (`Auncel/utils_simd.cpp`). Unlike the
+  * `zip_with`/`aggregate` higher-order formulation (interpreted per
+  * element, allocating) these compile into a tight scalar loop inside
+  * WholeStageCodegen; the summation order (left-to-right, double) is
+  * identical, so results are bit-for-bit the same.
+  */
+abstract class VectorBinaryKernel extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+}
+
+/** Squared L2 distance over two ARRAY<FLOAT> columns. */
+case class L2SqrExpr(left: Expression, right: Expression) extends VectorBinaryKernel {
+  override def prettyName: String = "graft_l2sqr"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      s += d * d; i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val s = ctx.freshName("s"); val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |double $s = 0.0;
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $x.getFloat($i) - (double) $y.getFloat($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Inner product over two ARRAY<FLOAT> columns. */
+case class DotExpr(left: Expression, right: Expression) extends VectorBinaryKernel {
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val s = ctx.freshName("s"); val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      s"""
+         |double $s = 0.0;
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VectorExpressions {
+  def l2Sqr(a: Column, b: Column): Column =
+    ColumnBridge.column(L2SqrExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -39,6 +39,27 @@ class KernelsSpec extends SparkSpec {
     assert(h2.sorted.sameElements(Array((1.0, 2L), (5.0, 1L))))
   }
 
+  test("codegen expressions match the HOF formulation bitwise") {
+    import spark.implicits._
+    val vs = randVecs(200, 64, seed = 13)
+    val df = vs.zipWithIndex.map { case (v, i) => (i, v, vs((i + 7) % 200)) }
+      .toSeq.toDF("i", "a", "b")
+    val both = df.select(
+      VectorFunctions.l2Sqr(col("a"), col("b")).as("cg"),
+      VectorFunctions.l2SqrHof(col("a"), col("b")).as("hof"),
+      VectorFunctions.dot(col("a"), col("b")).as("cgd"),
+      VectorFunctions.dotHof(col("a"), col("b")).as("hofd"))
+      .as[(Double, Double, Double, Double)].collect()
+    both.foreach { case (cg, hof, cgd, hofd) =>
+      assert(cg == hof); assert(cgd == hofd)
+    }
+    // null passthrough
+    val withNull = Seq((Some(Seq(1f, 2f)), Option.empty[Seq[Float]]))
+      .toDF("a", "b")
+    assert(withNull.select(VectorFunctions.l2Sqr(col("a"), col("b")))
+      .collect()(0).isNullAt(0))
+  }
+
   test("l2Normalize produces unit vectors") {
     val v = randVecs(5, 32, seed = 9, normalize = false)
     v.map(Kernels.l2Normalize).foreach { u =>
