@@ -285,7 +285,26 @@ object Relational {
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** The Structured-Streaming tumbling-window aggregation executed in
+    * batch (same expression graft.streaming.EventStream uses under
+    * readStream): epoch-aligned 1-hour windows ≡ date_trunc. */
+  def s01StreamWindows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("ws"), col("event_type"))
+
+  val s01Sql: String =
+    """SELECT date_trunc('hour', ts) AS ws,
+      |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS we, event_type,
+      |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_stream_windows" -> s01StreamWindows _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_revenue_by_nation" -> q02RevenueByNation _,
     "q03_top_orders_per_cust" -> q03TopOrdersPerCust _,
@@ -303,6 +322,7 @@ object Relational {
     "q15_segment_stats" -> q15SegmentStats _)
 
   val oracles: Map[String, String] = Map(
+    "s01_stream_windows" -> s01Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_revenue_by_nation" -> q02Sql,
     "q03_top_orders_per_cust" -> q03Sql,

@@ -295,6 +295,27 @@ object Vector {
        |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** O16+O1 — delete-by-selector then search: remove label=3 rows via
+    * anti-join, k-NN over the survivors (deleted ids must never
+    * surface). */
+  def v12DeleteSearch(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Management
+    val b = base(s, dir)
+    val deleted = Management.removeIds(b, b.filter(col("label") === 3).select(col("id")))
+    FlatSearch.knn(deleted, qs(s, dir, "vec_id >= 48 AND vec_id < 56"), k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v12Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id >= 48 AND vec_id < 56),
+       |d AS (SELECT q.qid, b.vec_id AS id, $l2SqlFrag AS dist
+       |      FROM q CROSS JOIN embeddings b WHERE b.label <> 3)
+       |SELECT qid, id, dist, rank FROM (
+       |  SELECT qid, id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   /** Auncel's flagship operator end-to-end: train the error profile on
     * the collection, then run bounded-error adaptive search
     * (required recall 0.9). Output includes per-query nprobe_used —
@@ -323,6 +344,7 @@ object Vector {
     "a01_bounded_search" -> a01BoundedSearch _,
     "v08_ivfpq_refine" -> v08IvfpqRefine _,
     "v11_ip_knn" -> v11IpKnn _,
+    "v12_delete_search" -> v12DeleteSearch _,
     "v09_sq8_error" -> v09Sq8Error _,
     "v10_sharded_knn" -> v10ShardedKnn _,
     "v01_knn_flat" -> v01KnnFlat _,
@@ -336,6 +358,7 @@ object Vector {
   val oracles: Map[String, String] = Map(
     "v08_ivfpq_refine" -> v08Sql,
     "v11_ip_knn" -> v11Sql,
+    "v12_delete_search" -> v12Sql,
     "v09_sq8_error" -> v09Sql,
     "v10_sharded_knn" -> v10Sql,
     "v01_knn_flat" -> v01Sql,
