@@ -24,8 +24,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: JVM + codegen + parquet footer caches
+    // warmup: JVM + codegen + parquet footer caches, covering the three
+    // execution shapes (agg scan, window+mapPartitions vector search,
+    // string pipeline) so the first timed query isn't billed for JIT
+    val warmDir = "/root/testdata/sf0.001"
     SparkEntry.entry(spark).collect()
+    Seq("v01_knn_flat", "t06_rolling_fp", "q03_top_orders_per_cust").foreach { q =>
+      try SparkEntry.queries(q)(spark, warmDir).collect()
+      catch { case _: Throwable => }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{DotExpr, L2SqrExpr}
+
+/** SQL-surface registration of the codegen vector kernels so
+  * `spark.sql("SELECT graft_l2sqr(a, b) ...")` works.
+  *
+  * Two routes:
+  *  - config `spark.sql.extensions=graft.GraftExtensions` at session
+  *    build (the SparkSessionExtensions path);
+  *  - [[GraftFunctions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_l2sqr",
+      new ExpressionInfo(classOf[L2SqrExpr].getName, "graft_l2sqr"),
+      (es: Seq[Expression]) => L2SqrExpr(es(0), es(1))),
+    ("graft_dot",
+      new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
+      (es: Seq[Expression]) => DotExpr(es(0), es(1))))
+
+  /** Register on an existing session (temp-function registry). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

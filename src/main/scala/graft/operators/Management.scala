@@ -76,6 +76,15 @@ object Management {
   def slidingWindow(df: DataFrame, currentBatch: Long, w: Int): DataFrame =
     df.filter(col("batch_id") > currentBatch - w)
 
+  /** O21 — replicated search (`IndexReplicas.h:21-74`): round-robin the
+    * query batch over `nReplicas` identical copies of the collection —
+    * a throughput scheduling concern; here the router that assigns each
+    * query its replica, so each replica's scan handles 1/n of the batch. */
+  def routeReplicas(queries: DataFrame, nReplicas: Int): Seq[DataFrame] =
+    (0 until nReplicas).map { r =>
+      queries.filter(pmod(col("qid"), lit(nReplicas)) === r)
+    }
+
   /** O13 — recall@k of results vs a ground-truth table (both
     * (qid, id, rank ≤ k)); `Auncel/profile.cpp:246-280`. */
   def recallAtK(results: DataFrame, gt: DataFrame, k: Int): DataFrame = {

@@ -78,33 +78,76 @@ final case class PQModel(m: Int, nbits: Int, codebooks: Array[Array[Array[Float]
 
 object ProductQuantizer {
 
-  /** Train per-subspace codebooks with MLlib KMeans (25 iter, mirroring
-    * `Clustering.h:25`; the reference trains all subspaces from one
-    * sample pass — we run M small distributed fits). */
+  /** Train per-subspace codebooks on a driver-side sample (exactly the
+    * reference's regime: PQ codebooks come from an in-memory training
+    * set, `ProductQuantizer::train` — 2^nbits ≤ 256 centers per
+    * subspace needs thousands of points, not the collection). Encoding
+    * and search remain fully distributed. Seeded Lloyd, 25 iterations
+    * (`Clustering.h:25`). */
   def train(df: DataFrame, m: Int, nbits: Int = 8, seed: Long = 42L,
-            vecCol: String = "vec"): PQModel = {
+            vecCol: String = "vec", maxSample: Int = 65536): PQModel = {
     import df.sparkSession.implicits._
-    val d = df.select(size(col(vecCol))).as[Int].head()
+    val total = df.count()
+    val sample =
+      (if (total <= maxSample) df.select(col(vecCol))
+       else df.select(col(vecCol)).sample(maxSample.toDouble / total, seed))
+        .as[Array[Float]].collect()
+    val d = sample.head.length
     require(d % m == 0, s"dim $d not divisible by M=$m")
     val dsub = d / m
     val ksub = 1 << nbits
-    val n = df.count()
-    val k = math.min(ksub, n).toInt
-    val sliced = df.select(col(vecCol)).cache()
-    val codebooks = (0 until m).map { sub =>
-      val toVec = udf { v: Seq[Float] =>
-        Vectors.dense(v.slice(sub * dsub, (sub + 1) * dsub).map(_.toDouble).toArray)
-      }
-      val feat = sliced.select(toVec(col(vecCol)).as("features"))
-      val km = new KMeans().setK(k).setSeed(seed + sub).setMaxIter(25)
-        .setFeaturesCol("features")
-      val centers = km.fit(feat).clusterCenters
-        .map(_.toArray.map(_.toFloat))
-      // pad (dedup'd centers) to ksub by repeating the last
+    val k = math.min(ksub, sample.length)
+    val codebooks = Array.tabulate(m) { sub =>
+      val pts = sample.map(_.slice(sub * dsub, (sub + 1) * dsub))
+      val centers = localKMeans(pts, k, seed + sub, iters = 25)
       Array.tabulate(ksub)(c => centers(math.min(c, centers.length - 1)))
-    }.toArray
-    sliced.unpersist()
+    }
     PQModel(m, nbits, codebooks)
+  }
+
+  /** Seeded in-memory Lloyd (deterministic): random-point init, empty
+    * clusters keep their previous center. */
+  private[quantize] def localKMeans(pts: Array[Array[Float]], k: Int,
+                                    seed: Long, iters: Int): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    val d = pts.head.length
+    val centers = rnd.shuffle(pts.indices.toVector).take(k)
+      .map(i => pts(i).clone()).toArray
+    val assign = new Array[Int](pts.length)
+    var it = 0
+    while (it < iters) {
+      var p = 0
+      while (p < pts.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val dd = Kernels.l2Sqr(pts(p), centers(c))
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        assign(p) = best
+        p += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      p = 0
+      while (p < pts.length) {
+        val c = assign(p); counts(c) += 1
+        var j = 0
+        while (j < d) { sums(c)(j) += pts(p)(j); j += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < d) { centers(c)(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
   }
 
   /** Add a BinaryType `code` column. */

@@ -113,9 +113,7 @@ object Vector {
     * so the brute-force SQL oracle applies: proves the IVF partition/
     * probe/merge machinery loses nothing. */
   def v05IvfExact(s: SparkSession, dir: String): DataFrame = {
-    val b = base(s, dir)
-    val model = IVFIndex.train(b, nlist = 16, metric = "l2", seed = 42L)
-    val assigned = IVFIndex.assign(b, model)
+    val (model, assigned) = graft.index.IndexCache.ivf(dir, base(s, dir), nlist = 16)
     IVFSearch.search(assigned, model, qs(s, dir, "vec_id >= 16 AND vec_id < 24"),
       k = 10, nprobe = 16)
       .orderBy(col("qid"), col("rank"))
@@ -135,9 +133,7 @@ object Vector {
     * result depends on the trained partitioning); recall vs exact is
     * asserted in IVFSearchSpec instead. */
   def v06IvfProbe(s: SparkSession, dir: String): DataFrame = {
-    val b = base(s, dir)
-    val model = IVFIndex.train(b, nlist = 16, metric = "l2", seed = 42L)
-    val assigned = IVFIndex.assign(b, model)
+    val (model, assigned) = graft.index.IndexCache.ivf(dir, base(s, dir), nlist = 16)
     IVFSearch.search(assigned, model, qs(s, dir, "vec_id < 8"), k = 10, nprobe = 4)
       .orderBy(col("qid"), col("rank"))
   }
@@ -200,8 +196,7 @@ object Vector {
   def v08IvfpqRefine(s: SparkSession, dir: String): DataFrame = {
     import graft.index.IVFPQ
     val b = base(s, dir)
-    val model = IVFIndex.train(b, nlist = 16, metric = "l2", seed = 42L)
-    val assigned = IVFIndex.assign(b, model)
+    val (model, assigned) = graft.index.IndexCache.ivf(dir, b, nlist = 16)
     val pq = IVFPQ.trainResidualPQ(assigned, model, m = 8, nbits = 4, seed = 42L) // small codebooks: refine restores exactness; training cost stays low
     val enc = IVFPQ.encode(assigned, model, pq)
     IVFPQ.searchRefine(enc.drop("vec"), b, model, pq,
@@ -325,8 +320,7 @@ object Vector {
     import graft.profile.ProfileTrainer
     import graft.search.{BoundedSearch, FlatSearch}
     val b = base(s, dir)
-    val model = IVFIndex.train(b, nlist = 16, metric = "l2", seed = 42L)
-    val assigned = IVFIndex.assign(b, model).cache()
+    val (model, assigned) = graft.index.IndexCache.ivf(dir, b, nlist = 16)
     val trainQ = qs(s, dir, "vec_id >= 100 AND vec_id < 200")
     val gt = FlatSearch.knn(b, trainQ, k = 10)
     val traces = ProfileTrainer.train(assigned, model, trainQ, gt, maxTopk = 10, bs = 50)

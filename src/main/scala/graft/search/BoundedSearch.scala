@@ -91,10 +91,13 @@ object BoundedSearch {
 
         val newPartials = scanLists(ivfData, model.metric, probeMap,
           qVecs.map(v => (v._1, v._2)), k)
-        state = FlatSearch
+        val merged = FlatSearch
           .mergeTopK(state.unionByName(newPartials), k)
           .select(col("qid"), col("id"), col("dist"))
-          .localCheckpoint(eager = true) // truncate the growing lineage
+        // truncate the growing lineage — only needed once rounds stack up
+        // (each checkpoint is a full materialization, pure overhead for
+        // the 2-3-round small-nlist case)
+        state = if (j >= 2) merged.localCheckpoint(eager = true) else merged
 
         // decision: per-query sorted top-k distances
         val topkD: Map[Long, Array[Double]] = state

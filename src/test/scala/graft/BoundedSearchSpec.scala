@@ -95,6 +95,40 @@ class BoundedSearchSpec extends SparkSpec {
     assert(lo <= hi, s"probes(0.3)=$lo > probes(0.9)=$hi")
   }
 
+  test("bounded search under the inner-product metric (angle-space profile)") {
+    import spark.implicits._
+    import graft.functions.Kernels
+    // normalized vectors: IP ranking ≡ cosine; profile runs in arccos space
+    val ipBase = base.map(Kernels.l2Normalize)
+    val ipDF = vecDF(ipBase)
+    val ipModel = IVFIndex.train(ipDF, nlist, metric = "ip", seed = 42L)
+    val ipAssigned = IVFIndex.assign(ipDF, ipModel).cache()
+    val ipTrainQ = trainQ.map(Kernels.l2Normalize)
+    val ipEvalQ = evalQ.take(30).map(Kernels.l2Normalize)
+    val tq = vecDF(ipTrainQ, "qid")
+    val gt = FlatSearch.knn(ipDF, tq, k, metric = "ip")
+    val ipTraces = ProfileTrainer.train(ipAssigned, ipModel, tq, gt, maxTopk = k, bs = 100)
+    assert(ipTraces.forall(_.phis.nonEmpty), "IP traces empty")
+
+    val require = 0.7f
+    val qdf = ipEvalQ.zipWithIndex.map { case (v, i) => (i.toLong, v, require) }
+      .toSeq.toDF("qid", "vec", "required_recall")
+    val res = BoundedSearch.search(ipAssigned, ipModel, ipTraces, qdf, k,
+      multiplier = 8.0f, stdM = 1.5f)
+    val got = res.results.select(col("qid"), col("dist"))
+      .as[(Long, Double)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    // distance-threshold recall in IP space: dot ≥ GT k-th dot × 0.9995
+    // (`IndexIVF.cpp:565-567`)
+    val rec = ipEvalQ.zipWithIndex.map { case (q, i) =>
+      val kthDot = -bruteForce(ipBase, q, k, metric = "ip").last._1
+      got.getOrElse(i.toLong, Array.empty).count(d => -d >= kthDot * 0.9995)
+        .toDouble / k
+    }
+    assert(rec.min >= require, s"IP worst-case recall ${rec.min} < $require")
+    assert(res.stats.map(_.nprobeUsed).max <= nlist)
+  }
+
   test("latency-bounded search respects the probe budget") {
     import spark.implicits._
     val qdf = evalQ.take(10).zipWithIndex

@@ -60,6 +60,21 @@ class KernelsSpec extends SparkSpec {
       .collect()(0).isNullAt(0))
   }
 
+  test("SQL surface: graft_l2sqr/graft_dot registered functions") {
+    import spark.implicits._
+    graft.GraftFunctions.register(spark)
+    val vs = randVecs(10, 8, seed = 17)
+    vs.zipWithIndex.map { case (v, i) => (i, v, vs(0)) }.toSeq
+      .toDF("i", "a", "b").createOrReplaceTempView("pairs")
+    val got = spark.sql(
+      "SELECT graft_l2sqr(a, b), graft_dot(a, b) FROM pairs ORDER BY i")
+      .as[(Double, Double)].collect()
+    vs.zipWithIndex.foreach { case (v, i) =>
+      assert(got(i)._1 == Kernels.l2Sqr(v, vs(0)))
+      assert(got(i)._2 == Kernels.dot(v, vs(0)))
+    }
+  }
+
   test("l2Normalize produces unit vectors") {
     val v = randVecs(5, 32, seed = 9, normalize = false)
     v.map(Kernels.l2Normalize).foreach { u =>
