@@ -79,4 +79,33 @@ object VecFiles {
   /** One-time conversion job: fvecs → Parquet collection. */
   def convertToParquet(spark: SparkSession, src: String, dest: String): Unit =
     fvecsToDF(spark, src).write.mode("overwrite").parquet(dest)
+
+  /** Distributed fvecs read — the 100 TB path. fvecs rows are
+    * fixed-length once d is known (`4 + 4d` bytes), so
+    * `binaryRecords` splits the file across executors; ids are the
+    * global record positions. Dimension is read from the first record. */
+  def fvecsToDFDistributed(spark: SparkSession, path: String,
+                           dim: Int = -1): DataFrame = {
+    import spark.implicits._
+    val d =
+      if (dim > 0) dim
+      else {
+        val in = new DataInputStream(java.nio.file.Files.newInputStream(Paths.get(path)))
+        try java.lang.Integer.reverseBytes(in.readInt())
+        finally in.close()
+      }
+    val recLen = 4 + 4 * d
+    spark.sparkContext.binaryRecords(path, recLen)
+      .zipWithIndex()
+      .map { case (bytes, idx) =>
+        val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val dd = buf.getInt()
+        require(dd == d, s"fvecs record $idx has dim $dd, expected $d")
+        val v = new Array[Float](d)
+        var i = 0
+        while (i < d) { v(i) = buf.getFloat(); i += 1 }
+        (idx, v)
+      }
+      .toDF("id", "vec")
+  }
 }

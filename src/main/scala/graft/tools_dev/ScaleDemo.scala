@@ -65,6 +65,33 @@ object ScaleDemo {
         (got.getOrElse(q, Set.empty) & ids).size.toDouble / k }.sum / exact.size
       println(f"nprobe=$np%3d: ${tIvf}%.2fs (flat ${tFlat}%.2fs, ${tFlat / tIvf}%.1fx) recall=$rec%.3f")
     }
+
+    // flagship at scale: error-bounded adaptive search over the
+    // partitioned table (profile trained on 200 held-out queries)
+    import graft.profile.ProfileTrainer
+    import graft.search.BoundedSearch
+    val trainQ = baseDF.orderBy(col("id").desc).limit(200)
+      .select(col("id").as("qid"), col("vec"))
+    t = System.nanoTime()
+    val gt = FlatSearch.knn(flatTbl, trainQ, k)
+    val traces = ProfileTrainer.train(ivf, model, trainQ, gt, k)
+    println(f"profile training (200 queries): ${(System.nanoTime() - t) / 1e9}%.1fs")
+    val evalQ = queries.withColumn("required_recall", lit(0.9f))
+    t = System.nanoTime()
+    val res = BoundedSearch.search(ivf, model, traces, evalQ, k,
+      multiplier = 4.0f, stdM = 1.0f)
+    val cnt = res.results.count()
+    val tB = (System.nanoTime() - t) / 1e9
+    val probes = res.stats.map(_.nprobeUsed)
+    val exact = flat.select(col("qid"), col("id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = res.results.select(col("qid"), col("id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rec = exact.map { case (q, ids) =>
+      (got.getOrElse(q, Set.empty) & ids).size.toDouble / k }.toSeq
+    println(f"bounded search (req 0.9, $nq queries): ${tB}%.2fs, " +
+      f"mean nprobe ${probes.sum.toDouble / probes.size}%.1f/$nlist, " +
+      f"recall mean ${rec.sum / rec.size}%.3f min ${rec.min}%.3f")
     spark.stop()
   }
 }
