@@ -285,6 +285,78 @@ object Relational {
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** CUBE over status × priority. */
+  def q16Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val q16Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** LEFT OUTER join with null-side aggregation: customers with their
+    * order counts, including customers with none. */
+  def q17OuterJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy(col("c_custkey"))
+
+  val q17Sql: String =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** Conditional pivot: one column per event type via CASE aggregation
+    * (engine-portable pivot). */
+  def q18Pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val aggs = types.map { ty =>
+      sum(when(col("event_type") === ty, 1).otherwise(0)).as(s"n_$ty")
+    }
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("user_id"))
+  }
+
+  val q18Sql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cols = types.map(ty =>
+      s"SUM(CASE WHEN event_type = '$ty' THEN 1 ELSE 0 END) AS n_$ty").mkString(",\n  ")
+    s"""SELECT user_id, $cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** Correlated-style query: customers above their nation's average
+    * balance (expressed as a window, identical semantics). */
+  def q19AboveNationAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+    t(s, dir, "customer")
+      .withColumn("nation_cnt", count(lit(1)).over(w))
+      .withColumn("nation_avg",
+        (sum(dec(col("c_acctbal"))).over(w).cast("double") / col("nation_cnt")))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        col("nation_avg"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q19Sql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal, nation_avg FROM (
+      |  SELECT c_custkey, c_nationkey, c_acctbal,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+      |      / COUNT(*) OVER (PARTITION BY c_nationkey) AS nation_avg
+      |  FROM customer)
+      |WHERE c_acctbal > nation_avg ORDER BY c_custkey""".stripMargin
+
   /** The Structured-Streaming tumbling-window aggregation executed in
     * batch (same expression graft.streaming.EventStream uses under
     * readStream): epoch-aligned 1-hour windows ≡ date_trunc. */
@@ -305,6 +377,10 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_windows" -> s01StreamWindows _,
+    "q16_cube" -> q16Cube _,
+    "q17_outer_join" -> q17OuterJoin _,
+    "q18_pivot" -> q18Pivot _,
+    "q19_above_nation_avg" -> q19AboveNationAvg _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_revenue_by_nation" -> q02RevenueByNation _,
     "q03_top_orders_per_cust" -> q03TopOrdersPerCust _,
@@ -323,6 +399,10 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "s01_stream_windows" -> s01Sql,
+    "q16_cube" -> q16Sql,
+    "q17_outer_join" -> q17Sql,
+    "q18_pivot" -> q18Sql,
+    "q19_above_nation_avg" -> q19Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_revenue_by_nation" -> q02Sql,
     "q03_top_orders_per_cust" -> q03Sql,

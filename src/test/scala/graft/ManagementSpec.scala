@@ -62,6 +62,16 @@ class ManagementSpec extends SparkSpec {
     assert(kept.select("batch_id").distinct().as[Long].collect().toSet == Set(7L, 8L, 9L))
   }
 
+  test("routeReplicas round-robins the query batch, losslessly") {
+    import spark.implicits._
+    val qdf = vecDF(base.take(10), "qid")
+    val routes = Management.routeReplicas(qdf, 3)
+    assert(routes.map(_.count()).sum == 10)
+    val all = routes.map(_.select("qid").as[Long].collect().toSet)
+    assert(all.reduce(_ ++ _) == (0L until 10L).toSet)
+    assert(all.forall(s => all.count(_ == s) == 1)) // disjoint
+  }
+
   test("recallAtK and distanceRecall metrics") {
     import spark.implicits._
     val res = FlatSearch.knn(df, vecDF(base.take(3), "qid"), k = 10)

@@ -115,6 +115,49 @@ class OpsSpec extends SparkSpec {
     assert(sess(1) == EventStream.Session(2L, 1, 5.0))
   }
 
+  test("salted aggregation equals direct aggregation on a skewed key") {
+    import spark.implicits._
+    import graft.operators.Skew
+    // 90% of rows share one key — the classic hot-key shape
+    val rows = (0 until 20000).map { i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "HOT", (i % 100) / 100.0 * 3)
+    }
+    val df = rows.toDF("k", "v").repartition(16)
+    val direct = df.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("total"))
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    val sc = Skew.saltedCount(df, col("k"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val ss = Skew.saltedSumDecimal(df, col("k"), col("v"))
+      .as[(String, Double)].collect().sortBy(_._1)
+    assert(sc.sameElements(direct.map(r => (r._1, r._2))))
+    assert(ss.sameElements(direct.map(r => (r._1, r._3))))
+  }
+
+  test("streaming processes incremental batches consistently") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("increm").toString
+    def writeBatch(ids: Range): Unit =
+      ids.map(i => (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:00:00"), i % 5))
+        .toDF("event_id", "ts", "k")
+        .write.mode("append").parquet(s"$dir/in")
+    writeBatch(0 until 500)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema).parquet(s"$dir/in")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("increm").start()
+    q.processAllAvailable()
+    val n1 = spark.sql("SELECT sum(n) FROM increm").head().getLong(0)
+    assert(n1 == 500)
+    writeBatch(500 until 800) // second batch arrives
+    q.processAllAvailable()
+    val n2 = spark.sql("SELECT sum(n) FROM increm").head().getLong(0)
+    assert(n2 == 800, s"incremental total $n2")
+    q.stop()
+  }
+
   test("autotune sweep: monotone recall, pareto front, bounded-case select") {
     val base = clusteredVecs(1500, 16, nClusters = 16, seed = 71)
     val df = vecDF(base).cache()
