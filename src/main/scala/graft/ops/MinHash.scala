@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MinHash with a proper Jaccard estimator: `numHashes` independent
+  * salted hash functions over the shingle set; the estimate for a pair
+  * is the fraction of matching signature components. (The 4-hash
+  * variant in queries/Documents is the LSH-banding flavor; this one is
+  * for measuring similarity, e.g. dedup thresholds.)
+  *
+  * Shape: shingles explode → `numHashes` min-aggregations in ONE
+  * groupBy pass → signatures as an array column; pair estimation is a
+  * zip_with equality count — no all-pairs shingle join.
+  */
+object MinHash {
+
+  private val shingleU = udf { text: String =>
+    val ws = text.split(" ", -1)
+    if (ws.length < 3) Array.empty[String]
+    else Array.tabulate(ws.length - 2)(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
+  }
+
+  /** (doc_id, sig ARRAY<STRING>[numHashes]) — min of salted md5 per
+    * hash function. */
+  def signatures(docs: DataFrame, numHashes: Int = 32,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol), explode(shingleU(col(textCol))).as("s"))
+    val mins = (0 until numHashes).map { h =>
+      min(md5(concat(lit(s"$h|"), col("s")))).as(s"mh$h")
+    }
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(h => col(s"mh$h")): _*).as("sig"))
+  }
+
+  /** Estimated Jaccard for candidate pairs (a, b) given signatures. */
+  def estimate(pairs: DataFrame, sigs: DataFrame): DataFrame = {
+    val sa = sigs.select(col("doc_id").as("a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("b"), col("sig").as("sig_b"))
+    pairs.join(sa, Seq("a")).join(sb, Seq("b"))
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x)
+          .cast("double") / size(col("sig_a")))
+      .select(col("a"), col("b"), col("est_jaccard"))
+  }
+}

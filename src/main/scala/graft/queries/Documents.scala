@@ -139,6 +139,36 @@ object Documents {
        |JOIN sizes sb ON inter.b = sb.doc_id
        |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin
 
+  /** MinHash Jaccard estimation over the LSH candidate pairs (the full
+    * dedup pipeline: shingle → sign → band → candidates → estimate). */
+  def d05MinhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d03LshCandidates(s, dir)
+    val sigs = graft.ops.MinHash.signatures(docs(s, dir), numHashes = 16)
+    graft.ops.MinHash.estimate(pairs, sigs)
+      .orderBy(col("a"), col("b"))
+  }
+
+  val d05Sql: String = {
+    val minCols = (0 until 16).map(h => s"MIN(md5('$h|' || s)) AS m$h").mkString(",\n  ")
+    val eqSum = (0 until 16).map(h => s"CASE WHEN x.m$h = y.m$h THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $shingleSqlCte,
+       |sig AS (SELECT doc_id, MIN(md5('0|' || s)) AS mh0, MIN(md5('1|' || s)) AS mh1,
+       |        MIN(md5('2|' || s)) AS mh2, MIN(md5('3|' || s)) AS mh3 FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band_idx, substring(mh0, 1, 4) AS band_key FROM sig UNION ALL
+       |  SELECT doc_id, 1, substring(mh1, 1, 4) FROM sig UNION ALL
+       |  SELECT doc_id, 2, substring(mh2, 1, 4) FROM sig UNION ALL
+       |  SELECT doc_id, 3, substring(mh3, 1, 4) FROM sig),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       |  WHERE x.doc_id < y.doc_id),
+       |sig16 AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id)
+       |SELECT a, b, CAST($eqSum AS DOUBLE) / 16 AS est_jaccard
+       |FROM cand JOIN sig16 x ON cand.a = x.doc_id JOIN sig16 y ON cand.b = y.doc_id
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** Per-doc token statistics. */
   def t01TextStats(s: SparkSession, dir: String): DataFrame = {
     val ws = split(col("text"), " ")
@@ -315,6 +345,7 @@ object Documents {
     "d02_minhash_sig" -> d02MinhashSig _,
     "d03_lsh_candidates" -> d03LshCandidates _,
     "d04_jaccard_top" -> d04JaccardTop _,
+    "d05_minhash_estimate" -> d05MinhashEstimate _,
     "t01_text_stats" -> t01TextStats _,
     "t02_quality_score" -> t02QualityScore _,
     "t03_token_count" -> t03TokenCount _,
@@ -329,6 +360,7 @@ object Documents {
     "d02_minhash_sig" -> d02Sql,
     "d03_lsh_candidates" -> d03Sql,
     "d04_jaccard_top" -> d04Sql,
+    "d05_minhash_estimate" -> d05Sql,
     "t01_text_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Kernels
+import graft.index.BinaryHash
+import graft.ops.{EmbeddingDedup, MinHash}
+
+class DedupSpec extends SparkSpec {
+
+  test("MinHash estimate tracks exact Jaccard") {
+    import spark.implicits._
+    val words = (1 to 60).map(i => s"w$i")
+    def doc(drop: Int) =
+      words.zipWithIndex.map { case (w, i) => if (i % 60 < drop) s"x$i" else w }
+        .mkString(" ")
+    // doc1 vs doc0: small edit; doc2: half replaced; doc3: unrelated
+    val docs = Seq((0L, doc(0)), (1L, doc(3)), (2L, doc(30)),
+      (3L, (1 to 60).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val sigs = MinHash.signatures(docs, numHashes = 64).cache()
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val est = MinHash.estimate(pairs, sigs)
+      .as[(Long, Long, Double)].collect().map(r => ((r._1, r._2), r._3)).toMap
+
+    def exactJaccard(x: String, y: String): Double = {
+      def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val sa = sh(x); val sb = sh(y)
+      (sa & sb).size.toDouble / (sa | sb).size
+    }
+    val texts = docs.as[(Long, String)].collect().toMap
+    Seq((0L, 1L), (0L, 2L), (0L, 3L)).foreach { case (a, b) =>
+      val ex = exactJaccard(texts(a), texts(b))
+      assert(math.abs(est((a, b)) - ex) < 0.15,
+        s"pair ($a,$b): est ${est((a, b))} vs exact $ex")
+    }
+    // ordering preserved: near-dup > half > unrelated
+    assert(est((0L, 1L)) > est((0L, 2L)))
+    assert(est((0L, 2L)) > est((0L, 3L)))
+  }
+
+  test("LSH-bucketed near-dup finds planted duplicates without all-pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val originals = randVecs(500, 32, seed = 101)
+    // plant 20 near-duplicates: originals 0..19 + tiny noise, ids 500..519
+    val dups = (0 until 20).map { i =>
+      Array.tabulate(32)(j => originals(i)(j) + 0.01f * rnd.nextGaussian().toFloat)
+    }
+    val all = originals ++ dups
+    val df = vecDF(all)
+    val model = BinaryHash.train(d = 32, nbits = 63, seed = 11L)
+
+    val got = EmbeddingDedup.lshPairs(df, model, threshold = 0.99)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    val want = EmbeddingDedup.exactPairs(df, threshold = 0.99)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    assert(want.size >= 20, s"expected ≥20 planted pairs, exact found ${want.size}")
+    // banded candidates must recover nearly all true near-dups
+    val recall = (got & want).size.toDouble / want.size
+    assert(recall >= 0.9, s"LSH near-dup recall $recall (got ${got.size}, want ${want.size})")
+    // and no false positives survive the exact-cosine filter
+    assert((got -- want).isEmpty)
+  }
+}
