@@ -91,13 +91,17 @@ object BoundedSearch {
 
         val newPartials = scanLists(ivfData, model.metric, probeMap,
           qVecs.map(v => (v._1, v._2)), k)
+        val prev = state
         val merged = FlatSearch
           .mergeTopK(state.unionByName(newPartials), k)
           .select(col("qid"), col("id"), col("dist"))
-        // truncate the growing lineage — only needed once rounds stack up
-        // (each checkpoint is a full materialization, pure overhead for
-        // the 2-3-round small-nlist case)
-        state = if (j >= 2) merged.localCheckpoint(eager = true) else merged
+        // cache: the decision collect below materializes this round once;
+        // without it the next round's merge recomputes every prior scan.
+        // localCheckpoint additionally truncates lineage once rounds
+        // stack up (a full materialization — skip for shallow schedules).
+        state = if (j >= 3) merged.localCheckpoint(eager = true)
+                else merged.cache()
+        prev.unpersist()
 
         // decision: per-query sorted top-k distances
         val topkD: Map[Long, Array[Double]] = state
