@@ -334,8 +334,22 @@ object Vector {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** O7 — latency-bounded search: per-query probe budgets derived from
+    * a calibrated per-list cost (rows-only; deterministic proxy for the
+    * reference's wall-clock cutoff). */
+  def a02LatencySearch(s: SparkSession, dir: String): DataFrame = {
+    import graft.search.BoundedSearch
+    val (model, assigned) = graft.index.IndexCache.ivf(dir, base(s, dir), nlist = 16)
+    val q = qs(s, dir, "vec_id < 16")
+      .withColumn("budget_ms", (col("qid") % 4 + 1) * lit(2.0)) // 2..8 ms
+    val res = BoundedSearch.timeSearch(assigned, model, q, k = 10,
+      costPerProbeMs = 1.0)
+    res.results.orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_bounded_search" -> a01BoundedSearch _,
+    "a02_latency_search" -> a02LatencySearch _,
     "v08_ivfpq_refine" -> v08IvfpqRefine _,
     "v11_ip_knn" -> v11IpKnn _,
     "v12_delete_search" -> v12DeleteSearch _,

@@ -129,6 +129,22 @@ class BoundedSearchSpec extends SparkSpec {
     assert(res.stats.map(_.nprobeUsed).max <= nlist)
   }
 
+  test("traces persist and reload as a parquet model table") {
+    import graft.profile.ErrorProfile
+    val dir = java.nio.file.Files.createTempDirectory("traces").toString
+    ErrorProfile.saveTraces(traces, s"$dir/t", spark)
+    val back = ErrorProfile.loadTraces(s"$dir/t", spark)
+    assert(back.length == traces.length)
+    traces.zip(back).foreach { case (a, b) =>
+      assert(a.nprobe == b.nprobe)
+      assert(a.phis.sameElements(b.phis))
+      assert(a.us.sameElements(b.us))
+      assert(a.stds.sameElements(b.stds))
+      // lookups identical through the round-trip
+      assert(a.search(a.phis.last / 2, 1.0f) == b.search(a.phis.last / 2, 1.0f))
+    }
+  }
+
   test("latency-bounded search respects the probe budget") {
     import spark.implicits._
     val qdf = evalQ.take(10).zipWithIndex
