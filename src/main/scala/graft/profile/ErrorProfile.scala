@@ -166,35 +166,6 @@ object ErrorProfile {
     }
   }
 
-  /** Persist/load traces as a small Parquet model table
-    * (SURVEY §1.1: the error-profile map is a few KB per nprobe level —
-    * a model artifact like centroids/codebooks, not data). */
-  def saveTraces(traces: Array[Trace], path: String,
-                 spark: org.apache.spark.sql.SparkSession): Unit = {
-    import spark.implicits._
-    traces.zipWithIndex.flatMap { case (t, level) =>
-      t.phis.indices.map { i => (level, t.nprobe, i, t.phis(i), t.us(i), t.stds(i)) }
-    }.toSeq.toDF("level", "nprobe", "bucket", "phi", "u", "std")
-      .coalesce(1).write.mode("overwrite").parquet(path)
-  }
-
-  def loadTraces(path: String,
-                 spark: org.apache.spark.sql.SparkSession): Array[Trace] = {
-    import spark.implicits._
-    spark.read.parquet(path)
-      .select(col("level"), col("nprobe"), col("bucket"), col("phi"),
-        col("u"), col("std"))
-      .as[(Int, Int, Int, Float, Float, Float)].collect()
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (_, rows) =>
-        val sorted = rows.sortBy(_._3)
-        Trace(sorted.head._2, sorted.map(_._4).toArray, sorted.map(_._5).toArray,
-          sorted.map(_._6).toArray)
-      }.toArray
-  }
-
-  private def col(n: String) = org.apache.spark.sql.functions.col(n)
-
   /** Predicted number of true top-`queryK` hits in the current top-k
     * (`error_pro::cur_num`, `IVF_pro.cpp:258-291`). `sortedDists` are
     * the current top-k distances ascending (angles for "ip"); `ind` is

@@ -180,6 +180,43 @@ object ProfileTrainer {
       .agg(sort_array(collect_list(col("dist"))).as("dists"))
   }
 
+  /** Persist traces as a small Parquet model table — a model artifact
+    * like centroids/codebooks (SURVEY §1.1). Rows are keyed by `level`
+    * (nprobe = 2^level); an empty level writes a sentinel row
+    * (bucket = -1) so the round-trip preserves the level→nprobe
+    * alignment that BoundedSearch derives from the array index. */
+  def saveTraces(traces: Array[Trace], path: String,
+                 spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    traces.zipWithIndex.flatMap { case (t, level) =>
+      if (t.phis.isEmpty) Seq((level, t.nprobe, -1, 0f, 0f, 0f))
+      else t.phis.indices.map { i =>
+        (level, t.nprobe, i, t.phis(i), t.us(i), t.stds(i))
+      }
+    }.toSeq.toDF("level", "nprobe", "bucket", "phi", "u", "std")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load traces; fails loudly on missing levels rather than silently
+    * shifting the level→nprobe mapping. */
+  def loadTraces(path: String,
+                 spark: org.apache.spark.sql.SparkSession): Array[Trace] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("level"), col("nprobe"), col("bucket"), col("phi"),
+        col("u"), col("std"))
+      .as[(Int, Int, Int, Float, Float, Float)].collect()
+    val byLevel = rows.groupBy(_._1)
+    val maxLevel = byLevel.keys.max
+    (0 to maxLevel).map { level =>
+      val lv = byLevel.getOrElse(level, throw new IllegalStateException(
+        s"trace table at $path is missing level $level — refusing to " +
+          "shift the level/nprobe alignment"))
+      val buckets = lv.filter(_._3 >= 0).sortBy(_._3)
+      Trace(lv.head._2, buckets.map(_._4), buckets.map(_._5), buckets.map(_._6))
+    }.toArray
+  }
+
   /** Back to the reference's raw distance space: our "ip" distances are
     * negated inner products. */
   private def rawDist(metric: String, d: Double): Float =

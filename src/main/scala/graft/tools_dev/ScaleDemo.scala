@@ -6,9 +6,11 @@ import graft.index.IVFIndex
 import graft.search.{FlatSearch, IVFSearch}
 
 /** Dev tool: the probe-pruning story at a more serious local scale —
-  * 200k × 64-d vectors in a list_no-partitioned parquet table; compare
-  * flat scan vs IVF probe (bytes read via partition pruning, time).
-  * run: sbt "runMain graft.tools_dev.ScaleDemo"
+  * n × 64-d vectors in a list_no-partitioned parquet table; compare
+  * flat scan vs IVF probe (bytes read via partition pruning, time),
+  * then the bounded-error flagship.
+  * run: sbt "runMain graft.tools_dev.ScaleDemo [n] [nlist]"
+  * (defaults 200000 / 256; 1000000 1024 = the reference's IVF1024 config)
   */
 object ScaleDemo {
   def main(args: Array[String]): Unit = {
@@ -18,7 +20,9 @@ object ScaleDemo {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val n = 200000; val d = 64; val nlist = 256; val k = 10; val nq = 16
+    val n = args.headOption.map(_.toInt).getOrElse(200000)
+    val nlist = if (args.length > 1) args(1).toInt else 256
+    val d = 64; val k = 10; val nq = 16
     val dir = java.nio.file.Files.createTempDirectory("scale").toString
     println(s"corpus: $n × $d, nlist=$nlist, out=$dir")
 
@@ -34,7 +38,7 @@ object ScaleDemo {
 
     var t = System.nanoTime()
     val model = IVFIndex.train(baseDF.sample(0.25, 42L), nlist)
-    println(f"kmeans train (50k sample): ${(System.nanoTime() - t) / 1e9}%.1fs")
+    println(f"kmeans train (${n / 4} sample): ${(System.nanoTime() - t) / 1e9}%.1fs")
 
     t = System.nanoTime()
     IVFIndex.write(IVFIndex.assign(baseDF, model), s"$dir/ivf")

@@ -130,10 +130,16 @@ class BoundedSearchSpec extends SparkSpec {
   }
 
   test("traces persist and reload as a parquet model table") {
-    import graft.profile.ErrorProfile
     val dir = java.nio.file.Files.createTempDirectory("traces").toString
-    ErrorProfile.saveTraces(traces, s"$dir/t", spark)
-    val back = ErrorProfile.loadTraces(s"$dir/t", spark)
+    ProfileTrainer.saveTraces(traces, s"$dir/t", spark)
+    val back = ProfileTrainer.loadTraces(s"$dir/t", spark)
+    // empty level round-trips without shifting the level alignment
+    import graft.profile.ErrorProfile.Trace
+    val withEmpty = traces.updated(1, Trace(2, Array.empty, Array.empty, Array.empty))
+    ProfileTrainer.saveTraces(withEmpty, s"$dir/t2", spark)
+    val back2 = ProfileTrainer.loadTraces(s"$dir/t2", spark)
+    assert(back2.length == withEmpty.length)
+    assert(back2(1).phis.isEmpty && back2(2).nprobe == 4)
     assert(back.length == traces.length)
     traces.zip(back).foreach { case (a, b) =>
       assert(a.nprobe == b.nprobe)
