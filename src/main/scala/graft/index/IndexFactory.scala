@@ -27,6 +27,7 @@ object IndexFactory {
 
   final case class Spec(pre: Seq[PreTok], nlist: Option[Int], enc: Encoding)
   sealed trait PreTok
+  final case class OpqTok(m: Int) extends PreTok
   final case class PcaTok(d: Int, whiten: Boolean) extends PreTok
   final case class RrTok(d: Int) extends PreTok
   case object L2Tok extends PreTok
@@ -37,11 +38,13 @@ object IndexFactory {
     var nlist: Option[Int] = None
     var enc: Option[Encoding] = None
     val pcaW = "PCAW(\\d+)".r; val pca = "PCA(\\d+)".r; val rr = "RR(\\d+)".r
+    val opq = "OPQ(\\d+)".r
     val ivf = "IVF(\\d+)".r; val pqp = "PQ(\\d+)".r; val remap = "Remap(\\d+)".r
     spec.split(",").map(_.trim).filter(_.nonEmpty).foreach {
       case pcaW(d)   => pre :+= PcaTok(d.toInt, whiten = true)
       case pca(d)    => pre :+= PcaTok(d.toInt, whiten = false)
       case rr(d)     => pre :+= RrTok(d.toInt)
+      case opq(m)    => pre :+= OpqTok(m.toInt)
       case "L2norm"  => pre :+= L2Tok
       case remap(d)  => pre :+= RemapTok(d.toInt)
       case "IDMap" | "IDMap2" => // ids are explicit columns; nothing to do
@@ -103,6 +106,7 @@ object IndexFactory {
     var cur = df
     val fitted = s.pre.map { tok =>
       val t: VecTransform = tok match {
+        case OpqTok(m)    => OPQTransform.fit(cur, m, seed = seed)
         case PcaTok(d, w) => PCATransform.fit(cur, d, w)
         case RrTok(d)     => LinearTransform.randomRotation(d, seed)
         case L2Tok        => L2NormTransform

@@ -107,6 +107,10 @@ object ProductQuantizer {
 
   /** Seeded in-memory Lloyd (deterministic): random-point init, empty
     * clusters keep their previous center. */
+  def localKMeansPublic(pts: Array[Array[Float]], k: Int, seed: Long,
+                        iters: Int): Array[Array[Float]] =
+    localKMeans(pts, k, seed, iters)
+
   private[quantize] def localKMeans(pts: Array[Array[Float]], k: Int,
                                     seed: Long, iters: Int): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)

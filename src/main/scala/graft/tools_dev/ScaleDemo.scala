@@ -84,7 +84,7 @@ object ScaleDemo {
     t = System.nanoTime()
     val res = BoundedSearch.search(ivf, model, traces, evalQ, k,
       multiplier = 4.0f, stdM = 1.0f)
-    val cnt = res.results.count()
+    res.results.count()
     val tB = (System.nanoTime() - t) / 1e9
     val probes = res.stats.map(_.nprobeUsed)
     val exact = flat.select(col("qid"), col("id")).as[(Long, Long)].collect()
@@ -96,6 +96,22 @@ object ScaleDemo {
     println(f"bounded search (req 0.9, $nq queries): ${tB}%.2fs, " +
       f"mean nprobe ${probes.sum.toDouble / probes.size}%.1f/$nlist, " +
       f"recall mean ${rec.sum / rec.size}%.3f min ${rec.min}%.3f")
+
+    // throughput: a real batch (1000 queries) amortizes the fixed
+    // staged-rounds job overhead — report per-query amortized latency
+    val bigQ = baseDF.filter(col("id") % 997 === 0).limit(1000)
+      .select(col("id").as("qid"), col("vec"))
+      .withColumn("required_recall", lit(0.9f))
+    val nBig = bigQ.count()
+    t = System.nanoTime()
+    val resBig = BoundedSearch.search(ivf, model, traces, bigQ, k,
+      multiplier = 4.0f, stdM = 1.0f)
+    resBig.results.count()
+    val tBig = (System.nanoTime() - t) / 1e9
+    val pBig = resBig.stats.map(_.nprobeUsed)
+    println(f"bounded search batch ($nBig queries): ${tBig}%.2fs = " +
+      f"${tBig * 1000 / nBig}%.1f ms/query amortized, " +
+      f"mean nprobe ${pBig.sum.toDouble / pBig.size}%.1f/$nlist")
     spark.stop()
   }
 }

@@ -125,6 +125,60 @@ object PCATransform {
   }
 }
 
+object OPQTransform {
+  /** OPQ rotation (`VectorTransform.h:188-210`): learn an orthonormal
+    * rotation that minimizes PQ reconstruction error, by alternating
+    * (a) PQ codebook training on the rotated sample and (b) the
+    * orthogonal-Procrustes solve R = UVᵀ from SVD(XᵀX̂) — the standard
+    * OPQ-NP iteration. Trains on a driver-side sample (like PQ
+    * codebooks); application is the resulting LinearTransform.
+    */
+  def fit(df: DataFrame, m: Int, nbits: Int = 8, iters: Int = 10,
+          seed: Long = 42L, vecCol: String = "vec",
+          maxSample: Int = 16384): LinearTransform = {
+    import df.sparkSession.implicits._
+    import breeze.linalg.{svd, DenseMatrix => BDM}
+    val total = df.count()
+    val sample =
+      (if (total <= maxSample) df.select(col(vecCol))
+       else df.select(col(vecCol)).sample(maxSample.toDouble / total, seed))
+        .as[Array[Float]].collect()
+    val n = sample.length
+    val d = sample.head.length
+    val x = BDM.tabulate(n, d)((i, j) => sample(i)(j).toDouble)
+
+    var rot = {
+      val r = LinearTransform.randomRotation(d, seed)
+      BDM.tabulate(d, d)((i, j) => r.a(i)(j).toDouble).t // columns rotate
+    }
+    var it = 0
+    while (it < iters) {
+      val xr = x * rot
+      // PQ on the rotated sample
+      val pts = Array.tabulate(n)(i => Array.tabulate(d)(j => xr(i, j).toFloat))
+      val pq = graft.quantize.PQModel(m, nbits,
+        Array.tabulate(m) { sub =>
+          val dsub = d / m
+          val slices = pts.map(_.slice(sub * dsub, (sub + 1) * dsub))
+          val centers = graft.quantize.ProductQuantizer
+            .localKMeansPublic(slices, math.min(1 << nbits, n), seed + sub, 15)
+          Array.tabulate(1 << nbits)(c => centers(math.min(c, centers.length - 1)))
+        })
+      val xhat = BDM.tabulate(n, d) { (i, j) =>
+        pq.decode(pq.encode(pts(i)))(j).toDouble
+      }
+      // Procrustes: R = U Vᵀ of SVD(Xᵀ X̂)
+      val s = svd(x.t * xhat)
+      rot = s.U * s.Vt
+      it += 1
+    }
+    // row form: y = Aᵀ? — our LinearTransform computes y = A·x with A rows;
+    // x·R (row convention) ≡ Rᵀ·x (column convention) → A = Rᵀ
+    LinearTransform(
+      Array.tabulate(d)(i => Array.tabulate(d)(j => rot(j, i).toFloat)), None)
+  }
+}
+
 /** A chain of transforms (`IndexPreTransform`,
   * `VectorTransform.h:271-320`). */
 final case class TransformChain(transforms: Seq[VecTransform]) extends VecTransform {

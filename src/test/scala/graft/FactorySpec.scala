@@ -74,6 +74,40 @@ class FactorySpec extends SparkSpec {
     assert(math.abs(Kernels.norm(L2NormTransform.applyVec(a)) - 1) < 1e-5)
   }
 
+  test("OPQ rotation reduces PQ reconstruction error on correlated data") {
+    import spark.implicits._
+    import graft.functions.Kernels
+    import graft.quantize.ProductQuantizer
+    // the OPQ-winning regime: low-rank signal hidden by a fixed
+    // rotation, so the RAW subspace split mixes signal into every
+    // subspace; the learned rotation can unmix it
+    val rnd = new scala.util.Random(5)
+    val hide = LinearTransform.randomRotation(16, seed = 99L)
+    val data = Array.fill(1500) {
+      val z = new Array[Float](16)
+      z(0) = (2.0 * rnd.nextGaussian()).toFloat
+      z(1) = (1.5 * rnd.nextGaussian()).toFloat
+      var j = 2
+      while (j < 16) { z(j) = (0.05 * rnd.nextGaussian()).toFloat; j += 1 }
+      hide.applyVec(z)
+    }
+    val df = vecDF(data).cache()
+    def reconErr(vs: Array[Array[Float]]): Double = {
+      val pdf = vecDF(vs)
+      val pq = ProductQuantizer.train(pdf, m = 4, nbits = 4, seed = 3L)
+      vs.take(300).map(v => Kernels.l2Sqr(v, pq.decode(pq.encode(v)))).sum / 300
+    }
+    val plain = reconErr(data)
+    val opq = OPQTransform.fit(df, m = 4, nbits = 4, iters = 8, seed = 3L)
+    val rotated = data.map(opq.applyVec)
+    val withOpq = reconErr(rotated)
+    assert(withOpq < plain, s"OPQ err $withOpq !< plain $plain")
+    // rotation is orthonormal: distances preserved
+    val d0 = Kernels.l2Sqr(data(0), data(1))
+    val d1 = Kernels.l2Sqr(rotated(0), rotated(1))
+    assert(math.abs(d0 - d1) / d0 < 1e-3, s"$d0 vs $d1")
+  }
+
   test("centering subtracts the collection mean") {
     val c = CenterTransform.fit(baseDF)
     val centered = c.apply(baseDF)
