@@ -48,7 +48,7 @@ object BoundedSearch {
     */
   def search(ivfData: DataFrame, model: IVFModel, traces: Array[Trace],
              queries: DataFrame, k: Int, multiplier: Float = 1.0f,
-             stdM: Float = 1.0f): Result = {
+             stdM: Float = 1.0f, forceLazy: Boolean = false): Result = {
     val spark = ivfData.sparkSession
     import spark.implicits._
 
@@ -68,16 +68,16 @@ object BoundedSearch {
       ErrorProfile.boundaryDistances(r.map(_._2), r.map(_._1), model.interdisAt, nlist)
     }
 
-    // mutable driver-side control state (O(nq), never O(data))
-    val myNprobe = new Array[Int](nq)
-    val stoped = new Array[Int](nq)
-    val preVal = Array.fill(nq)(Double.NaN)
-    val predicted = new Array[Float](nq)
-    val decidedStage = new Array[Int](nq)
+    // driver-side control state lives in the Decider (O(nq), never O(data))
+    val decider = new Decider(nq, k, model.metric, traces,
+      dBs, qVecs.map(_._3), multiplier, stdM, levels)
+    import decider.{myNprobe, predicted, decidedStage}
+
+    if (levels <= 3 && !forceLazy)
+      return searchEagerStaged(ivfData, model, qVecs, ranks, decider, k)
 
     var state: DataFrame = spark.emptyDataset[(Long, Long, Double)]
       .toDF("qid", "id", "dist")
-    val qidToIdx = qVecs.map(_._1).zipWithIndex.toMap
 
     var j = 0
     while (j < levels) {
@@ -109,27 +109,7 @@ object BoundedSearch {
           .as[(Long, Array[Double])].collect().toMap
 
         active.foreach { qi =>
-          val (qid, _, require) = qVecs(qi)
-          topkD.get(qid).foreach { dRaw =>
-            val dists =
-              if (model.metric == "ip") dRaw.map(d => ErrorProfile.arcos((-d).toFloat))
-              else dRaw.map(_.toFloat)
-            var recall =
-              if (dists.length < k) 0f
-              else ErrorProfile.curNum(dists, dBs(qi), traces(j), j, k, stdM).toFloat / k
-            // stagnation heuristic on the worst kept distance
-            val maxVal = if (dRaw.isEmpty) Double.NaN else dRaw.max
-            if (j > 0 && maxVal == preVal(qi)) stoped(qi) += (hi - lo)
-            else if (j > 0) stoped(qi) = 0
-            preVal(qi) = maxVal
-            if (stoped(qi) >= (require * 12).toInt && dists.length >= k) recall = 1f
-            val capped = j == levels - 1
-            if ((recall >= require || capped) && myNprobe(qi) == 0) {
-              myNprobe(qi) = math.max(hi, (hi * multiplier).toInt)
-              predicted(qi) = recall
-              decidedStage(qi) = hi
-            }
-          }
+          topkD.get(qVecs(qi)._1).foreach(dRaw => decider.evaluate(qi, j, dRaw))
         }
       }
       j += 1
@@ -157,6 +137,154 @@ object BoundedSearch {
         decidedStage(qi))
     }
     Result(results, stats)
+  }
+
+  /** The per-stage termination decision (`IndexIVF.cpp:504-637`):
+    * shared verbatim by the lazy (round-per-stage) and eager
+    * (one-scan staged) execution paths so both produce identical
+    * results. Holds the O(nq) control state. */
+  private final class Decider(nq: Int, k: Int, metric: String,
+      traces: Array[Trace], dBs: Array[Array[Float]], requires: Array[Float],
+      multiplier: Float, stdM: Float, levels: Int) extends Serializable {
+    def nLevels: Int = levels
+    val myNprobe = new Array[Int](nq)
+    val stoped = new Array[Int](nq)
+    val preVal = Array.fill(nq)(Double.NaN)
+    val predicted = new Array[Float](nq)
+    val decidedStage = new Array[Int](nq)
+
+    /** Evaluate query qi at stage 2^j given its current sorted top-k
+      * raw distances. */
+    def evaluate(qi: Int, j: Int, dRaw: Array[Double]): Unit = {
+      val lo = if (j == 0) 0 else 1 << (j - 1)
+      val hi = 1 << j
+      val require = requires(qi)
+      val dists =
+        if (metric == "ip") dRaw.map(d => ErrorProfile.arcos((-d).toFloat))
+        else dRaw.map(_.toFloat)
+      var recall =
+        if (dists.length < k) 0f
+        else ErrorProfile.curNum(dists, dBs(qi), traces(j), j, k, stdM).toFloat / k
+      // stagnation heuristic on the worst kept distance
+      val maxVal = if (dRaw.isEmpty) Double.NaN else dRaw.max
+      if (j > 0 && maxVal == preVal(qi)) stoped(qi) += (hi - lo)
+      else if (j > 0) stoped(qi) = 0
+      preVal(qi) = maxVal
+      if (stoped(qi) >= (require * 12).toInt && dists.length >= k) recall = 1f
+      val capped = j == levels - 1
+      if ((recall >= require || capped) && myNprobe(qi) == 0) {
+        myNprobe(qi) = math.max(hi, (hi * multiplier).toInt)
+        predicted(qi) = recall
+        decidedStage(qi) = hi
+      }
+    }
+  }
+
+  /** Eager variant for shallow schedules (levels ≤ 3, i.e. nlist ≤ 64):
+    * ALL staged lists (≤ nlist/8 = 4 per query) are scanned in ONE pass
+    * with per-(query, first-probed-stage) heaps; stage top-ks and every
+    * decision then run driver-side on the collected partials (≤
+    * nq·4·k rows), eliminating the per-round job latency. Decisions are
+    * bit-identical to the lazy path (same Decider, same staged top-ks);
+    * for deep schedules the lazy path remains — eager would probe
+    * nlist/8 lists per query where adaptive stops far earlier. */
+  private def searchEagerStaged(ivfData: DataFrame, model: IVFModel,
+      qVecs: Array[(Long, Array[Float], Float)],
+      ranks: Array[Array[(Int, Float)]], decider: Decider,
+      k: Int): Result = {
+    val spark = ivfData.sparkSession
+    import spark.implicits._
+    val nq = qVecs.length
+    val nlist = model.nlist
+    val levels = decider.nLevels
+    val maxRank = 1 << (levels - 1)
+
+    val byList: Map[Int, Array[(Int, Int)]] = ranks.zipWithIndex.flatMap {
+      case (r, qi) =>
+        r.take(maxRank).zipWithIndex.map { case ((listNo, _), rankIdx) =>
+          var j0 = 0
+          while ((1 << j0) < rankIdx + 1) j0 += 1
+          (listNo, (qi, j0))
+        }
+    }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2)) }
+    val bByList = spark.sparkContext.broadcast(byList)
+    val bQ = spark.sparkContext.broadcast(qVecs.map(v => (v._1, v._2)))
+    val metric = model.metric
+
+    val partials: Array[(Int, Int, Long, Double)] = ivfData
+      .filter(col("list_no").isin(byList.keys.toSeq.sorted: _*))
+      .select(col("list_no").cast("int"), col("id").cast("long"), col("vec"))
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { it =>
+        val lists = bByList.value
+        val qs = bQ.value
+        val heaps = scala.collection.mutable.HashMap.empty[(Int, Int), TopK]
+        it.foreach { case (listNo, id, vec) =>
+          lists.get(listNo) match {
+            case Some(entries) =>
+              var i = 0
+              while (i < entries.length) {
+                val (qi, j0) = entries(i)
+                heaps.getOrElseUpdate((qi, j0), new TopK(k))
+                  .add(Kernels.distance(metric, qs(qi)._2, vec), id)
+                i += 1
+              }
+            case None =>
+          }
+        }
+        heaps.iterator.flatMap { case ((qi, j0), h) =>
+          h.sorted.iterator.map { case (d, id) => (qi, j0, id, d) }
+        }
+      }.collect()
+
+    // driver-side: per query, cumulative stage top-ks drive the decisions
+    val byQuery = partials.groupBy(_._1)
+    val finalRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var qi = 0
+    while (qi < nq) {
+      byQuery.get(qi) match {
+        case Some(rows) =>
+          val byStage = rows.groupBy(_._2)
+          var cum = Array.empty[(Double, Long)]
+          var decidedTopk = Array.empty[(Double, Long)]
+          var j = 0
+          while (j < levels) {
+            val add = byStage.getOrElse(j, Array.empty)
+              .map(r => (r._4, r._3))
+            cum = (cum ++ add).sortBy { case (d, id) => (d, id) }.take(k)
+            if (decider.myNprobe(qi) == 0) {
+              decider.evaluate(qi, j, cum.map(_._1))
+              if (decider.myNprobe(qi) != 0) decidedTopk = cum
+            }
+            j += 1
+          }
+          decidedTopk.foreach { case (d, id) =>
+            finalRows += ((qVecs(qi)._1, id, d))
+          }
+        case None =>
+      }
+      qi += 1
+    }
+
+    var state = finalRows.toSeq.toDF("qid", "id", "dist")
+
+    // finishing pass: probe on from each query's decision stage
+    val extraMap: Map[Int, Array[Int]] = (0 until nq).flatMap { qi2 =>
+      val upto = math.min(decider.myNprobe(qi2), nlist)
+      if (upto > decider.decidedStage(qi2))
+        ranks(qi2).slice(decider.decidedStage(qi2), upto).map { case (l, _) => (l, qi2) }
+      else Nil
+    }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }
+    if (extraMap.nonEmpty) {
+      val extra = scanLists(ivfData, metric, extraMap,
+        qVecs.map(v => (v._1, v._2)), k)
+      state = state.unionByName(extra)
+    }
+    val stats = (0 until nq).map { qi2 =>
+      QueryStats(qVecs(qi2)._1, math.min(decider.myNprobe(qi2), nlist),
+        decider.predicted(qi2), decider.decidedStage(qi2))
+    }
+    Result(FlatSearch.mergeTopK(state, k), stats)
   }
 
   /** Latency-bounded mode (`Auncel/IndexIVF.cpp:545-549`,

@@ -151,6 +151,32 @@ class BoundedSearchSpec extends SparkSpec {
     }
   }
 
+  test("eager staged path is bit-identical to the lazy rounds path") {
+    import spark.implicits._
+    // nlist=32 → levels 3 → eager by default; forceLazy reruns the
+    // per-round controller for comparison
+    val b = clusteredVecs(2000, d, nClusters = 24, seed = 55)
+    val bDF = vecDF(b)
+    val m32 = IVFIndex.train(bDF, nlist = 32, seed = 42L)
+    val a32 = IVFIndex.assign(bDF, m32).cache()
+    val tq = vecDF(clusteredVecs(2100, d, nClusters = 24, seed = 55).drop(2000), "qid")
+    val gt32 = FlatSearch.knn(bDF, tq, k)
+    val tr32 = ProfileTrainer.train(a32, m32, tq, gt32, maxTopk = k, bs = 50)
+    val qdf = clusteredVecs(2130, d, nClusters = 24, seed = 55).drop(2100)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v, 0.8f) }
+      .toSeq.toDF("qid", "vec", "required_recall")
+    val eager = BoundedSearch.search(a32, m32, tr32, qdf, k,
+      multiplier = 4.0f, stdM = 1.0f)
+    val lazyR = BoundedSearch.search(a32, m32, tr32, qdf, k,
+      multiplier = 4.0f, stdM = 1.0f, forceLazy = true)
+    val eRows = eager.results.select(col("qid"), col("rank"), col("id"), col("dist"))
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val lRows = lazyR.results.select(col("qid"), col("rank"), col("id"), col("dist"))
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(eRows.sameElements(lRows))
+    assert(eager.stats == lazyR.stats)
+  }
+
   test("latency-bounded search respects the probe budget") {
     import spark.implicits._
     val qdf = evalQ.take(10).zipWithIndex
