@@ -76,4 +76,38 @@ object IVFSearch {
 
     FlatSearch.mergeTopK(partials.toDF("qid", "id", "dist"), k)
   }
+
+  /** IVF range search (`IndexIVF::range_search` semantics over probed
+    * lists): all ids within `radius` among the nprobe nearest lists —
+    * same partition-pruned scan, no heap (variable-size result). */
+  def range(ivfData: DataFrame, model: IVFModel, queries: DataFrame,
+            radius: Double, nprobe: Int): DataFrame = {
+    val spark = ivfData.sparkSession
+    import spark.implicits._
+    val q: Array[(Long, Array[Float])] = queries
+      .select(col("qid").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val np = math.min(nprobe, model.nlist)
+    val qNorm = if (model.metric == "ip")
+      q.map { case (qid, v) => (qid, Kernels.l2Normalize(v)) } else q
+    val probesByList: Map[Int, Array[(Long, Array[Float])]] = qNorm
+      .flatMap { case (qid, v) =>
+        model.rankCentroids(v).take(np).map { case (l, _) => (l, (qid, v)) }
+      }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2)) }
+    val bq = spark.sparkContext.broadcast(probesByList)
+    val m = model.metric
+    ivfData
+      .filter(col("list_no").isin(probesByList.keys.toSeq.sorted: _*))
+      .select(col("list_no").cast("int"), col("id").cast("long"), col("vec"))
+      .as[(Int, Long, Array[Float])]
+      .flatMap { case (listNo, id, vec) =>
+        bq.value.get(listNo) match {
+          case Some(qs) => qs.iterator.flatMap { case (qid, qv) =>
+            val d = Kernels.distance(m, qv, vec)
+            if (d < radius) Some((qid, id, d)) else None
+          }
+          case None => Iterator.empty
+        }
+      }.toDF("qid", "id", "dist")
+  }
 }

@@ -40,6 +40,21 @@ class IVFSearchSpec extends SparkSpec {
     assert(r8 > 0.7, s"recall@8/32 = $r8")
   }
 
+  test("IVF range search at full probe equals flat range search") {
+    import spark.implicits._
+    val r = 1.2
+    val got = IVFSearch.range(assigned, model, qDF, radius = r, nprobe = 32)
+      .select(col("qid"), col("id")).as[(Long, Long)].collect().toSet
+    val want = graft.search.FlatSearch.range(baseDF, qDF, radius = r)
+      .select(col("qid"), col("id")).as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+    // partial probe returns a subset
+    val partial = IVFSearch.range(assigned, model, qDF, radius = r, nprobe = 4)
+      .select(col("qid"), col("id")).as[(Long, Long)].collect().toSet
+    assert(partial.subsetOf(want))
+  }
+
   test("assignment round-trips through partitioned parquet") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString
