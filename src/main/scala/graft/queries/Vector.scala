@@ -334,6 +334,23 @@ object Vector {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** O3 over the IVF table at full probe — partition-pruned range scan,
+    * provably equal to the flat range (brute-force SQL oracle). */
+  def v13IvfRange(s: SparkSession, dir: String): DataFrame = {
+    val (model, assigned) = graft.index.IndexCache.ivf(dir, base(s, dir), nlist = 16)
+    IVFSearch.range(assigned, model, qs(s, dir, "vec_id >= 56 AND vec_id < 64"),
+      radius = 1.5, nprobe = 16)
+      .orderBy(col("qid"), col("id"))
+  }
+
+  val v13Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id >= 56 AND vec_id < 64)
+       |SELECT q.qid, b.vec_id AS id, $l2SqlFrag AS dist
+       |FROM q CROSS JOIN embeddings b
+       |WHERE $l2SqlFrag < 1.5
+       |ORDER BY qid, id""".stripMargin
+
   /** O7 — latency-bounded search: per-query probe budgets derived from
     * a calibrated per-list cost (rows-only; deterministic proxy for the
     * reference's wall-clock cutoff). */
@@ -350,6 +367,7 @@ object Vector {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_bounded_search" -> a01BoundedSearch _,
     "a02_latency_search" -> a02LatencySearch _,
+    "v13_ivf_range" -> v13IvfRange _,
     "v08_ivfpq_refine" -> v08IvfpqRefine _,
     "v11_ip_knn" -> v11IpKnn _,
     "v12_delete_search" -> v12DeleteSearch _,
@@ -365,6 +383,7 @@ object Vector {
 
   val oracles: Map[String, String] = Map(
     "v08_ivfpq_refine" -> v08Sql,
+    "v13_ivf_range" -> v13Sql,
     "v11_ip_knn" -> v11Sql,
     "v12_delete_search" -> v12Sql,
     "v09_sq8_error" -> v09Sql,
