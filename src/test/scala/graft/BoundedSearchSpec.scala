@@ -80,6 +80,44 @@ class BoundedSearchSpec extends SparkSpec {
     assert(meanProbes < nlist, s"mean nprobe $meanProbes not below full scan")
   }
 
+  test("bound sweep: eps in {0.1, 0.3} and k=10 all hold (run.sh-style)") {
+    import spark.implicits._
+    // same-k sweep over the trained traces (ε variations)
+    for (require <- Seq(0.9f, 0.7f)) {
+      val qdf = evalQ.take(30).zipWithIndex
+        .map { case (v, i) => (i.toLong, v, require) }
+        .toSeq.toDF("qid", "vec", "required_recall")
+      val res = BoundedSearch.search(assigned, model, traces, qdf, k,
+        multiplier = 8.0f, stdM = 1.5f)
+      val got = res.results.select(col("qid"), col("dist"))
+        .as[(Long, Double)].collect().groupBy(_._1).view
+        .mapValues(_.map(_._2)).toMap
+      val worst = evalQ.take(30).zipWithIndex.map { case (q, i) =>
+        val kth = bruteForce(base, q, k).last._1
+        got.getOrElse(i.toLong, Array.empty).count(_ <= kth * 1.0005).toDouble / k
+      }.min
+      assert(worst >= require, s"eps=${1 - require}: worst $worst < $require")
+    }
+    // different k needs its own traces (the map granularity is per-k)
+    val k10 = 10
+    val gt10 = FlatSearch.knn(baseDF, vecDF(trainQ, "qid"), k10)
+    val traces10 = ProfileTrainer.train(assigned, model, vecDF(trainQ, "qid"),
+      gt10, maxTopk = k10, bs = 100)
+    val qdf10 = evalQ.take(30).zipWithIndex
+      .map { case (v, i) => (i.toLong, v, 0.8f) }
+      .toSeq.toDF("qid", "vec", "required_recall")
+    val res10 = BoundedSearch.search(assigned, model, traces10, qdf10, k10,
+      multiplier = 8.0f, stdM = 1.5f)
+    val got10 = res10.results.select(col("qid"), col("dist"))
+      .as[(Long, Double)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val worst10 = evalQ.take(30).zipWithIndex.map { case (q, i) =>
+      val kth = bruteForce(base, q, k10).last._1
+      got10.getOrElse(i.toLong, Array.empty).count(_ <= kth * 1.0005).toDouble / k10
+    }.min
+    assert(worst10 >= 0.8, s"k=10 worst $worst10 < 0.8")
+  }
+
   test("higher required recall costs more probes") {
     import spark.implicits._
     def meanProbes(require: Float): Double = {
