@@ -169,6 +169,48 @@ object Documents {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** End-to-end curation pipeline — the composite a training-data run
+    * performs: quality gate (stopword ratio + length) → exact dedup
+    * (normalized fingerprint, keep smallest id) → per-language corpus
+    * stats of the surviving set. One declarative plan: filter →
+    * groupBy(fp) → groupBy(lang). */
+  def d06CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val sw = array(Seq("the", "a", "of", "and", "or", "is", "to", "in").map(lit): _*)
+    val scored = docs(s, dir)
+      .withColumn("ws", ws)
+      .withColumn("stop_ratio",
+        size(filter(col("ws"), w => array_contains(sw, w))).cast("double") /
+          size(col("ws")))
+      .filter(col("stop_ratio") >= 0.02 && size(col("ws")) >= 20)
+      .withColumn("fp", md5(normText))
+    val deduped = scored
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
+        min(size(col("ws"))).as("n_tokens")) // min: deterministic under duplicate fps
+    deduped.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"))
+  }
+
+  val d06Sql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang, text,
+      |    len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','of','and','or','is','to','in'], w)))::DOUBLE
+      |      / len(string_split(text, ' ')) AS stop_ratio,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |deduped AS (
+      |  SELECT fp, MIN(doc_id) AS doc_id, MIN(lang) AS lang, MIN(n_tokens) AS n_tokens
+      |  FROM scored WHERE stop_ratio >= 0.02 AND n_tokens >= 20
+      |  GROUP BY fp)
+      |SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+      |  MIN(doc_id) AS first_doc
+      |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Per-doc token statistics. */
   def t01TextStats(s: SparkSession, dir: String): DataFrame = {
     val ws = split(col("text"), " ")
@@ -346,6 +388,7 @@ object Documents {
     "d03_lsh_candidates" -> d03LshCandidates _,
     "d04_jaccard_top" -> d04JaccardTop _,
     "d05_minhash_estimate" -> d05MinhashEstimate _,
+    "d06_curation_pipeline" -> d06CurationPipeline _,
     "t01_text_stats" -> t01TextStats _,
     "t02_quality_score" -> t02QualityScore _,
     "t03_token_count" -> t03TokenCount _,
@@ -361,6 +404,7 @@ object Documents {
     "d03_lsh_candidates" -> d03Sql,
     "d04_jaccard_top" -> d04Sql,
     "d05_minhash_estimate" -> d05Sql,
+    "d06_curation_pipeline" -> d06Sql,
     "t01_text_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,
