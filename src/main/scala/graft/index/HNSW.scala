@@ -1,0 +1,211 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import graft.functions.Kernels
+import graft.operators.TopK
+import graft.search.FlatSearch
+
+/** HNSW, re-shaped for Spark (`Auncel/HNSW.cpp:409-747`,
+  * `IndexHNSW.cpp` — the reference's graph index).
+  *
+  * The pointer-chasing build is inherently sequential, so the
+  * Spark-native form is **partitioned HNSW**: each partition builds a
+  * local graph over its rows inside `mapPartitions` (cost amortized
+  * over the query batch), beam-searches every query locally, and the
+  * global answer is the usual partial-top-k merge. No graph ever
+  * crosses the wire; parallelism is per-partition, the same contract
+  * as every other scan operator here.
+  *
+  * Level assignment is derived from a hash of the id (not an RNG
+  * stream), so graphs are deterministic regardless of row order.
+  */
+object HNSW {
+
+  /** In-memory single-partition HNSW graph. */
+  final class LocalGraph(d: Int, m: Int = 16, efConstruction: Int = 64) {
+    private val mL = 1.0 / math.log(m.toDouble)
+    private val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    private val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    private val levels = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // neighbors(node)(level) -> array buffer of node indices
+    private val neighbors =
+      scala.collection.mutable.ArrayBuffer.empty[Array[scala.collection.mutable.ArrayBuffer[Int]]]
+    private var entryPoint = -1
+    private var maxLevel = -1
+
+    private def levelOf(id: Long): Int = {
+      // deterministic "uniform" from a mixed hash of the id
+      val h = {
+        var x = id * 0x9E3779B97F4A7C15L
+        x ^= (x >>> 32); x *= 0xBF58476D1CE4E5B9L; x ^= (x >>> 29); x
+      }
+      val u = ((h >>> 11).toDouble / (1L << 53).toDouble) max 1e-12
+      math.min(12, (-math.log(u) * mL).toInt)
+    }
+
+    private def dist(a: Int, q: Array[Float]): Double = Kernels.l2Sqr(vecs(a), q)
+
+    /** Greedy beam search at one level; returns up to ef closest nodes. */
+    private def searchLayer(q: Array[Float], entry: Int, ef: Int,
+                            level: Int): Array[Int] = {
+      val visited = scala.collection.mutable.HashSet(entry)
+      val cand = scala.collection.mutable.PriorityQueue((-dist(entry, q), entry))(
+        Ordering.by(_._1)) // max-heap on -dist = closest first
+      val result = scala.collection.mutable.PriorityQueue((dist(entry, q), entry))(
+        Ordering.by(_._1)) // max-heap on dist = worst first
+      while (cand.nonEmpty) {
+        val (negD, c) = cand.dequeue()
+        if (-negD > result.head._1 && result.size >= ef) {
+          cand.clear() // closest candidate already worse than worst kept
+        } else {
+          val ns = neighbors(c)(math.min(level, levels(c)))
+          var i = 0
+          while (i < ns.length) {
+            val n = ns(i)
+            if (!visited.contains(n)) {
+              visited += n
+              val dn = dist(n, q)
+              if (result.size < ef || dn < result.head._1) {
+                cand.enqueue((-dn, n))
+                result.enqueue((dn, n))
+                if (result.size > ef) result.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      result.dequeueAll.toArray.map(_._2).reverse // closest first
+    }
+
+    /** Heuristic neighbor selection (HNSW paper alg. 4, the reference's
+      * `shrink_neighbor_list`): keep a candidate only if it is closer
+      * to the target than to any already-kept neighbor — preserves
+      * diverse/long-range edges, without which clustered data
+      * fragments into disconnected islands. */
+    private def select(q: Array[Float], cands: Array[Int], max: Int): Array[Int] = {
+      val sorted = cands.distinct.sortBy(c => (dist(c, q), ids(c)))
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < sorted.length && kept.length < max) {
+        val c = sorted(i)
+        val dq = dist(c, q)
+        var diverse = true
+        var j = 0
+        while (j < kept.length && diverse) {
+          if (Kernels.l2Sqr(vecs(c), vecs(kept(j))) < dq) diverse = false
+          j += 1
+        }
+        if (diverse) kept += c
+        i += 1
+      }
+      // backfill with closest pruned if under-full (keepPrunedConnections)
+      if (kept.length < max) {
+        var i2 = 0
+        while (i2 < sorted.length && kept.length < max) {
+          if (!kept.contains(sorted(i2))) kept += sorted(i2)
+          i2 += 1
+        }
+      }
+      kept.toArray
+    }
+
+    def insert(id: Long, vec: Array[Float]): Unit = {
+      val node = ids.length
+      val lvl = levelOf(id)
+      ids += id; vecs += vec; levels += lvl
+      neighbors += Array.fill(lvl + 1)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      if (entryPoint < 0) { entryPoint = node; maxLevel = lvl; return }
+
+      var ep = entryPoint
+      // greedy descent through upper levels
+      var l = maxLevel
+      while (l > lvl) {
+        var improved = true
+        while (improved) {
+          improved = false
+          val ns = neighbors(ep)(math.min(l, levels(ep)))
+          var i = 0
+          while (i < ns.length) {
+            if (dist(ns(i), vec) < dist(ep, vec)) { ep = ns(i); improved = true }
+            i += 1
+          }
+        }
+        l -= 1
+      }
+      // connect at each level from min(lvl, maxLevel) down to 0
+      l = math.min(lvl, maxLevel)
+      while (l >= 0) {
+        val cands = searchLayer(vec, ep, efConstruction, l)
+        val maxConn = if (l == 0) 2 * m else m
+        val chosen = select(vec, cands, maxConn)
+        neighbors(node)(l) ++= chosen
+        chosen.foreach { c =>
+          val cn = neighbors(c)(math.min(l, levels(c)))
+          cn += node
+          if (cn.length > maxConn) {
+            val kept = select(vecs(c), cn.toArray, maxConn)
+            cn.clear(); cn ++= kept
+          }
+        }
+        if (cands.nonEmpty) ep = cands(0)
+        l -= 1
+      }
+      if (lvl > maxLevel) { maxLevel = lvl; entryPoint = node }
+    }
+
+    def search(q: Array[Float], k: Int, efSearch: Int): Array[(Double, Long)] = {
+      if (entryPoint < 0) return Array.empty
+      var ep = entryPoint
+      var l = maxLevel
+      while (l > 0) {
+        var improved = true
+        while (improved) {
+          improved = false
+          val ns = neighbors(ep)(math.min(l, levels(ep)))
+          var i = 0
+          while (i < ns.length) {
+            if (dist(ns(i), q) < dist(ep, q)) { ep = ns(i); improved = true }
+            i += 1
+          }
+        }
+        l -= 1
+      }
+      searchLayer(q, ep, math.max(efSearch, k), 0)
+        .map(n => (dist(n, q), ids(n)))
+        .sortBy { case (d, id) => (d, id) }.take(k)
+    }
+  }
+
+  /** Distributed k-NN: per-partition graph build + batch beam search +
+    * global top-k merge. Approximation comes only from the beam
+    * (efSearch), not the partitioning — every partition answers. */
+  def knn(base: DataFrame, queries: DataFrame, k: Int, m: Int = 16,
+          efConstruction: Int = 64, efSearch: Int = 64): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val q: Array[(Long, Array[Float])] = queries
+      .select(org.apache.spark.sql.functions.col("qid").cast("long"),
+        org.apache.spark.sql.functions.col("vec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bq = spark.sparkContext.broadcast(q)
+    val (mm, efc, efs) = (m, efConstruction, efSearch)
+    val partials = base
+      .select(org.apache.spark.sql.functions.col("id").cast("long"),
+        org.apache.spark.sql.functions.col("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val g = new LocalGraph(rows.head._2.length, mm, efc)
+          // deterministic insert order regardless of scan order
+          rows.sortBy(_._1).foreach { case (id, v) => g.insert(id, v) }
+          bq.value.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, k, efs).iterator.map { case (d, id) => (qid, id, d) }
+          }
+        }
+      }.toDF("qid", "id", "dist")
+    FlatSearch.mergeTopK(partials, k)
+  }
+}

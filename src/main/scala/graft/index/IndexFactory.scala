@@ -15,8 +15,8 @@ import graft.transforms._
   * Supported tokens: `PCA<d>` / `PCAW<d>` (whitened), `RR<d>` (random
   * rotation), `L2norm`, `Remap<d>`, `IDMap` (no-op — ids are explicit
   * columns here), coarse `IVF<nlist>` or flat, encodings `Flat`,
-  * `PQ<M>`, `SQ8`. HNSW is out of scope (the reference's experiments
-  * run `IVF1024,Flat` exclusively — `Auncel/eval/bound.cpp:220`).
+  * `PQ<M>`, `SQ8`; `HNSW<M>` as the graph-index alternative to IVF
+  * (partitioned build-at-search, `index.HNSW`).
   */
 object IndexFactory {
 
@@ -25,7 +25,8 @@ object IndexFactory {
   final case class PQEnc(m: Int) extends Encoding
   case object SQ8Enc extends Encoding
 
-  final case class Spec(pre: Seq[PreTok], nlist: Option[Int], enc: Encoding)
+  final case class Spec(pre: Seq[PreTok], nlist: Option[Int], enc: Encoding,
+                        hnswM: Option[Int] = None)
   sealed trait PreTok
   final case class OpqTok(m: Int) extends PreTok
   final case class PcaTok(d: Int, whiten: Boolean) extends PreTok
@@ -37,8 +38,9 @@ object IndexFactory {
     var pre = Vector.empty[PreTok]
     var nlist: Option[Int] = None
     var enc: Option[Encoding] = None
+    var hnswM: Option[Int] = None
     val pcaW = "PCAW(\\d+)".r; val pca = "PCA(\\d+)".r; val rr = "RR(\\d+)".r
-    val opq = "OPQ(\\d+)".r
+    val opq = "OPQ(\\d+)".r; val hnsw = "HNSW(\\d+)".r
     val ivf = "IVF(\\d+)".r; val pqp = "PQ(\\d+)".r; val remap = "Remap(\\d+)".r
     spec.split(",").map(_.trim).filter(_.nonEmpty).foreach {
       case pcaW(d)   => pre :+= PcaTok(d.toInt, whiten = true)
@@ -49,13 +51,15 @@ object IndexFactory {
       case remap(d)  => pre :+= RemapTok(d.toInt)
       case "IDMap" | "IDMap2" => // ids are explicit columns; nothing to do
       case ivf(n)    => nlist = Some(n.toInt)
+      case hnsw(mm)  => hnswM = Some(mm.toInt)
       case "Flat"    => enc = Some(FlatEnc)
       case pqp(m)    => enc = Some(PQEnc(m.toInt))
       case "SQ8"     => enc = Some(SQ8Enc)
       case tok => throw new IllegalArgumentException(
         s"index_factory: unsupported token '$tok' in '$spec'")
     }
-    Spec(pre, nlist, enc.getOrElse(FlatEnc))
+    require(hnswM.isEmpty || nlist.isEmpty, "HNSW and IVF are alternative coarse structures")
+    Spec(pre, nlist, enc.getOrElse(FlatEnc), hnswM)
   }
 
   /** A trained index: transform chain + optional IVF coarse model +
@@ -71,6 +75,11 @@ object IndexFactory {
         val bc = spark.sparkContext.broadcast(chain)
         val u = udf { v: Seq[Float] => bc.value.applyVec(v.toArray) }
         queries.withColumn("vec", u(col("vec")))
+      }
+      spec.hnswM match {
+        case Some(mm) => return HNSW.knn(data, tq, k, m = mm,
+          efSearch = math.max(64, 4 * k))
+        case None =>
       }
       (ivf, pq, sq) match {
         case (Some(m), Some(p), _) => IVFPQ.search(data, m, p, tq, k, nprobe)

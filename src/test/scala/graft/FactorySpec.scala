@@ -32,7 +32,9 @@ class FactorySpec extends SparkSpec {
     assert(IndexFactory.parse("L2norm,Flat").pre == Seq(IndexFactory.L2Tok))
     assert(IndexFactory.parse("IVF32,SQ8").enc == IndexFactory.SQ8Enc)
     assert(IndexFactory.parse("IDMap,Flat").pre.isEmpty)
-    intercept[IllegalArgumentException](IndexFactory.parse("HNSW32"))
+    assert(IndexFactory.parse("HNSW32").hnswM.contains(32))
+    intercept[IllegalArgumentException](IndexFactory.parse("IVF16,HNSW32"))
+    intercept[IllegalArgumentException](IndexFactory.parse("Bogus42"))
   }
 
   test("IVF32,Flat via factory: full-probe equals exact search") {
@@ -63,6 +65,12 @@ class FactorySpec extends SparkSpec {
     val rSq = recallVsExact(IndexFactory.build("IVF16,SQ8", baseDF)
       .search(qDF, k = 10, nprobe = 16), 10)
     assert(rSq > 0.9, s"IVF,SQ8 recall $rSq")
+  }
+
+  test("HNSW32 through the factory reaches high recall") {
+    val idx = IndexFactory.build("HNSW32", baseDF)
+    val r = recallVsExact(idx.search(qDF, k = 10), 10)
+    assert(r > 0.85, s"factory HNSW recall $r")
   }
 
   test("random rotation preserves distances; L2norm makes unit vectors") {

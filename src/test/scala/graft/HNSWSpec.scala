@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.index.HNSW
+import graft.search.FlatSearch
+
+class HNSWSpec extends SparkSpec {
+
+  lazy val pool = clusteredVecs(3050, 24, nClusters = 24, seed = 121)
+  lazy val base = pool.take(3000)
+  lazy val baseDF = vecDF(base).repartition(6).cache()
+  lazy val qs = pool.drop(3000)
+  lazy val qDF = vecDF(qs, "qid")
+
+  def recallVs(res: org.apache.spark.sql.DataFrame, k: Int): Double = {
+    import spark.implicits._
+    val got = res.select(col("qid"), col("id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    qs.zipWithIndex.map { case (q, qi) =>
+      val want = bruteForce(base, q, k).map(_._2).toSet
+      (got.getOrElse(qi.toLong, Set.empty) & want).size.toDouble / k
+    }.sum / qs.length
+  }
+
+  test("local graph search matches brute force on a small set") {
+    val g = new HNSW.LocalGraph(8, m = 8, efConstruction = 48)
+    val vs = randVecs(300, 8, seed = 122)
+    vs.zipWithIndex.foreach { case (v, i) => g.insert(i.toLong, v) }
+    val hits = qsFor(vs).map { q =>
+      val got = g.search(q, 5, efSearch = 96).map(_._2).toSet
+      val want = bruteForce(vs, q, 5).map(_._2).toSet
+      (got & want).size.toDouble / 5
+    }
+    val mean = hits.sum / hits.length
+    assert(mean > 0.9, s"local HNSW recall $mean")
+  }
+
+  private def qsFor(vs: Array[Array[Float]]) = vs.take(20)
+
+  test("distributed partitioned HNSW: high recall, deterministic") {
+    val res = HNSW.knn(baseDF, qDF, k = 10, efSearch = 96)
+    val r = recallVs(res, 10)
+    assert(r > 0.85, s"partitioned HNSW recall $r")
+    // determinism: same partitioning + hash-derived levels → same result
+    import spark.implicits._
+    val a = res.select(col("qid"), col("rank"), col("id"))
+      .as[(Long, Int, Long)].collect().sorted
+    val b = HNSW.knn(baseDF, qDF, k = 10, efSearch = 96)
+      .select(col("qid"), col("rank"), col("id"))
+      .as[(Long, Int, Long)].collect().sorted
+    assert(a.sameElements(b))
+  }
+
+  test("efSearch trades recall for work") {
+    val lo = recallVs(HNSW.knn(baseDF, qDF, k = 10, efSearch = 12), 10)
+    val hi = recallVs(HNSW.knn(baseDF, qDF, k = 10, efSearch = 128), 10)
+    assert(lo <= hi + 1e-9, s"recall($lo) ! <= recall($hi)")
+    assert(hi > 0.9, s"efSearch=128 recall $hi")
+  }
+}
