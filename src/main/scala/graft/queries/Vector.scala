@@ -351,6 +351,14 @@ object Vector {
        |WHERE $l2SqlFrag < 1.5
        |ORDER BY qid, id""".stripMargin
 
+  /** §2.4 — partitioned HNSW k-NN (rows-only: the graph and therefore
+    * the approximate result depend on the session's partitioning;
+    * recall/determinism are asserted in HNSWSpec). */
+  def v14HnswKnn(s: SparkSession, dir: String): DataFrame =
+    graft.index.HNSW.knn(base(s, dir), qs(s, dir, "vec_id < 8"),
+      k = 10, efSearch = 96)
+      .orderBy(col("qid"), col("rank"))
+
   /** O7 — latency-bounded search: per-query probe budgets derived from
     * a calibrated per-list cost (rows-only; deterministic proxy for the
     * reference's wall-clock cutoff). */
@@ -368,6 +376,7 @@ object Vector {
     "a01_bounded_search" -> a01BoundedSearch _,
     "a02_latency_search" -> a02LatencySearch _,
     "v13_ivf_range" -> v13IvfRange _,
+    "v14_hnsw_knn" -> v14HnswKnn _,
     "v08_ivfpq_refine" -> v08IvfpqRefine _,
     "v11_ip_knn" -> v11IpKnn _,
     "v12_delete_search" -> v12DeleteSearch _,
