@@ -9,15 +9,21 @@ import graft.search.FlatSearch
   * `IndexHNSW.cpp` — the reference's graph index).
   *
   * The pointer-chasing build is inherently sequential, so the
-  * Spark-native form is **partitioned HNSW**: each partition builds a
-  * local graph over its rows inside `mapPartitions` (cost amortized
-  * over the query batch), beam-searches every query locally, and the
-  * global answer is the usual partial-top-k merge. No graph ever
-  * crosses the wire; parallelism is per-partition, the same contract
-  * as every other scan operator here.
+  * Spark-native form is **partitioned HNSW**: rows are bucketed into
+  * `nParts` deterministic blocks (`id % nParts`), each block builds a
+  * local graph ONCE ([[buildGraph]]) whose adjacency is a persistable
+  * DataFrame (write with [[writeGraph]], partitioned by block →
+  * partition-pruned loads); [[searchGraph]] loads the adjacency and
+  * beam-searches every query per block, and the global answer is the
+  * usual partial-top-k merge. Build-once / search-many — the same
+  * contract as the reference (`IndexHNSW.cpp` builds at add time, and
+  * `write_index` persists the graph) and as our IVF table.
   *
-  * Level assignment is derived from a hash of the id (not an RNG
-  * stream), so graphs are deterministic regardless of row order.
+  * Loading a block's adjacency into memory for search is the
+  * graph-in-RAM contract of HNSW itself; `nParts` bounds the per-task
+  * footprint. Level assignment is derived from a hash of the id (not
+  * an RNG stream), so graphs are deterministic regardless of row
+  * order or session.
   */
 object HNSW {
 
@@ -175,37 +181,116 @@ object HNSW {
         .map(n => (dist(n, q), ids(n)))
         .sortBy { case (d, id) => (d, id) }.take(k)
     }
+
+    /** Adjacency dump: (part, node, id, vec, level, nbrs-per-level). */
+    private[HNSW] def exportRows(part: Int)
+        : Iterator[(Int, Int, Long, Array[Float], Int, Array[Array[Int]])] =
+      ids.indices.iterator.map { n =>
+        (part, n, ids(n), vecs(n), levels(n), neighbors(n).map(_.toArray))
+      }
+
+    private[HNSW] def loadRow(id: Long, vec: Array[Float], level: Int,
+                              nbrs: Array[Array[Int]]): Unit = {
+      ids += id; vecs += vec; levels += level
+      neighbors += nbrs.map(a => scala.collection.mutable.ArrayBuffer.from(a))
+    }
+
+    private[HNSW] def finishLoad(): Unit = if (ids.nonEmpty) {
+      // the builder's entry point is the FIRST node that reached the
+      // final max level (entry only changes on a strict level increase),
+      // and node order follows the deterministic insert order — so this
+      // derivation reproduces it exactly
+      maxLevel = levels.max
+      entryPoint = levels.indexOf(maxLevel)
+    }
   }
 
-  /** Distributed k-NN: per-partition graph build + batch beam search +
-    * global top-k merge. Approximation comes only from the beam
-    * (efSearch), not the partitioning — every partition answers. */
-  def knn(base: DataFrame, queries: DataFrame, k: Int, m: Int = 16,
-          efConstruction: Int = 64, efSearch: Int = 64): DataFrame = {
+  object LocalGraph {
+    /** Rebuild a graph from persisted adjacency rows (node-index order). */
+    def fromAdjacency(rows: Array[(Int, Long, Array[Float], Int, Array[Array[Int]])])
+        : LocalGraph = {
+      val g = new LocalGraph(rows.headOption.map(_._3.length).getOrElse(0))
+      rows.foreach { case (_, id, vec, level, nbrs) => g.loadRow(id, vec, level, nbrs) }
+      g.finishLoad()
+      g
+    }
+  }
+
+  /** Build per-block graphs ONCE → adjacency DataFrame
+    * (part, node, id, vec, level, nbrs). Blocks are `id % nParts`
+    * (deterministic, independent of input partitioning); each build
+    * task materializes one block — size that with `nParts`. */
+  def buildGraph(base: DataFrame, nParts: Int = 8, m: Int = 16,
+                 efConstruction: Int = 64): DataFrame = {
     val spark = base.sparkSession
+    import spark.implicits._
+    val (mm, efc, p) = (m, efConstruction, nParts)
+    base
+      .select(org.apache.spark.sql.functions.col("id").cast("long"),
+        org.apache.spark.sql.functions.col("vec"))
+      .as[(Long, Array[Float])]
+      .groupByKey { case (id, _) => java.lang.Math.floorMod(id, p.toLong).toInt }
+      .flatMapGroups { (part, it) =>
+        val rows = it.toArray.sortBy(_._1) // one block; deterministic order
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val g = new LocalGraph(rows.head._2.length, mm, efc)
+          rows.foreach { case (id, v) => g.insert(id, v) }
+          g.exportRows(part)
+        }
+      }.toDF("part", "node", "id", "vec", "level", "nbrs")
+  }
+
+  /** Persist adjacency partitioned by block: a search probing blocks is
+    * a partition-pruned scan, mirroring the IVF table layout. */
+  def writeGraph(graph: DataFrame, path: String): Unit =
+    graph.repartition(org.apache.spark.sql.functions.col("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+
+  def readGraph(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Beam-search a persisted/cached graph: per block, load adjacency
+    * (no rebuild) and answer the whole query batch; global top-k merge.
+    * Approximation comes only from the beam (efSearch), not the
+    * partitioning — every block answers. `efSearch >= block size` makes
+    * the search exhaustive over each block → exact results. */
+  def searchGraph(graph: DataFrame, queries: DataFrame, k: Int,
+                  efSearch: Int = 64): DataFrame = {
+    val spark = graph.sparkSession
     import spark.implicits._
     val q: Array[(Long, Array[Float])] = queries
       .select(org.apache.spark.sql.functions.col("qid").cast("long"),
         org.apache.spark.sql.functions.col("vec"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val bq = spark.sparkContext.broadcast(q)
-    val (mm, efc, efs) = (m, efConstruction, efSearch)
-    val partials = base
-      .select(org.apache.spark.sql.functions.col("id").cast("long"),
-        org.apache.spark.sql.functions.col("vec"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val rows = it.toArray
-        if (rows.isEmpty) Iterator.empty
-        else {
-          val g = new LocalGraph(rows.head._2.length, mm, efc)
-          // deterministic insert order regardless of scan order
-          rows.sortBy(_._1).foreach { case (id, v) => g.insert(id, v) }
-          bq.value.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, k, efs).iterator.map { case (d, id) => (qid, id, d) }
-          }
+    val efs = efSearch
+    val partials = graph
+      .select(org.apache.spark.sql.functions.col("part").cast("int"),
+        org.apache.spark.sql.functions.col("node").cast("int"),
+        org.apache.spark.sql.functions.col("id").cast("long"),
+        org.apache.spark.sql.functions.col("vec"),
+        org.apache.spark.sql.functions.col("level").cast("int"),
+        org.apache.spark.sql.functions.col("nbrs"))
+      .as[(Int, Int, Long, Array[Float], Int, Array[Array[Int]])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.map { case (_, node, id, vec, level, nbrs) =>
+          (node, id, vec, level, nbrs)
+        }.toArray.sortBy(_._1)
+        val g = LocalGraph.fromAdjacency(rows)
+        bq.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, k, efs).iterator.map { case (d, id) => (qid, id, d) }
         }
       }.toDF("qid", "id", "dist")
     FlatSearch.mergeTopK(partials, k)
   }
+
+  /** Convenience one-shot: build (uncached) + search. Prefer
+    * [[buildGraph]]/[[IndexCache.hnsw]] + [[searchGraph]] so the build
+    * is paid once. */
+  def knn(base: DataFrame, queries: DataFrame, k: Int, m: Int = 16,
+          efConstruction: Int = 64, efSearch: Int = 64,
+          nParts: Int = 8): DataFrame =
+    searchGraph(buildGraph(base, nParts, m, efConstruction), queries, k, efSearch)
 }

@@ -10,6 +10,9 @@ import org.apache.spark.sql.DataFrame
   * `write_index`, `Auncel/eval/bound.cpp:265-268`). */
 object IndexCache {
   private val models = new ConcurrentHashMap[String, (IVFModel, DataFrame)]()
+  private val graphs = new ConcurrentHashMap[String, DataFrame]()
+  private val traces =
+    new ConcurrentHashMap[String, Array[graft.profile.ErrorProfile.Trace]]()
 
   def ivf(key: String, df: => DataFrame, nlist: Int, metric: String = "l2",
           seed: Long = 42L): (IVFModel, DataFrame) =
@@ -20,5 +23,23 @@ object IndexCache {
       (model, assigned)
     })
 
-  def clear(): Unit = models.clear()
+  /** Built-once HNSW adjacency (see [[HNSW.buildGraph]]) — search jobs
+    * pay beam search, never graph construction. */
+  def hnsw(key: String, df: => DataFrame, nParts: Int = 8, m: Int = 16,
+           efConstruction: Int = 64): DataFrame =
+    graphs.computeIfAbsent(s"$key|hnsw|$nParts|$m|$efConstruction", { _ =>
+      val g = HNSW.buildGraph(df, nParts, m, efConstruction).cache()
+      g.count()
+      g
+    })
+
+  /** Trained error-profile traces are model artifacts exactly like the
+    * centroids (the reference persists profile + index between train
+    * and search phases, `Auncel/eval/bound.cpp:265-268`) — bounded
+    * search pays trace lookup, not profile training. */
+  def profileTraces(key: String, train: => Array[graft.profile.ErrorProfile.Trace])
+      : Array[graft.profile.ErrorProfile.Trace] =
+    traces.computeIfAbsent(key, _ => train)
+
+  def clear(): Unit = { models.clear(); graphs.clear(); traces.clear() }
 }

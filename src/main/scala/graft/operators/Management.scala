@@ -89,9 +89,13 @@ object Management {
     * (qid, id, rank ≤ k)); `Auncel/profile.cpp:246-280`. */
   def recallAtK(results: DataFrame, gt: DataFrame, k: Int): DataFrame = {
     val r = results.filter(col("rank") <= k).select(col("qid"), col("id"))
-    val g = gt.filter(col("rank") <= k).select(col("qid"), col("id"))
-    r.join(g, Seq("qid", "id"))
-      .groupBy(col("qid")).agg((count(lit(1)) / k.toDouble).as("recall"))
+    val g = gt.filter(col("rank") <= k).select(col("qid"), col("id"),
+      lit(1).as("hit"))
+    // left join from results so a query with zero true hits still reports
+    // recall 0.0 (an inner join would silently drop it, inflating means)
+    r.join(g, Seq("qid", "id"), "left")
+      .groupBy(col("qid"))
+      .agg((sum(coalesce(col("hit"), lit(0))) / k.toDouble).as("recall"))
   }
 
   /** O13 — distance-threshold intersection recall (`inter_sec`,

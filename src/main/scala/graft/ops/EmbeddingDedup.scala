@@ -4,15 +4,23 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.{Kernels, VectorFunctions}
 import graft.index.BinaryHash
+import graft.operators.TopK
 
-/** Embedding-cosine near-duplicate detection, two regimes:
+/** Embedding-cosine near-duplicate detection, three regimes:
   *
-  *  - [[exactPairs]]: all-pairs cosine ≥ threshold — O(N²), fine for
-  *    small collections or as the verification oracle;
-  *  - [[lshPairs]]: the 100 TB path — random-hyperplane signatures,
-  *    banded equi-join for candidates (near-identical vectors agree on
-  *    most sign bits → share a band), exact cosine only on candidates.
-  *    Cost: O(N·bands) + O(candidates), never O(N²).
+  *  - [[exactPairs]]: all-pairs cosine ≥ threshold as one declarative
+  *    join — the small-data / verification-oracle form;
+  *  - [[exactPairTopK]]: exact top-k pairs via block-partitioned pair
+  *    enumeration — rows are bucketed into B blocks, each of the
+  *    B(B+1)/2 block-pairs is one bounded task holding exactly two
+  *    blocks; no driver collect and no full-collection broadcast, so
+  *    the O(N²) compute is spread over tasks with O(N/B·d) memory
+  *    each (the classic distributed all-pairs layout);
+  *  - [[lshPairs]]: the 100 TB thresholded path — random-hyperplane
+  *    signatures, banded equi-join for candidates (near-identical
+  *    vectors agree on most sign bits → share a band), exact cosine
+  *    only on candidate id pairs. Cost: O(N·bands) + O(candidates),
+  *    never O(N²).
   */
 object EmbeddingDedup {
 
@@ -25,29 +33,94 @@ object EmbeddingDedup {
       .select(col("a"), col("b"), col("cos"))
   }
 
+  /** Exact top-k most-similar pairs by cosine, distributed: each task
+    * sees two row blocks and keeps a bounded pair heap; the global merge
+    * is a k-row sort. Ties break on (a, b) ascending. Ids must fit in
+    * 32/31 bits (packed for the heap; checked).
+    *
+    * Shuffle volume is N×B rows; per-task memory two blocks — pick
+    * `nBlocks` so a block (≈N/B vectors) fits an executor core.
+    */
+  def exactPairTopK(df: DataFrame, k: Int, nBlocks: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bCount = nBlocks
+    val replicated = df.select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        require(id >= 0 && id < (1L << 31), s"pair packing needs id < 2^31: $id")
+        val blk = (id % bCount).toInt
+        // one copy per block-pair task this row participates in
+        (0 until bCount).iterator.map { o =>
+          val lo = math.min(blk, o); val hi = math.max(blk, o)
+          (lo * bCount + hi, blk, id, v)
+        }
+      }
+    val partials = replicated
+      .groupByKey(_._1)
+      .flatMapGroups { (task: Int, it: Iterator[(Int, Int, Long, Array[Float])]) =>
+        val i = task / bCount; val j = task % bCount
+        // two bounded blocks (the memory contract of this operator)
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        it.foreach { case (_, blk, id, v) =>
+          val row = (id, v, Kernels.norm(v))
+          if (blk == i) left += row else right += row
+        }
+        val heap = new TopK(k) // key = -cos, id = (a << 32) | b
+        def consider(x: (Long, Array[Float], Double), y: (Long, Array[Float], Double)): Unit = {
+          val (a, b) = if (x._1 < y._1) (x, y) else (y, x)
+          val cos = Kernels.dot(a._2, b._2) / (a._3 * b._3)
+          heap.add(-cos, (a._1 << 32) | b._1)
+        }
+        if (i == j) {
+          var p = 0
+          while (p < left.length) {
+            var q = p + 1
+            while (q < left.length) { consider(left(p), left(q)); q += 1 }
+            p += 1
+          }
+        } else {
+          var p = 0
+          while (p < left.length) {
+            var q = 0
+            while (q < right.length) { consider(left(p), right(q)); q += 1 }
+            p += 1
+          }
+        }
+        heap.sorted.iterator.map { case (negCos, packed) =>
+          (packed >>> 32, packed & 0xffffffffL, -negCos)
+        }
+      }
+      .toDF("a", "b", "cos")
+    partials.orderBy(col("cos").desc, col("a"), col("b")).limit(k)
+  }
+
   /** @param nBands bands over the 63-bit signature; a candidate pair
-    *               must agree exactly on ≥1 band (15 bits for 4 bands).
-    *               More bands → higher recall at lower thresholds. */
+    *               must agree exactly on ≥1 band (9 bits for 7 bands).
+    *               More bands → higher recall at lower thresholds.
+    *
+    * Only (band, key, id) rows travel through the candidate shuffle and
+    * the distinct; vectors are re-joined once per surviving pair and
+    * scored with the codegen'd cosine. */
   def lshPairs(df: DataFrame, model: BinaryHash.LSHModel, threshold: Double,
                nBands: Int = 7): DataFrame = {
-    val spark = df.sparkSession
-    val sigs = BinaryHash.encode(df, model).select(col("id"), col("vec"), col("sig"))
+    val sigs = BinaryHash.encode(df, model).select(col("id"), col("sig"))
     val width = 63 / nBands
     val mask = (1L << width) - 1
     val bands = (0 until nBands).map { b =>
-      sigs.select(col("id"), col("vec"), lit(b).as("band"),
+      sigs.select(col("id"), lit(b).as("band"),
         shiftright(col("sig"), b * width).bitwiseAND(mask).as("key"))
     }.reduce(_ unionByName _)
-    val x = bands.select(col("band"), col("key"), col("id").as("a"), col("vec").as("va"))
-    val y = bands.select(col("band"), col("key"), col("id").as("b"), col("vec").as("vb"))
-    val bth = threshold
-    val cosU = udf { (p: Seq[Float], q: Seq[Float]) =>
-      Kernels.cosine(p.toArray, q.toArray)
-    }
-    x.join(y, Seq("band", "key")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("va"), col("vb")).distinct()
-      .withColumn("cos", cosU(col("va"), col("vb")))
-      .filter(col("cos") >= bth)
+    val x = bands.select(col("band"), col("key"), col("id").as("a"))
+    val y = bands.select(col("band"), col("key"), col("id").as("b"))
+    val cand = x.join(y, Seq("band", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val va = df.select(col("id").as("a"), col("vec").as("va"))
+    val vb = df.select(col("id").as("b"), col("vec").as("vb"))
+    cand.join(va, Seq("a")).join(vb, Seq("b"))
+      .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
   }
 }

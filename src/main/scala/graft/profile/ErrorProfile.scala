@@ -35,10 +35,13 @@ object ErrorProfile {
     a
   }
 
+  /** Clamps to [-1, 1]: float rounding can put a raw inner product of
+    * L2-normalized vectors epsilon outside the domain (e.g. a query
+    * duplicating a base vector), which must not abort a search job. */
   def arcos(x: Float): Float = {
-    require(x <= 1f && x >= -1f, s"arcos domain: $x")
-    val idx = (x * ArcosSize / 2 + ArcosSize / 2).toInt
-    arcosList(math.min(idx, ArcosSize - 1))
+    val xc = math.max(-1f, math.min(1f, x))
+    val idx = (xc * ArcosSize / 2 + ArcosSize / 2).toInt
+    arcosList(math.max(0, math.min(idx, ArcosSize - 1)))
   }
 
   /** Distance from query to the bisector boundary (`IVF_pro.cpp:41-51`).

@@ -209,9 +209,11 @@ final case class SQModel(vmin: Array[Float], vmax: Array[Float]) extends Seriali
         else (v(i) - vmin(i)) / vdiff(i) * 255.0
       math.max(0, math.min(255, math.round(x))).toByte
     }
+  /** (code + 0.5)/255: same grid as the encoder's 255 steps — matches
+    * the reference Codec8bit (`IndexScalarQuantizer.cpp:73-81`). */
   def decode(code: Array[Byte]): Array[Float] =
     Array.tabulate(dim) { i =>
-      vmin(i) + (((code(i) & 0xff) + 0.5f) / 256.0f) * vdiff(i)
+      vmin(i) + (((code(i) & 0xff) + 0.5f) / 255.0f) * vdiff(i)
     }
 }
 

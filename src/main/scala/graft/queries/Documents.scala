@@ -207,7 +207,7 @@ object Documents {
       |  SELECT fp, MIN(doc_id) AS doc_id, MIN(lang) AS lang, MIN(n_tokens) AS n_tokens
       |  FROM scored WHERE stop_ratio >= 0.02 AND n_tokens >= 20
       |  GROUP BY fp)
-      |SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
       |  MIN(doc_id) AS first_doc
       |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin
 
@@ -340,11 +340,28 @@ object Documents {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
-  /** SimHash fingerprints + banded near-dup candidate pairs (rows-only:
-    * the bit arithmetic is asserted in OpsSpec; no portable SQL twin for
-    * 60-bit folds). */
+  /** SimHash fingerprints: per-word 60-bit hashes vote per bit, the
+    * majority forms the fingerprint. DuckDB twin reproduces the hex
+    * parse, shifts and the bit fold exactly (BIGINT xor/shift/and are
+    * portable). */
   def t08Simhash(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.simhash(docs(s, dir)).orderBy(col("doc_id"))
+
+  val t08Sql: String = {
+    val votes = (0 until 60)
+      .map(b => s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n  ")
+    val fp = (0 until 60)
+      .map(b => s"(CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" | ")
+    s"""WITH w AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents)
+       |  WHERE length(w) > 0),
+       |hh AS (SELECT doc_id, list_reduce(list_transform(string_split(substring(md5(w), 1, 15), ''),
+       |    c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1), (a, b) -> a * 16 + b) AS h FROM w),
+       |v AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id)
+       |SELECT doc_id, $fp AS simhash FROM v ORDER BY doc_id""".stripMargin
+  }
 
   /** Multimodal bookkeeping layer over binary payloads (text bytes stand
     * in for media blobs — the codecs are stubbed, the plumbing is real). */
@@ -364,18 +381,36 @@ object Documents {
 
   /** Multimodal feature pipeline: decode(stub) → resize → 16-d feature
     * vector → brute-force top-3 self-similarity — exercises the full
-    * media → vector-search handoff (rows-only; stub pixels). */
+    * media → vector-search handoff. The decode stub is deterministic
+    * byte arithmetic, so the whole pipeline has an exact SQL twin
+    * (feature f = byte[(64·(f/4) + 4·(f%4)) mod len] / 255). */
   def mm02MediaFeatures(s: SparkSession, dir: String): DataFrame = {
-    val media = docs(s, dir).limit(64).select(
+    val media = docs(s, dir).filter(col("doc_id") < 64).select(
       col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("payload"),
       lit("image/fake").as("mime"),
       lit(16).as("width"), lit(16).as("height"))
     val feats = graft.ops.Multimodal.decodeResizeFeatures(media, w2 = 4, h2 = 4)
       .select(col("media_id").as("id"), col("features").as("vec"))
-    val q = feats.limit(8).select(col("id").as("qid"), col("vec"))
+    val q = feats.filter(col("id") < 8).select(col("id").as("qid"), col("vec"))
     FlatSearch.knn(feats, q, k = 3).orderBy(col("qid"), col("rank"))
   }
+
+  val mm02Sql: String =
+    """WITH m AS (SELECT doc_id AS id, text, octet_length(encode(text)) AS len
+      |           FROM documents WHERE doc_id < 64),
+      |f AS (SELECT id, list_transform(range(0, 16), f ->
+      |        CAST(ascii(substring(text, CAST((64 * (f // 4) + 4 * (f % 4)) % len AS INTEGER) + 1, 1)) / 255.0 AS FLOAT)) AS vec
+      |      FROM m),
+      |q AS (SELECT id AS qid, vec AS qv FROM f WHERE id < 8),
+      |d AS (SELECT q.qid, b.id, list_sum(list_transform(range(1, 17), i ->
+      |        (CAST(q.qv[i] AS DOUBLE) - CAST(b.vec[i] AS DOUBLE)) *
+      |        (CAST(q.qv[i] AS DOUBLE) - CAST(b.vec[i] AS DOUBLE)))) AS dist
+      |      FROM q CROSS JOIN f b)
+      |SELECT qid, id, dist, rank FROM (
+      |  SELECT qid, id, dist,
+      |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t06_rolling_fp" -> t06RollingFp _,
@@ -398,7 +433,9 @@ object Documents {
   val oracles: Map[String, String] = Map(
     "t06_rolling_fp" -> t06Sql,
     "t07_lang_id" -> t07Sql,
+    "t08_simhash" -> t08Sql,
     "mm01_binary_stats" -> mm01Sql,
+    "mm02_media_features" -> mm02Sql,
     "d01_dedup_exact" -> d01Sql,
     "d02_minhash_sig" -> d02Sql,
     "d03_lsh_candidates" -> d03Sql,

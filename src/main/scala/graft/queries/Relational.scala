@@ -235,7 +235,7 @@ object Relational {
       .orderBy(col("event_type"))
 
   val q12Sql: String =
-    """SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+    """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -330,7 +330,7 @@ object Relational {
   val q18Sql: String = {
     val types = Seq("click", "error", "purchase", "signup", "view")
     val cols = types.map(ty =>
-      s"SUM(CASE WHEN event_type = '$ty' THEN 1 ELSE 0 END) AS n_$ty").mkString(",\n  ")
+      s"CAST(SUM(CASE WHEN event_type = '$ty' THEN 1 ELSE 0 END) AS BIGINT) AS n_$ty").mkString(",\n  ")
     s"""SELECT user_id, $cols
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   }

@@ -129,56 +129,61 @@ object Vector {
        |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
-  /** Approximate IVF search (nprobe = 4 of 16) — no SQL oracle (ANN
-    * result depends on the trained partitioning); recall vs exact is
-    * asserted in IVFSearchSpec instead. */
+  /** Approximate IVF search (nprobe = 4 of 16). The trained
+    * partitioning is data, not SQL — so the query persists its
+    * (list_no, centroid) and (id, list_no) tables and the DuckDB
+    * oracle replays probe → partition scan → top-k declaratively
+    * against them (exactly the driver-checkable form of O4+O5). */
   def v06IvfProbe(s: SparkSession, dir: String): DataFrame = {
     val (model, assigned) = graft.index.IndexCache.ivf(dir, base(s, dir), nlist = 16)
+    import s.implicits._
+    val oracleDir = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+    model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("list_no", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$oracleDir/v06_centroids.parquet")
+    assigned.select(col("id"), col("list_no")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$oracleDir/v06_assign.parquet")
     IVFSearch.search(assigned, model, qs(s, dir, "vec_id < 8"), k = 10, nprobe = 4)
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Probe ranking mirrors rankCentroids: float-cast coarse distance,
+    * tie-break by list id; scan+top-k over the probed lists only. */
+  val v06Sql: String = {
+    val odir = "/tmp/graft_oracle/sf0.01"
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |cent AS (SELECT list_no, centroid FROM read_parquet('$odir/v06_centroids.parquet/*.parquet')),
+       |cd AS (SELECT q.qid, c.list_no,
+       |  CAST(list_sum(list_transform(range(1, 65), i ->
+       |    (CAST(q.qv[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) *
+       |    (CAST(q.qv[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)))) AS FLOAT) AS cdist
+       |  FROM q CROSS JOIN cent c),
+       |probes AS (SELECT qid, list_no FROM (
+       |  SELECT qid, list_no, row_number() OVER (PARTITION BY qid ORDER BY cdist, list_no) AS rn FROM cd)
+       |  WHERE rn <= 4),
+       |asg AS (SELECT id, list_no FROM read_parquet('$odir/v06_assign.parquet/*.parquet')),
+       |cand AS (SELECT p.qid, a.id FROM probes p JOIN asg a ON p.list_no = a.list_no),
+       |d AS (SELECT cand.qid, b.vec_id AS id, $l2SqlFrag AS dist
+       |      FROM cand JOIN q ON cand.qid = q.qid JOIN embeddings b ON b.vec_id = cand.id)
+       |SELECT qid, id, dist, rank FROM (
+       |  SELECT qid, id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   }
 
   /** Embedding near-duplicate pairs: top-20 most-similar distinct pairs
     * by cosine — the embedding-cosine near-dup detector.
     *
-    * All-pairs self-similarity with per-partition bounded top-k over
-    * scalar kernels (Catalyst higher-order functions interpret per
-    * element — 30× slower on N² pairs). Norms are precomputed once per
-    * vector. The broadcast side is the whole (small) collection; at
-    * 100 TB this becomes block-partitioned pair enumeration, same merge. */
+    * Exact, and distributed: block-partitioned pair enumeration
+    * ([[graft.ops.EmbeddingDedup.exactPairTopK]]) — every task holds
+    * exactly two row blocks with a bounded pair heap; no driver collect
+    * and no full-collection broadcast. The thresholded 100 TB path (LSH
+    * bands + rerank) is v15. */
   def v07NearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.functions.Kernels
-    import graft.operators.TopK
-    val k = 20
-    val rows: Array[(Long, Array[Float], Double)] = emb(s, dir)
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-      .map { case (id, v) => (id, v, Kernels.norm(v)) }
-    val bAll = s.sparkContext.broadcast(rows)
-    val partials = emb(s, dir)
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val all = bAll.value
-        val heap = new TopK(k) // key = -sim; tie-break by packed (a,b)
-        it.foreach { case (ida, va) =>
-          val na = Kernels.norm(va)
-          var j = 0
-          while (j < all.length) {
-            val (idb, vb, nb) = all(j)
-            if (idb > ida) {
-              val sim = Kernels.dot(va, vb) / (na * nb)
-              heap.add(-sim, (ida << 21) | idb)
-            }
-            j += 1
-          }
-        }
-        heap.sorted.iterator.map { case (negSim, packed) =>
-          (packed >> 21, packed & ((1L << 21) - 1), -negSim)
-        }
-      }.toDF("a", "b", "sim")
-    partials.orderBy(col("sim").desc, col("a"), col("b")).limit(k)
+    val b = emb(s, dir)
+      .select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"))
+    graft.ops.EmbeddingDedup.exactPairTopK(b, k = 20, nBlocks = 8)
+      .withColumnRenamed("cos", "sim")
   }
 
   val v07Sql: String =
@@ -188,6 +193,37 @@ object Vector {
       |   sqrt(list_sum(list_transform(range(1, 65), i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))) AS sim
       |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
       |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin
+
+  /** The bucketed near-dup scale path end-to-end, oracle-checkable:
+    * every vector gets a planted duplicate at id+1,000,000 with an
+    * identical embedding, so the duplicate's 63-bit sign signature
+    * agrees bit-for-bit with the original's → banded LSH finds every
+    * planted pair with provable recall 1 (the exact-config trick); the
+    * exact cosine rerank at 0.99 then rejects all other candidates
+    * (the data's max original-pair cosine is ≈0.6). What the driver
+    * verifies here is the same plan a 100 TB near-dup run uses:
+    * signatures → band equi-join → id-distinct → rerank join. */
+  def v15NeardupLsh(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.BinaryHash
+    val b = base(s, dir).select(col("id"), col("vec"))
+    val planted = b.unionByName(
+      b.select((col("id") + 1000000L).as("id"), col("vec")))
+    val model = BinaryHash.train(d = 64, nbits = 63, seed = 7L)
+    graft.ops.EmbeddingDedup.lshPairs(planted, model, threshold = 0.99)
+      .orderBy(col("a"), col("b"))
+  }
+
+  val v15Sql: String =
+    """WITH u AS (
+      |  SELECT vec_id AS id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS id, embedding FROM embeddings),
+      |p AS (SELECT x.id AS a, y.id AS b,
+      |  list_sum(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) /
+      |  (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))) *
+      |   sqrt(list_sum(list_transform(range(1, 65), i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))) AS cos
+      |  FROM u x JOIN u y ON x.id < y.id)
+      |SELECT a, b, cos FROM p WHERE cos >= 0.99 ORDER BY a, b""".stripMargin
 
   /** O5+PQ — IVFPQ with exact-rerank refinement, configured so the
     * candidate pool covers the collection (nprobe=nlist, kFactor·k ≥ N):
@@ -230,7 +266,7 @@ object Vector {
         val mn = element_at(lit(mins), i + 1)
         val df = element_at(lit(diffs), i + 1)
         val code = least(lit(255.0), greatest(lit(0.0), round((x - mn) / df * 255)))
-        val dec = (mn + (code + 0.5) / 256.0 * df).cast("float").cast("double")
+        val dec = (mn + (code + 0.5) / 255.0 * df).cast("float").cast("double")
         (x - dec) * (x - dec)
       }),
       lit(0.0), (acc, x) => acc + x)
@@ -247,7 +283,7 @@ object Vector {
       |  CAST(e.embedding[i] AS DOUBLE) -
       |    CAST(CAST(d.mns[i] + (LEAST(255.0, GREATEST(0.0,
       |      round((CAST(e.embedding[i] AS DOUBLE) - d.mns[i]) / (d.mxs[i] - d.mns[i]) * 255, 0)))
-      |      + 0.5) / 256.0 * (d.mxs[i] - d.mns[i]) AS FLOAT) AS DOUBLE)
+      |      + 0.5) / 255.0 * (d.mxs[i] - d.mns[i]) AS FLOAT) AS DOUBLE)
       |), y -> y * y)) AS sq_err
       |FROM embeddings e CROSS JOIN dims d ORDER BY e.vec_id""".stripMargin
 
@@ -316,14 +352,26 @@ object Vector {
     * (required recall 0.9). Output includes per-query nprobe_used —
     * inherently not SQL-expressible (rows-only check; the bound
     * guarantee is asserted in BoundedSearchSpec). */
-  def a01BoundedSearch(s: SparkSession, dir: String): DataFrame = {
+  /** Trained traces are cached beside the IVF model — searches pay
+    * trace lookup, not profile training (the reference likewise
+    * persists index + profile between phases, `eval/bound.cpp:265-268`). */
+  private def cachedTraces(s: SparkSession, dir: String)
+      : (graft.index.IVFModel, DataFrame, Array[graft.profile.ErrorProfile.Trace]) = {
     import graft.profile.ProfileTrainer
-    import graft.search.{BoundedSearch, FlatSearch}
+    import graft.search.FlatSearch
     val b = base(s, dir)
     val (model, assigned) = graft.index.IndexCache.ivf(dir, b, nlist = 16)
-    val trainQ = qs(s, dir, "vec_id >= 100 AND vec_id < 200")
-    val gt = FlatSearch.knn(b, trainQ, k = 10)
-    val traces = ProfileTrainer.train(assigned, model, trainQ, gt, maxTopk = 10, bs = 50)
+    val traces = graft.index.IndexCache.profileTraces(s"$dir|16|l2|profile", {
+      val trainQ = qs(s, dir, "vec_id >= 100 AND vec_id < 200")
+      val gt = FlatSearch.knn(b, trainQ, k = 10)
+      ProfileTrainer.train(assigned, model, trainQ, gt, maxTopk = 10, bs = 50)
+    })
+    (model, assigned, traces)
+  }
+
+  def a01BoundedSearch(s: SparkSession, dir: String): DataFrame = {
+    import graft.search.BoundedSearch
+    val (model, assigned, traces) = cachedTraces(s, dir)
     val evalQ = qs(s, dir, "vec_id < 32").withColumn("required_recall", lit(0.9f))
     val res = BoundedSearch.search(assigned, model, traces, evalQ, k = 10,
       multiplier = 4.0f, stdM = 1.0f)
@@ -333,6 +381,55 @@ object Vector {
       .select(col("qid"), col("id"), col("dist"), col("rank"), col("nprobe_used"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** Bounded search in an exact-by-construction configuration (the
+    * `eval/bound.cpp:400-414` acceptance trick): multiplier = nlist, so
+    * whatever stage a query decides at, it probes out to
+    * stage × nlist ≥ nlist lists — full probe, provably exact → the
+    * brute-force SQL oracle checks the ENTIRE adaptive machinery
+    * (staged rounds, profile decisions, finishing pass, merge). */
+  def a03BoundedExact(s: SparkSession, dir: String): DataFrame = {
+    import graft.search.BoundedSearch
+    val (model, assigned, traces) = cachedTraces(s, dir)
+    val evalQ = qs(s, dir, "vec_id >= 64 AND vec_id < 72")
+      .withColumn("required_recall", lit(0.9f))
+    val res = BoundedSearch.search(assigned, model, traces, evalQ, k = 10,
+      multiplier = 16.0f, stdM = 1.0f)
+    res.results.orderBy(col("qid"), col("rank"))
+  }
+
+  val a03Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id >= 64 AND vec_id < 72),
+       |d AS (SELECT q.qid, b.vec_id AS id, $l2SqlFrag AS dist
+       |      FROM q CROSS JOIN embeddings b)
+       |SELECT qid, id, dist, rank FROM (
+       |  SELECT qid, id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  /** Latency-bounded search with budgets ≥ nlist × per-probe cost —
+    * every budget resolves to a full probe, provably exact → oracle
+    * checks the budget→probe-count plumbing end-to-end. */
+  def a04LatencyExact(s: SparkSession, dir: String): DataFrame = {
+    import graft.search.BoundedSearch
+    val (model, assigned) = graft.index.IndexCache.ivf(dir, base(s, dir), nlist = 16)
+    val q = qs(s, dir, "vec_id >= 72 AND vec_id < 80")
+      .withColumn("budget_ms", lit(40.0)) // 40·0.95/1.0 = 38 ≥ nlist
+    val res = BoundedSearch.timeSearch(assigned, model, q, k = 10,
+      costPerProbeMs = 1.0)
+    res.results.orderBy(col("qid"), col("rank"))
+  }
+
+  val a04Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id >= 72 AND vec_id < 80),
+       |d AS (SELECT q.qid, b.vec_id AS id, $l2SqlFrag AS dist
+       |      FROM q CROSS JOIN embeddings b)
+       |SELECT qid, id, dist, rank FROM (
+       |  SELECT qid, id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   /** O3 over the IVF table at full probe — partition-pruned range scan,
     * provably equal to the flat range (brute-force SQL oracle). */
@@ -351,13 +448,21 @@ object Vector {
        |WHERE $l2SqlFrag < 1.5
        |ORDER BY qid, id""".stripMargin
 
-  /** §2.4 — partitioned HNSW k-NN (rows-only: the graph and therefore
-    * the approximate result depend on the session's partitioning;
-    * recall/determinism are asserted in HNSWSpec). */
-  def v14HnswKnn(s: SparkSession, dir: String): DataFrame =
-    graft.index.HNSW.knn(base(s, dir), qs(s, dir, "vec_id < 8"),
-      k = 10, efSearch = 96)
+  /** §2.4 — partitioned HNSW k-NN over the built-once cached adjacency
+    * (build ≡ write_index, search ≡ load + beam). efSearch far exceeds
+    * the block size, so each block's beam is exhaustive and the result
+    * provably exact → brute-force SQL oracle checks the whole graph
+    * machinery (build determinism, persistence, descent, beam, merge).
+    * Approximate operating points (efSearch ≈ 64) are asserted for
+    * recall in HNSWSpec. */
+  def v14HnswKnn(s: SparkSession, dir: String): DataFrame = {
+    val graph = graft.index.IndexCache.hnsw(dir, base(s, dir), nParts = 8)
+    graft.index.HNSW.searchGraph(graph, qs(s, dir, "vec_id < 8"),
+      k = 10, efSearch = 1 << 20)
       .orderBy(col("qid"), col("rank"))
+  }
+
+  val v14Sql: String = v01Sql // same query set, k, metric — exact config
 
   /** O7 — latency-bounded search: per-query probe budgets derived from
     * a calibrated per-list cost (rows-only; deterministic proxy for the
@@ -375,6 +480,8 @@ object Vector {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_bounded_search" -> a01BoundedSearch _,
     "a02_latency_search" -> a02LatencySearch _,
+    "a03_bounded_exact" -> a03BoundedExact _,
+    "a04_latency_exact" -> a04LatencyExact _,
     "v13_ivf_range" -> v13IvfRange _,
     "v14_hnsw_knn" -> v14HnswKnn _,
     "v08_ivfpq_refine" -> v08IvfpqRefine _,
@@ -388,9 +495,14 @@ object Vector {
     "v04_cosine_topk" -> v04CosineTopK _,
     "v05_ivf_exact" -> v05IvfExact _,
     "v06_ivf_probe" -> v06IvfProbe _,
-    "v07_neardup_pairs" -> v07NearDupPairs _)
+    "v07_neardup_pairs" -> v07NearDupPairs _,
+    "v15_neardup_lsh" -> v15NeardupLsh _)
 
   val oracles: Map[String, String] = Map(
+    "a03_bounded_exact" -> a03Sql,
+    "a04_latency_exact" -> a04Sql,
+    "v06_ivf_probe" -> v06Sql,
+    "v14_hnsw_knn" -> v14Sql,
     "v08_ivfpq_refine" -> v08Sql,
     "v13_ivf_range" -> v13Sql,
     "v11_ip_knn" -> v11Sql,
@@ -402,5 +514,6 @@ object Vector {
     "v03_range_search" -> v03Sql,
     "v04_cosine_topk" -> v04Sql,
     "v05_ivf_exact" -> v05Sql,
-    "v07_neardup_pairs" -> v07Sql)
+    "v07_neardup_pairs" -> v07Sql,
+    "v15_neardup_lsh" -> v15Sql)
 }

@@ -101,12 +101,14 @@ object BoundedSearch {
         // stack up (a full materialization — skip for shallow schedules).
         state = if (j >= 3) merged.localCheckpoint(eager = true)
                 else merged.cache()
-        prev.unpersist()
 
-        // decision: per-query sorted top-k distances
+        // decision: per-query sorted top-k distances. This collect also
+        // materializes the (lazy) cache — only THEN is it safe to drop
+        // the previous round's cached state.
         val topkD: Map[Long, Array[Double]] = state
           .groupBy(col("qid")).agg(sort_array(collect_list(col("dist"))).as("d"))
           .as[(Long, Array[Double])].collect().toMap
+        prev.unpersist()
 
         active.foreach { qi =>
           topkD.get(qVecs(qi)._1).foreach(dRaw => decider.evaluate(qi, j, dRaw))
