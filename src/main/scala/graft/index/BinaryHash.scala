@@ -1,7 +1,6 @@
 package graft.index
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Kernels
 
@@ -40,14 +39,32 @@ object BinaryHash {
   }
 
   /** Hamming k-NN over signatures — broadcast query signatures, integer
-    * xor/popcount in WholeStageCodegen, window merge. */
+    * xor/popcount scan with per-partition bounded heaps: the shuffle
+    * carries parts × nq × k candidate rows, never N × nq. */
   def knnHamming(sigs: DataFrame, querySigs: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(querySigs.select(col("qid"), col("sig").as("qsig")))
-    val d = sigs.select(col("id"), col("sig")).crossJoin(q)
-      .withColumn("dist", bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("double"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
-    d.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("id"), col("dist"), col("rank"))
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val q: Array[(Long, Long)] = querySigs
+      .select(col("qid").cast("long"), col("sig").cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val bq = spark.sparkContext.broadcast(q)
+    val partials = sigs.select(col("id").cast("long"), col("sig").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val qs = bq.value
+        val heaps = qs.map(_ => new graft.operators.TopK(k))
+        it.foreach { case (id, sig) =>
+          var i = 0
+          while (i < qs.length) {
+            heaps(i).add(java.lang.Long.bitCount(sig ^ qs(i)._2).toDouble, id)
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.sorted.iterator.map { case (d, id) => (qs(i)._1, id, d) }
+        }
+      }.toDF("qid", "id", "dist")
+    graft.search.FlatSearch.mergeTopK(partials, k)
   }
 
   /** End-to-end: encode base + queries, Hamming search, then exact

@@ -41,5 +41,18 @@ object IndexCache {
       : Array[graft.profile.ErrorProfile.Trace] =
     traces.computeIfAbsent(key, _ => train)
 
-  def clear(): Unit = { models.clear(); graphs.clear(); traces.clear() }
+  /** Generic built-once cached DataFrame (e.g. MinHash signature
+    * tables shared across the dedup pipeline's queries). */
+  def frame(key: String, build: => DataFrame): DataFrame =
+    frames.computeIfAbsent(key, { _ =>
+      val df = build.cache()
+      df.count()
+      df
+    })
+
+  private val frames = new ConcurrentHashMap[String, DataFrame]()
+
+  def clear(): Unit = {
+    models.clear(); graphs.clear(); traces.clear(); frames.clear()
+  }
 }

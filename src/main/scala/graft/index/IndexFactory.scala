@@ -63,10 +63,12 @@ object IndexFactory {
   }
 
   /** A trained index: transform chain + optional IVF coarse model +
-    * optional code model, and the encoded collection. */
+    * optional code model, the encoded collection, and (for HNSW specs)
+    * the built-once graph adjacency. */
   final case class GraftIndex(spec: Spec, chain: TransformChain,
                               ivf: Option[IVFModel], pq: Option[PQModel],
-                              sq: Option[SQModel], data: DataFrame) {
+                              sq: Option[SQModel], data: DataFrame,
+                              graph: Option[DataFrame] = None) {
 
     def search(queries: DataFrame, k: Int, nprobe: Int = 8): DataFrame = {
       val spark = queries.sparkSession
@@ -77,8 +79,9 @@ object IndexFactory {
         queries.withColumn("vec", u(col("vec")))
       }
       spec.hnswM match {
-        case Some(mm) => return HNSW.knn(data, tq, k, m = mm,
-          efSearch = math.max(64, 4 * k))
+        case Some(mm) =>
+          val g = graph.getOrElse(HNSW.buildGraph(data, m = mm))
+          return HNSW.searchGraph(g, tq, k, efSearch = math.max(64, 4 * k))
         case None =>
       }
       (ivf, pq, sq) match {
@@ -131,7 +134,10 @@ object IndexFactory {
 
     s.enc match {
       case FlatEnc =>
-        GraftIndex(s, chain, ivfModel, None, None, assigned.cache())
+        val graph = s.hnswM.map { mm =>
+          val g = HNSW.buildGraph(assigned, m = mm).cache(); g.count(); g
+        }
+        GraftIndex(s, chain, ivfModel, None, None, assigned.cache(), graph)
       case PQEnc(m) =>
         ivfModel match {
           case Some(im) =>

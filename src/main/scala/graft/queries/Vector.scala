@@ -80,18 +80,43 @@ object Vector {
        |WHERE $l2SqlFrag < 1.5
        |ORDER BY qid, id""".stripMargin
 
-  /** Cosine top-k (inner-product family; declarative column-function
-    * path — stays fully inside WholeStageCodegen). */
+  /** Cosine top-k (inner-product family). Same partial-heap shape as
+    * every other k-NN path: per-partition bounded heaps shuffle only
+    * parts × nq × k rows — never the N × nq cross product — and the
+    * window ranks just those partials. Query norms are precomputed
+    * once; base norms once per row. */
   def v04CosineTopK(s: SparkSession, dir: String): DataFrame = {
-    val q = broadcast(qs(s, dir, "vec_id >= 8 AND vec_id < 16")
-      .select(col("qid"), col("vec").as("qvec")))
-    val b = base(s, dir)
-    val sim = b.crossJoin(q)
-      .withColumn("sim", cosine(col("qvec"), col("vec")))
-      .filter(col("qid") =!= col("id"))
+    import s.implicits._
+    import graft.functions.Kernels
+    import graft.operators.TopK
+    val k = 5
+    val q = qs(s, dir, "vec_id >= 8 AND vec_id < 16")
+      .select(col("qid").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (qid, v) => (qid, v, Kernels.norm(v)) }
+    val bq = s.sparkContext.broadcast(q)
+    val partials = base(s, dir)
+      .select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qsv = bq.value
+        val heaps = qsv.map(_ => new TopK(k))
+        it.foreach { case (id, vec) =>
+          val n = Kernels.norm(vec)
+          var i = 0
+          while (i < qsv.length) {
+            val (qid, qv, qn) = qsv(i)
+            if (qid != id) heaps(i).add(-(Kernels.dot(qv, vec) / (qn * n)), id)
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.sorted.iterator.map { case (negSim, id) => (qsv(i)._1, id, -negSim) }
+        }
+      }.toDF("qid", "id", "sim")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
-    sim.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    partials.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("sim"), col("rank"))
       .orderBy(col("qid"), col("rank"))
   }
