@@ -32,6 +32,69 @@ object BinaryHash {
     LSHModel(Array.fill(nbits)(Array.fill(d)(rnd.nextGaussian().toFloat)))
   }
 
+  /** Arbitrary-width binary codes (`Auncel/IndexBinaryFlat.h:21`,
+    * `hamming.cpp`): signatures packed 64 bits per LONG word in an
+    * ARRAY<LONG> column; Hamming distance = per-word xor popcount sum. */
+  final case class WideLSHModel(planes: Array[Array[Float]]) extends Serializable {
+    val nbits: Int = planes.length
+    val nWords: Int = (nbits + 63) / 64
+    def signature(v: Array[Float]): Array[Long] = {
+      val sig = new Array[Long](nWords)
+      var b = 0
+      while (b < nbits) {
+        if (Kernels.dot(planes(b), v) >= 0) sig(b >> 6) |= (1L << (b & 63))
+        b += 1
+      }
+      sig
+    }
+  }
+
+  def trainWide(d: Int, nbits: Int, seed: Long = 42L): WideLSHModel = {
+    val rnd = new scala.util.Random(seed)
+    WideLSHModel(Array.fill(nbits)(Array.fill(d)(rnd.nextGaussian().toFloat)))
+  }
+
+  def encodeWide(df: DataFrame, model: WideLSHModel,
+                 vecCol: String = "vec"): DataFrame = {
+    val bm = df.sparkSession.sparkContext.broadcast(model)
+    val u = udf { v: Seq[Float] => bm.value.signature(v.toArray) }
+    df.withColumn("sig", u(col(vecCol)))
+  }
+
+  def hammingWide(a: Array[Long], b: Array[Long]): Int = {
+    var s = 0; var i = 0
+    while (i < a.length) { s += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1 }
+    s
+  }
+
+  /** Hamming k-NN over multi-word signatures — same bounded partial-heap
+    * shape as [[knnHamming]]. */
+  def knnHammingWide(sigs: DataFrame, querySigs: DataFrame, k: Int): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val q: Array[(Long, Array[Long])] = querySigs
+      .select(col("qid").cast("long"), col("sig"))
+      .as[(Long, Array[Long])].collect().sortBy(_._1)
+    val bq = spark.sparkContext.broadcast(q)
+    val partials = sigs.select(col("id").cast("long"), col("sig"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val qs = bq.value
+        val heaps = qs.map(_ => new graft.operators.TopK(k))
+        it.foreach { case (id, sig) =>
+          var i = 0
+          while (i < qs.length) {
+            heaps(i).add(hammingWide(sig, qs(i)._2).toDouble, id)
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.sorted.iterator.map { case (d, id) => (qs(i)._1, id, d) }
+        }
+      }.toDF("qid", "id", "dist")
+    graft.search.FlatSearch.mergeTopK(partials, k)
+  }
+
   def encode(df: DataFrame, model: LSHModel, vecCol: String = "vec"): DataFrame = {
     val bm = df.sparkSession.sparkContext.broadcast(model)
     val u = udf { v: Seq[Float] => bm.value.signature(v.toArray) }

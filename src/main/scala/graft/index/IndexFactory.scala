@@ -2,7 +2,7 @@ package graft.index
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.quantize.{ProductQuantizer, PQModel, ScalarQuantizer, SQModel}
+import graft.quantize.{FP16Codec, ProductQuantizer, PQModel, ScalarCodec, ScalarQuantizer, ScalarVariants, SQ4}
 import graft.search.{FlatSearch, IVFSearch}
 import graft.transforms._
 
@@ -24,6 +24,9 @@ object IndexFactory {
   case object FlatEnc extends Encoding
   final case class PQEnc(m: Int) extends Encoding
   case object SQ8Enc extends Encoding
+  case object SQ4Enc extends Encoding
+  case object SQ4UEnc extends Encoding
+  case object FP16Enc extends Encoding
 
   final case class Spec(pre: Seq[PreTok], nlist: Option[Int], enc: Encoding,
                         hnswM: Option[Int] = None)
@@ -55,6 +58,9 @@ object IndexFactory {
       case "Flat"    => enc = Some(FlatEnc)
       case pqp(m)    => enc = Some(PQEnc(m.toInt))
       case "SQ8"     => enc = Some(SQ8Enc)
+      case "SQ4"     => enc = Some(SQ4Enc)
+      case "SQ4U"    => enc = Some(SQ4UEnc)
+      case "SQfp16"  => enc = Some(FP16Enc)
       case tok => throw new IllegalArgumentException(
         s"index_factory: unsupported token '$tok' in '$spec'")
     }
@@ -67,7 +73,7 @@ object IndexFactory {
     * the built-once graph adjacency. */
   final case class GraftIndex(spec: Spec, chain: TransformChain,
                               ivf: Option[IVFModel], pq: Option[PQModel],
-                              sq: Option[SQModel], data: DataFrame,
+                              sq: Option[ScalarCodec], data: DataFrame,
                               graph: Option[DataFrame] = None) {
 
     def search(queries: DataFrame, k: Int, nprobe: Int = 8): DataFrame = {
@@ -96,7 +102,7 @@ object IndexFactory {
       }
     }
 
-    private def decodeScanIVF(m: IVFModel, s: SQModel, tq: DataFrame,
+    private def decodeScanIVF(m: IVFModel, s: ScalarCodec, tq: DataFrame,
                               k: Int, nprobe: Int): DataFrame = {
       val spark = data.sparkSession
       val bs = spark.sparkContext.broadcast(s)
@@ -153,6 +159,14 @@ object IndexFactory {
         val sq = ScalarQuantizer.train(assigned)
         GraftIndex(s, chain, ivfModel, None, Some(sq),
           ScalarQuantizer.encode(assigned, sq).drop("vec").cache())
+      case SQ4Enc | SQ4UEnc =>
+        val sq = SQ4.train(assigned, uniform = s.enc == SQ4UEnc)
+        GraftIndex(s, chain, ivfModel, None, Some(sq),
+          ScalarVariants.encode(assigned, sq).drop("vec").cache())
+      case FP16Enc =>
+        val codec = FP16Codec(dim)
+        GraftIndex(s, chain, ivfModel, None, Some(codec),
+          ScalarVariants.encode(assigned, codec).drop("vec").cache())
     }
   }
 }

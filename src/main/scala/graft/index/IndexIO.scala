@@ -2,7 +2,7 @@ package graft.index
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.quantize.{PQModel, SQModel}
+import graft.quantize.{FP16Codec, PQModel, ScalarCodec, SQModel, SQ4Model}
 import graft.transforms._
 
 /** Model persistence — the Spark form of the reference's
@@ -42,21 +42,51 @@ object IndexIO {
     PQModel(m, nbits, books.map(_.toArray))
   }
 
-  // ---- scalar quantizer: (pos, vmin, vmax) ----
+  // ---- scalar codecs: (pos, vmin, vmax) ranges, or dim-only (fp16) ----
 
-  def saveSQ(sq: SQModel, path: String, spark: SparkSession): Unit = {
+  def saveSQ(sq: SQModel, path: String, spark: SparkSession): Unit =
+    saveRanges(sq.vmin, sq.vmax, path, spark)
+
+  def loadSQ(path: String, spark: SparkSession): SQModel = {
+    val (vmin, vmax) = loadRanges(path, spark)
+    SQModel(vmin, vmax)
+  }
+
+  private def saveRanges(vmin: Array[Float], vmax: Array[Float], path: String,
+                         spark: SparkSession): Unit = {
     import spark.implicits._
-    (0 until sq.dim).map(i => (i, sq.vmin(i), sq.vmax(i)))
+    vmin.indices.map(i => (i, vmin(i), vmax(i)))
       .toDF("pos", "vmin", "vmax")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  def loadSQ(path: String, spark: SparkSession): SQModel = {
+  private def loadRanges(path: String, spark: SparkSession): (Array[Float], Array[Float]) = {
     import spark.implicits._
     val rows = spark.read.parquet(path)
       .select(col("pos"), col("vmin"), col("vmax"))
       .as[(Int, Float, Float)].collect().sortBy(_._1)
-    SQModel(rows.map(_._2), rows.map(_._3))
+    (rows.map(_._2), rows.map(_._3))
+  }
+
+  /** Which scalar codec a [[ScalarCodec]] instance is, for manifests. */
+  private def sqKind(c: ScalarCodec): String = c match {
+    case _: SQModel   => "sq8"
+    case _: SQ4Model  => "sq4"
+    case _: FP16Codec => "fp16"
+  }
+
+  def saveCodec(c: ScalarCodec, path: String, spark: SparkSession): Unit = c match {
+    case s: SQModel   => saveRanges(s.vmin, s.vmax, path, spark)
+    case s: SQ4Model  => saveRanges(s.vmin, s.vmax, path, spark)
+    case _: FP16Codec => // dim-only; recorded in the manifest
+  }
+
+  def loadCodec(kind: String, dim: Int, path: String,
+                spark: SparkSession): ScalarCodec = kind match {
+    case "sq8"  => val (mn, mx) = loadRanges(path, spark); SQModel(mn, mx)
+    case "sq4"  => val (mn, mx) = loadRanges(path, spark); SQ4Model(mn, mx)
+    case "fp16" => FP16Codec(dim)
+    case k => throw new IllegalArgumentException(s"unknown codec kind $k")
   }
 
   // ---- LSH hyperplanes: (bit, plane) ----
@@ -141,14 +171,15 @@ object IndexIO {
   def saveIndex(gi: IndexFactory.GraftIndex, spec: String, path: String): Unit = {
     val spark = gi.data.sparkSession
     import spark.implicits._
-    Seq((spec, gi.ivf.isDefined, gi.pq.isDefined, gi.sq.isDefined,
-        gi.graph.isDefined))
-      .toDF("spec", "has_ivf", "has_pq", "has_sq", "has_graph")
+    Seq((spec, gi.ivf.isDefined, gi.pq.isDefined,
+        gi.sq.map(sqKind).getOrElse("none"),
+        gi.sq.map(_.dim).getOrElse(0), gi.graph.isDefined))
+      .toDF("spec", "has_ivf", "has_pq", "sq_kind", "sq_dim", "has_graph")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
     saveChain(gi.chain, s"$path/chain", spark)
     gi.ivf.foreach(m => IVFIndex.saveModel(m, s"$path/ivf", spark))
     gi.pq.foreach(p => savePQ(p, s"$path/pq", spark))
-    gi.sq.foreach(q => saveSQ(q, s"$path/sq", spark))
+    gi.sq.foreach(q => saveCodec(q, s"$path/sq", spark))
     gi.graph.foreach(g => HNSW.writeGraph(g, s"$path/graph"))
     if (gi.data.columns.contains("list_no"))
       IVFIndex.write(gi.data, s"$path/data")
@@ -157,17 +188,17 @@ object IndexIO {
 
   def loadIndex(path: String, spark: SparkSession): IndexFactory.GraftIndex = {
     import spark.implicits._
-    val (spec, hasIvf, hasPq, hasSq, hasGraph) =
+    val (spec, hasIvf, hasPq, sqKindS, sqDim, hasGraph) =
       spark.read.parquet(s"$path/manifest")
-        .select(col("spec"), col("has_ivf"), col("has_pq"), col("has_sq"),
-          col("has_graph"))
-        .as[(String, Boolean, Boolean, Boolean, Boolean)].head()
+        .select(col("spec"), col("has_ivf"), col("has_pq"), col("sq_kind"),
+          col("sq_dim"), col("has_graph"))
+        .as[(String, Boolean, Boolean, String, Int, Boolean)].head()
     IndexFactory.GraftIndex(
       IndexFactory.parse(spec),
       loadChain(s"$path/chain", spark),
       if (hasIvf) Some(IVFIndex.loadModel(s"$path/ivf", spark)) else None,
       if (hasPq) Some(loadPQ(s"$path/pq", spark)) else None,
-      if (hasSq) Some(loadSQ(s"$path/sq", spark)) else None,
+      if (sqKindS != "none") Some(loadCodec(sqKindS, sqDim, s"$path/sq", spark)) else None,
       spark.read.parquet(s"$path/data"),
       if (hasGraph) Some(HNSW.readGraph(spark, s"$path/graph")) else None)
   }

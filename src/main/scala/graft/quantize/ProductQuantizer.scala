@@ -196,11 +196,12 @@ object ProductQuantizer {
   }
 }
 
-/** Scalar quantizer, 8-bit uniform per dimension
+/** Scalar quantizer, 8-bit per dimension
   * (`Auncel/IndexScalarQuantizer.cpp` QT_8bit): per-dim [min, max] from
   * the collection, code = round(255·(x−min)/(max−min)). */
-final case class SQModel(vmin: Array[Float], vmax: Array[Float]) extends Serializable {
+final case class SQModel(vmin: Array[Float], vmax: Array[Float]) extends ScalarCodec {
   def dim: Int = vmin.length
+  def codeSize: Int = dim
   /** Per-dim range; float like the reference's trained vdiff. */
   val vdiff: Array[Float] = Array.tabulate(vmin.length)(i => vmax(i) - vmin(i))
   def encode(v: Array[Float]): Array[Byte] =
@@ -233,8 +234,8 @@ object ScalarQuantizer {
     df.withColumn("code", u(col(vecCol)))
   }
 
-  /** Decode-and-scan k-NN over SQ codes. */
-  def knn(codes: DataFrame, model: SQModel, queries: DataFrame, k: Int,
+  /** Decode-and-scan k-NN over scalar-quantized codes (any codec). */
+  def knn(codes: DataFrame, model: ScalarCodec, queries: DataFrame, k: Int,
           metric: String = "l2"): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._

@@ -312,6 +312,110 @@ object Vector {
       |), y -> y * y)) AS sq_err
       |FROM embeddings e CROSS JOIN dims d ORDER BY e.vec_id""".stripMargin
 
+  /** §2.3 scalar-codec family beyond SQ8: per-vector squared
+    * reconstruction error of QT_4bit (per-dim range), QT_4bit_uniform
+    * (shared range) and QT_fp16 (IEEE half, round-to-nearest-even) —
+    * the v09 pattern, one column per codec. The fp16 grid is expressed
+    * identically in both engines: scale by 2^(10−e) (e = clamped
+    * exponent), round half-even, unscale, cast float. */
+  def v16ScalarCodecs(s: SparkSession, dir: String): DataFrame = {
+    import graft.quantize.{SQ4, ScalarQuantizer}
+    val b = base(s, dir)
+    val sq = ScalarQuantizer.train(b) // same per-dim min/max ranges as SQ4
+    val mins = sq.vmin.map(_.toDouble)
+    val diffs = Array.tabulate(sq.dim)(i => sq.vmax(i).toDouble - sq.vmin(i).toDouble)
+    val gMin = sq.vmin.min.toDouble
+    val gDiff = sq.vmax.max.toDouble - gMin
+    def sqErr(mn: org.apache.spark.sql.Column, df: org.apache.spark.sql.Column,
+              x: org.apache.spark.sql.Column) = {
+      val code = least(lit(15.0), greatest(lit(0.0), round((x - mn) / df * 15)))
+      val dec = (mn + (code + 0.5) / 15.0 * df).cast("float").cast("double")
+      (x - dec) * (x - dec)
+    }
+    def fp16Err(x: org.apache.spark.sql.Column) = {
+      val m = pow(lit(2.0), lit(10) - greatest(floor(log2(abs(x))), lit(-14.0)))
+      val dec = when(x === 0.0, 0.0).otherwise(bround(x * m) / m)
+        .cast("float").cast("double")
+      (x - dec) * (x - dec)
+    }
+    val dims = sequence(lit(0), lit(sq.dim - 1))
+    val xAt = (i: org.apache.spark.sql.Column) =>
+      element_at(col("vec"), i + 1).cast("double")
+    b.select(
+      col("id").as("vec_id"),
+      aggregate(transform(dims, i => sqErr(element_at(lit(mins), i + 1),
+        element_at(lit(diffs), i + 1), xAt(i))), lit(0.0), (a, x) => a + x)
+        .as("sq4_err"),
+      aggregate(transform(dims, i => sqErr(lit(gMin), lit(gDiff), xAt(i))),
+        lit(0.0), (a, x) => a + x).as("sq4u_err"),
+      aggregate(transform(dims, i => fp16Err(xAt(i))), lit(0.0),
+        (a, x) => a + x).as("fp16_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  val v16Sql: String =
+    """WITH dims AS (
+      |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs,
+      |         MIN(mn) AS gmn, MAX(mx) AS gmx FROM (
+      |    SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+      |           MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+      |    FROM embeddings, range(1, 65) t(i) GROUP BY i))
+      |SELECT e.vec_id,
+      |  list_sum(list_transform(list_transform(range(1, 65), i ->
+      |    CAST(e.embedding[i] AS DOUBLE) -
+      |      CAST(CAST(d.mns[i] + (LEAST(15.0, GREATEST(0.0,
+      |        round((CAST(e.embedding[i] AS DOUBLE) - d.mns[i]) / (d.mxs[i] - d.mns[i]) * 15, 0)))
+      |        + 0.5) / 15.0 * (d.mxs[i] - d.mns[i]) AS FLOAT) AS DOUBLE)
+      |  ), y -> y * y)) AS sq4_err,
+      |  list_sum(list_transform(list_transform(range(1, 65), i ->
+      |    CAST(e.embedding[i] AS DOUBLE) -
+      |      CAST(CAST(d.gmn + (LEAST(15.0, GREATEST(0.0,
+      |        round((CAST(e.embedding[i] AS DOUBLE) - d.gmn) / (d.gmx - d.gmn) * 15, 0)))
+      |        + 0.5) / 15.0 * (d.gmx - d.gmn) AS FLOAT) AS DOUBLE)
+      |  ), y -> y * y)) AS sq4u_err,
+      |  list_sum(list_transform(list_transform(range(1, 65), i ->
+      |    CAST(e.embedding[i] AS DOUBLE) -
+      |      CAST(CAST(CASE WHEN e.embedding[i] = 0 THEN 0
+      |        ELSE round_even(CAST(e.embedding[i] AS DOUBLE) *
+      |               power(2, 10 - GREATEST(floor(log2(abs(CAST(e.embedding[i] AS DOUBLE)))), -14)), 0)
+      |             / power(2, 10 - GREATEST(floor(log2(abs(CAST(e.embedding[i] AS DOUBLE)))), -14))
+      |        END AS FLOAT) AS DOUBLE)
+      |  ), y -> y * y)) AS fp16_err
+      |FROM embeddings e CROSS JOIN dims d ORDER BY e.vec_id""".stripMargin
+
+  /** §2.3 binary codes beyond 63 bits: 128-bit random-hyperplane
+    * signatures in an ARRAY<LONG> column, Hamming k-NN via per-word
+    * xor popcount. Signature tables are persisted as side tables so
+    * the DuckDB oracle replays the scan + top-k (v06 pattern). */
+  def v17HammingWide(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.BinaryHash
+    val b = base(s, dir)
+    val model = BinaryHash.trainWide(d = 64, nbits = 128, seed = 11L)
+    val sigs = BinaryHash.encodeWide(b, model).select(col("id"), col("sig"))
+    val qsigs = BinaryHash.encodeWide(
+      qs(s, dir, "vec_id >= 80 AND vec_id < 88"), model)
+      .select(col("qid"), col("sig"))
+    val oracleDir = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+    sigs.coalesce(1).write.mode("overwrite").parquet(s"$oracleDir/v17_sigs.parquet")
+    qsigs.coalesce(1).write.mode("overwrite").parquet(s"$oracleDir/v17_qsigs.parquet")
+    BinaryHash.knnHammingWide(sigs, qsigs, k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v17Sql: String = {
+    val odir = "/tmp/graft_oracle/sf0.01"
+    s"""WITH s AS (SELECT id, sig FROM read_parquet('$odir/v17_sigs.parquet/*.parquet')),
+       |q AS (SELECT qid, sig AS qsig FROM read_parquet('$odir/v17_qsigs.parquet/*.parquet')),
+       |d AS (SELECT q.qid, s.id,
+       |  CAST(list_sum(list_transform(range(1, 3), w ->
+       |    bit_count(xor(s.sig[w], q.qsig[w])))) AS DOUBLE) AS dist
+       |  FROM q CROSS JOIN s)
+       |SELECT qid, id, dist, rank FROM (
+       |  SELECT qid, id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
   /** O9/O20 — sharded search: split the collection into 2 shards, exact
     * top-k per shard, global merge — must equal single-index search. */
   def v10ShardedKnn(s: SparkSession, dir: String): DataFrame = {
@@ -521,7 +625,9 @@ object Vector {
     "v05_ivf_exact" -> v05IvfExact _,
     "v06_ivf_probe" -> v06IvfProbe _,
     "v07_neardup_pairs" -> v07NearDupPairs _,
-    "v15_neardup_lsh" -> v15NeardupLsh _)
+    "v15_neardup_lsh" -> v15NeardupLsh _,
+    "v16_scalar_codecs" -> v16ScalarCodecs _,
+    "v17_hamming_wide" -> v17HammingWide _)
 
   val oracles: Map[String, String] = Map(
     "a03_bounded_exact" -> a03Sql,
@@ -540,5 +646,7 @@ object Vector {
     "v04_cosine_topk" -> v04Sql,
     "v05_ivf_exact" -> v05Sql,
     "v07_neardup_pairs" -> v07Sql,
-    "v15_neardup_lsh" -> v15Sql)
+    "v15_neardup_lsh" -> v15Sql,
+    "v16_scalar_codecs" -> v16Sql,
+    "v17_hamming_wide" -> v17Sql)
 }
