@@ -103,6 +103,35 @@ object LAET {
     (searchPerQueryNprobe(ivfData, model, queries, k, nprobes), nprobes)
   }
 
+  /** LAET `search_mode=3` heuristic (`LAET/IndexIVF.cpp:696-710`): no
+    * learned model — probe every cluster whose coarse distance is at
+    * most d(q, nearest centroid) × multiplierPct/100, scanning the
+    * ranked candidates in order and stopping at the first that exceeds
+    * the threshold, capped at nlist/5 candidates. The non-learned
+    * baseline of the LAET comparison family. */
+  def searchHeuristic(ivfData: DataFrame, model: IVFModel, queries: DataFrame,
+                      k: Int, multiplierPct: Double): (DataFrame, Map[Long, Int]) = {
+    val spark = ivfData.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("qid").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val cap = math.max(1, model.nlist / 5)
+    val nprobes: Map[Long, Int] = q.map { case (qid, v) =>
+      val qv = if (model.metric == "ip") Kernels.l2Normalize(v) else v
+      val ranked = model.rankCentroids(qv).take(cap)
+      val thresh = ranked(0)._2 * multiplierPct / 100.0
+      var np = 0
+      var j = 0
+      var stop = false
+      while (j < ranked.length && !stop) {
+        if (ranked(j)._2 <= thresh) np = j + 1 else stop = true
+        j += 1
+      }
+      (qid, math.max(1, np))
+    }.toMap
+    (searchPerQueryNprobe(ivfData, model, queries, k, nprobes), nprobes)
+  }
+
   /** Fixed-plan IVF search where each query has its own nprobe. */
   def searchPerQueryNprobe(ivfData: DataFrame, model: IVFModel,
                            queries: DataFrame, k: Int,

@@ -14,32 +14,69 @@ object IndexCache {
   private val traces =
     new ConcurrentHashMap[String, Array[graft.profile.ErrorProfile.Trace]]()
 
+  /** Disk layer under the session cache: trained models persist across
+    * JVMs (the reference's eval likewise writes the index + profile
+    * once and reloads per phase, `Auncel/eval/bound.cpp:265-268`), so
+    * a fresh session pays model LOAD, not k-means/profile training.
+    * Override with GRAFT_MODEL_DIR; delete the directory to retrain. */
+  private def diskRoot: String =
+    sys.env.getOrElse("GRAFT_MODEL_DIR", "/tmp/graft_models")
+
+  private def diskPath(key: String): String =
+    s"$diskRoot/${key.replaceAll("[^A-Za-z0-9._-]", "_")}"
+
+  private def onDisk(path: String): Boolean =
+    new java.io.File(path, "_SUCCESS").exists()
+
   def ivf(key: String, df: => DataFrame, nlist: Int, metric: String = "l2",
           seed: Long = 42L): (IVFModel, DataFrame) =
     models.computeIfAbsent(s"$key|$nlist|$metric|$seed", { _ =>
-      val model = IVFIndex.train(df, nlist, metric, seed)
-      val assigned = IVFIndex.assign(df, model).cache()
+      val data = df
+      val spark = data.sparkSession
+      val path = diskPath(s"$key|$nlist|$metric|$seed|ivf")
+      val model =
+        if (onDisk(path)) IVFIndex.loadModel(path, spark)
+        else {
+          val m = IVFIndex.train(data, nlist, metric, seed)
+          IVFIndex.saveModel(m, path, spark)
+          m
+        }
+      val assigned = IVFIndex.assign(data, model).cache()
       assigned.count()
       (model, assigned)
     })
 
   /** Built-once HNSW adjacency (see [[HNSW.buildGraph]]) — search jobs
-    * pay beam search, never graph construction. */
+    * pay beam search, never graph construction; disk-backed like the
+    * IVF model. */
   def hnsw(key: String, df: => DataFrame, nParts: Int = 8, m: Int = 16,
            efConstruction: Int = 64): DataFrame =
     graphs.computeIfAbsent(s"$key|hnsw|$nParts|$m|$efConstruction", { _ =>
-      val g = HNSW.buildGraph(df, nParts, m, efConstruction).cache()
+      val data = df
+      val spark = data.sparkSession
+      val path = diskPath(s"$key|hnsw|$nParts|$m|$efConstruction")
+      if (!onDisk(path))
+        HNSW.writeGraph(HNSW.buildGraph(data, nParts, m, efConstruction), path)
+      val g = HNSW.readGraph(spark, path).cache()
       g.count()
       g
     })
 
   /** Trained error-profile traces are model artifacts exactly like the
-    * centroids (the reference persists profile + index between train
-    * and search phases, `Auncel/eval/bound.cpp:265-268`) — bounded
-    * search pays trace lookup, not profile training. */
-  def profileTraces(key: String, train: => Array[graft.profile.ErrorProfile.Trace])
+    * centroids — bounded search pays trace lookup, not profile
+    * training; disk-backed like the IVF model. */
+  def profileTraces(key: String, spark: org.apache.spark.sql.SparkSession,
+                    train: => Array[graft.profile.ErrorProfile.Trace])
       : Array[graft.profile.ErrorProfile.Trace] =
-    traces.computeIfAbsent(key, _ => train)
+    traces.computeIfAbsent(key, { _ =>
+      val path = diskPath(s"$key|traces")
+      if (onDisk(path)) graft.profile.ProfileTrainer.loadTraces(path, spark)
+      else {
+        val t = train
+        graft.profile.ProfileTrainer.saveTraces(t, path, spark)
+        t
+      }
+    })
 
   /** Generic built-once cached DataFrame (e.g. MinHash signature
     * tables shared across the dedup pipeline's queries). */

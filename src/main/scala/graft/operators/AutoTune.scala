@@ -56,4 +56,83 @@ object AutoTune {
     points.filter(_.minRecall >= minRecallTarget)
       .minByOption(_.cost)
       .getOrElse(points.maxBy(_.nprobe))
+
+  // ---- multi-parameter sweeps (`Auncel/AutoTune.cpp:353-408`:
+  // ParameterSpace enumerates nprobe × k_factor × efSearch × ht, not
+  // just nprobe, once refine/graph indexes are operating points) ----
+
+  final case class MultiPoint(params: Map[String, Int], meanRecall: Double,
+                              minRecall: Double, cost: Double)
+
+  /** Generic grid sweep: run each configuration, score recall vs the
+    * exact ids, attach the model cost. */
+  def sweepGrid(grid: Seq[Map[String, Int]],
+                run: Map[String, Int] => DataFrame,
+                exact: Map[Long, Set[Long]], k: Int,
+                cost: Map[String, Int] => Double): Seq[MultiPoint] = {
+    grid.map { cfg =>
+      val res = run(cfg)
+      import res.sparkSession.implicits._
+      val got = res.select(col("qid").cast("long"), col("id").cast("long"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recalls = exact.map { case (q, ids) =>
+        (got.getOrElse(q, Set.empty) & ids).size.toDouble / k
+      }.toSeq
+      MultiPoint(cfg, recalls.sum / recalls.size, recalls.min, cost(cfg))
+    }
+  }
+
+  /** nprobe × k_factor sweep for IVFPQ+refine (`k_factor_rf` in the
+    * reference space). Cost model: fraction of codes ADC-scanned plus
+    * fraction of the collection exactly reranked. */
+  def sweepIvfPqRefine(encData: DataFrame, baseVecs: DataFrame,
+                       model: graft.index.IVFModel, pq: graft.quantize.PQModel,
+                       queries: DataFrame, k: Int,
+                       nprobes: Seq[Int], kFactors: Seq[Int],
+                       nTotal: Long): Seq[MultiPoint] = {
+    import encData.sparkSession.implicits._
+    val exact = graft.search.FlatSearch.knn(baseVecs, queries, k)
+      .select(col("qid").cast("long"), col("id").cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val grid = for (np <- nprobes; kf <- kFactors)
+      yield Map("nprobe" -> np, "k_factor" -> kf)
+    sweepGrid(grid,
+      cfg => graft.index.IVFPQ.searchRefine(encData, baseVecs, model, pq,
+        queries, k, cfg("nprobe"), cfg("k_factor")),
+      exact, k,
+      cfg => cfg("nprobe").toDouble / model.nlist +
+        cfg("k_factor").toDouble * k / nTotal)
+  }
+
+  /** efSearch sweep for a built HNSW graph. Cost model: beam width as
+    * a fraction of the block size (∝ nodes visited). */
+  def sweepHnswEf(graph: DataFrame, baseVecs: DataFrame, queries: DataFrame,
+                  k: Int, efs: Seq[Int], blockSize: Double): Seq[MultiPoint] = {
+    import graph.sparkSession.implicits._
+    val exact = graft.search.FlatSearch.knn(baseVecs, queries, k)
+      .select(col("qid").cast("long"), col("id").cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    sweepGrid(efs.map(e => Map("efSearch" -> e)),
+      cfg => graft.index.HNSW.searchGraph(graph, queries, k, cfg("efSearch")),
+      exact, k,
+      cfg => cfg("efSearch") / blockSize)
+  }
+
+  /** Pareto front / bounded-case selection over multi-param points —
+    * same worst-case criterion as the single-param form. */
+  def paretoFrontMulti(points: Seq[MultiPoint],
+                       byMin: Boolean = true): Seq[MultiPoint] = {
+    def r(p: MultiPoint) = if (byMin) p.minRecall else p.meanRecall
+    points.sortBy(_.cost).foldLeft(Vector.empty[MultiPoint]) { (acc, p) =>
+      if (acc.isEmpty || r(p) > r(acc.last) + 1e-12) acc :+ p else acc
+    }
+  }
+
+  def selectMulti(points: Seq[MultiPoint], minRecallTarget: Double): MultiPoint =
+    points.filter(_.minRecall >= minRecallTarget)
+      .minByOption(_.cost)
+      .getOrElse(points.maxBy(_.cost))
 }

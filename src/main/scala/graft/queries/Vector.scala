@@ -490,7 +490,7 @@ object Vector {
     import graft.search.FlatSearch
     val b = base(s, dir)
     val (model, assigned) = graft.index.IndexCache.ivf(dir, b, nlist = 16)
-    val traces = graft.index.IndexCache.profileTraces(s"$dir|16|l2|profile", {
+    val traces = graft.index.IndexCache.profileTraces(s"$dir|16|l2|profile", s, {
       val trainQ = qs(s, dir, "vec_id >= 100 AND vec_id < 200")
       val gt = FlatSearch.knn(b, trainQ, k = 10)
       ProfileTrainer.train(assigned, model, trainQ, gt, maxTopk = 10, bs = 50)

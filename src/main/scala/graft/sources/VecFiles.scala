@@ -68,6 +68,50 @@ object VecFiles {
     Files.write(Paths.get(path), buf.array())
   }
 
+  /** ivecs writer (`dist/gt.cpp:60-90` emits GT id lists in this
+    * format). */
+  def writeIvecs(path: String, vecs: Array[Array[Int]]): Unit = {
+    val buf = ByteBuffer.allocate(vecs.map(v => 4 + 4 * v.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    vecs.foreach { v => buf.putInt(v.length); v.foreach(buf.putInt) }
+    Files.write(Paths.get(path), buf.array())
+  }
+
+  /** fbin writer (`int32 n, int32 d` header + flat float payload,
+    * `dist/split.cpp:66-80`). All rows must share one dimension. */
+  def writeFbin(path: String, vecs: Array[Array[Float]]): Unit = {
+    val n = vecs.length
+    val d = if (n == 0) 0 else vecs(0).length
+    require(vecs.forall(_.length == d), "fbin rows must share one dim")
+    val buf = ByteBuffer.allocate(8 + 4 * n * d).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(n); buf.putInt(d)
+    vecs.foreach(_.foreach(buf.putFloat))
+    Files.write(Paths.get(path), buf.array())
+  }
+
+  /** ibin writer — fbin layout with int32 payload. */
+  def writeIbin(path: String, vecs: Array[Array[Int]]): Unit = {
+    val n = vecs.length
+    val d = if (n == 0) 0 else vecs(0).length
+    require(vecs.forall(_.length == d), "ibin rows must share one dim")
+    val buf = ByteBuffer.allocate(8 + 4 * n * d).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(n); buf.putInt(d)
+    vecs.foreach(_.foreach(buf.putInt))
+    Files.write(Paths.get(path), buf.array())
+  }
+
+  def readIbin(path: String): Array[Array[Int]] = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val n = buf.getInt(); val d = buf.getInt()
+    Array.fill(n) {
+      val v = new Array[Int](d)
+      var i = 0
+      while (i < d) { v(i) = buf.getInt(); i += 1 }
+      v
+    }
+  }
+
   /** fvecs → DataFrame (id LONG, vec ARRAY<FLOAT>). For files beyond
     * driver memory, split upstream (`dist/split.cpp`) and union. */
   def fvecsToDF(spark: SparkSession, path: String): DataFrame = {

@@ -31,6 +31,12 @@ object ExplainAudit {
 
     println("=== q02 join strategy (dims broadcast, fact shuffle) ===")
     graft.queries.Relational.q02RevenueByNation(spark, dir).explain("formatted")
+
+    println("=== v07 near-dup: block pair enumeration (no full-collection broadcast) ===")
+    graft.queries.Vector.v07NearDupPairs(spark, dir).explain("formatted")
+
+    println("=== v15 LSH near-dup: band equi-join, id-only candidate shuffle ===")
+    graft.queries.Vector.v15NeardupLsh(spark, dir).explain("formatted")
     spark.stop()
   }
 }

@@ -27,6 +27,20 @@ class BaselinesSpec extends SparkSpec {
     }.sum / queries.length
   }
 
+  test("LAET heuristic mode probes by coarse-distance threshold (search_mode=3)") {
+    val eq = vecDF(evalQ, "qid")
+    val (res, nprobes) = LAET.searchHeuristic(assigned, model, eq, k = 10,
+      multiplierPct = 130.0)
+    // adaptive: not every query uses the same probe count, all within cap
+    assert(nprobes.values.forall(np => np >= 1 && np <= model.nlist / 5))
+    val rec = recallVsExact(res, evalQ, 10)
+    assert(rec > 0.5, s"heuristic recall $rec")
+    // a larger multiplier probes at least as much everywhere
+    val (_, wider) = LAET.searchHeuristic(assigned, model, eq, k = 10,
+      multiplierPct = 200.0)
+    assert(nprobes.forall { case (q, np) => wider(q) >= np })
+  }
+
   test("LAET learns per-query nprobe and hits decent mean recall below full scan") {
     import spark.implicits._
     val k = 10

@@ -94,4 +94,19 @@ class ManagementSpec extends SparkSpec {
     VecFiles.convertToParquet(spark, s"$dir/x.fvecs", s"$dir/x.parquet")
     assert(spark.read.parquet(s"$dir/x.parquet").count() == 20)
   }
+
+  test("ivecs/fbin/ibin writers round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("vecio2").toString
+    val ints = Array.tabulate(12)(i => Array.tabulate(5)(j => i * 100 + j))
+    VecFiles.writeIvecs(s"$dir/gt.ivecs", ints)
+    val ib = VecFiles.readIvecs(s"$dir/gt.ivecs")
+    assert(ib.length == 12 && ib(7).sameElements(ints(7)))
+    val vs = base.take(9)
+    VecFiles.writeFbin(s"$dir/x.fbin", vs)
+    val fb = VecFiles.readFbin(s"$dir/x.fbin")
+    assert(fb.length == 9 && fb(3).sameElements(vs(3)))
+    VecFiles.writeIbin(s"$dir/x.ibin", ints)
+    val ibin = VecFiles.readIbin(s"$dir/x.ibin")
+    assert(ibin.length == 12 && ibin(11).sameElements(ints(11)))
+  }
 }

@@ -173,4 +173,43 @@ class OpsSpec extends SparkSpec {
     assert(sel.minRecall >= 0.95)
     assert(sel.cost <= 1.0)
   }
+
+  test("multi-param autotune: nprobe x k_factor pareto front, bounded-case select") {
+    import graft.index.IVFPQ
+    val base = clusteredVecs(1500, 16, nClusters = 16, seed = 72)
+    val df = vecDF(base).cache()
+    val model = IVFIndex.train(df, nlist = 16, seed = 42L)
+    val assigned = IVFIndex.assign(df, model).cache()
+    val pq = IVFPQ.trainResidualPQ(assigned, model, m = 8, nbits = 4, seed = 42L)
+    val enc = IVFPQ.encode(assigned, model, pq).drop("vec").cache()
+    val qDF = vecDF(clusteredVecs(1510, 16, nClusters = 16, seed = 72).drop(1500), "qid")
+    val pts = AutoTune.sweepIvfPqRefine(enc, df, model, pq, qDF, k = 5,
+      nprobes = Seq(2, 8, 16), kFactors = Seq(2, 50), nTotal = 1500)
+    assert(pts.length == 6)
+    // the full-probe, large-rerank corner must be exact
+    val corner = pts.find(p =>
+      p.params("nprobe") == 16 && p.params("k_factor") == 50).get
+    assert(corner.minRecall == 1.0, s"corner $corner")
+    val front = AutoTune.paretoFrontMulti(pts)
+    assert(front.nonEmpty)
+    assert(front.map(_.cost).sliding(2).forall(p => p.size == 1 || p.head < p.last))
+    assert(front.map(_.minRecall).sliding(2).forall(p => p.size == 1 || p.head < p.last))
+    val sel = AutoTune.selectMulti(pts, 0.9)
+    assert(sel.minRecall >= 0.9)
+    // a 2-param select can beat the best single-param point at equal recall
+    assert(sel.cost <= corner.cost)
+  }
+
+  test("multi-param autotune: efSearch sweep over a built graph") {
+    import graft.index.HNSW
+    val base = clusteredVecs(1200, 16, nClusters = 8, seed = 73)
+    val df = vecDF(base).cache()
+    val graph = HNSW.buildGraph(df, nParts = 4).cache()
+    val qDF = vecDF(clusteredVecs(1210, 16, nClusters = 8, seed = 73).drop(1200), "qid")
+    val pts = AutoTune.sweepHnswEf(graph, df, qDF, k = 5,
+      efs = Seq(8, 64, 1024), blockSize = 300.0)
+    assert(pts.map(_.meanRecall).sliding(2).forall(p => p(0) <= p(1) + 1e-9))
+    // exhaustive beam (ef >= block size) is exact
+    assert(pts.last.minRecall == 1.0)
+  }
 }
