@@ -2,7 +2,7 @@ package graft.index
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.quantize.{FP16Codec, ProductQuantizer, PQModel, ScalarCodec, ScalarQuantizer, ScalarVariants, SQ4}
+import graft.quantize.{FP16Codec, ProductQuantizer, PQModel, ScalarCodec, ScalarQuantizer, ScalarVariants, SQ4, SQ6}
 import graft.search.{FlatSearch, IVFSearch}
 import graft.transforms._
 
@@ -24,8 +24,10 @@ object IndexFactory {
   case object FlatEnc extends Encoding
   final case class PQEnc(m: Int) extends Encoding
   case object SQ8Enc extends Encoding
+  case object SQ8UEnc extends Encoding
   case object SQ4Enc extends Encoding
   case object SQ4UEnc extends Encoding
+  case object SQ6Enc extends Encoding
   case object FP16Enc extends Encoding
 
   final case class Spec(pre: Seq[PreTok], nlist: Option[Int], enc: Encoding,
@@ -58,8 +60,10 @@ object IndexFactory {
       case "Flat"    => enc = Some(FlatEnc)
       case pqp(m)    => enc = Some(PQEnc(m.toInt))
       case "SQ8"     => enc = Some(SQ8Enc)
+      case "SQ8U"    => enc = Some(SQ8UEnc)
       case "SQ4"     => enc = Some(SQ4Enc)
       case "SQ4U"    => enc = Some(SQ4UEnc)
+      case "SQ6"     => enc = Some(SQ6Enc)
       case "SQfp16"  => enc = Some(FP16Enc)
       case tok => throw new IllegalArgumentException(
         s"index_factory: unsupported token '$tok' in '$spec'")
@@ -138,6 +142,18 @@ object IndexFactory {
     val ivfModel = s.nlist.map(n => IVFIndex.train(cur, n, metric, seed))
     val assigned = ivfModel.map(m => IVFIndex.assign(cur, m)).getOrElse(cur)
 
+    /** HNSW over a compressed codec (IndexHNSWSQ / IndexHNSWPQ,
+      * `Auncel/IndexHNSW.h:116-150`): the graph lives in the codec's
+      * decoded space — distances at build and search time go through
+      * the quantizer, exactly like the reference's storage-backed
+      * distance computers. */
+    def codecGraph(codec: ScalarCodec): Option[DataFrame] = s.hnswM.map { mm =>
+      val bc = assigned.sparkSession.sparkContext.broadcast(codec)
+      val decU = udf { v: Seq[Float] => bc.value.decode(bc.value.encode(v.toArray)) }
+      val dec = assigned.select(col("id"), decU(col("vec")).as("vec"))
+      val g = HNSW.buildGraph(dec, m = mm).cache(); g.count(); g
+    }
+
     s.enc match {
       case FlatEnc =>
         val graph = s.hnswM.map { mm =>
@@ -155,18 +171,26 @@ object IndexFactory {
             GraftIndex(s, chain, None, Some(pq), None,
               ProductQuantizer.encode(assigned, pq).drop("vec").cache())
         }
-      case SQ8Enc =>
-        val sq = ScalarQuantizer.train(assigned)
+      case SQ8Enc | SQ8UEnc =>
+        val sq = ScalarQuantizer.train(assigned, uniform = s.enc == SQ8UEnc)
         GraftIndex(s, chain, ivfModel, None, Some(sq),
-          ScalarQuantizer.encode(assigned, sq).drop("vec").cache())
+          ScalarQuantizer.encode(assigned, sq).drop("vec").cache(),
+          codecGraph(sq))
       case SQ4Enc | SQ4UEnc =>
         val sq = SQ4.train(assigned, uniform = s.enc == SQ4UEnc)
         GraftIndex(s, chain, ivfModel, None, Some(sq),
-          ScalarVariants.encode(assigned, sq).drop("vec").cache())
+          ScalarVariants.encode(assigned, sq).drop("vec").cache(),
+          codecGraph(sq))
+      case SQ6Enc =>
+        val sq = SQ6.train(assigned)
+        GraftIndex(s, chain, ivfModel, None, Some(sq),
+          ScalarVariants.encode(assigned, sq).drop("vec").cache(),
+          codecGraph(sq))
       case FP16Enc =>
         val codec = FP16Codec(dim)
         GraftIndex(s, chain, ivfModel, None, Some(codec),
-          ScalarVariants.encode(assigned, codec).drop("vec").cache())
+          ScalarVariants.encode(assigned, codec).drop("vec").cache(),
+          codecGraph(codec))
     }
   }
 }

@@ -2,7 +2,7 @@ package graft.index
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.quantize.{FP16Codec, PQModel, ScalarCodec, SQModel, SQ4Model}
+import graft.quantize.{FP16Codec, PQModel, ScalarCodec, SQModel, SQ4Model, SQ6Model}
 import graft.transforms._
 
 /** Model persistence — the Spark form of the reference's
@@ -72,12 +72,14 @@ object IndexIO {
   private def sqKind(c: ScalarCodec): String = c match {
     case _: SQModel   => "sq8"
     case _: SQ4Model  => "sq4"
+    case _: SQ6Model  => "sq6"
     case _: FP16Codec => "fp16"
   }
 
   def saveCodec(c: ScalarCodec, path: String, spark: SparkSession): Unit = c match {
     case s: SQModel   => saveRanges(s.vmin, s.vmax, path, spark)
     case s: SQ4Model  => saveRanges(s.vmin, s.vmax, path, spark)
+    case s: SQ6Model  => saveRanges(s.vmin, s.vmax, path, spark)
     case _: FP16Codec => // dim-only; recorded in the manifest
   }
 
@@ -85,6 +87,7 @@ object IndexIO {
                 spark: SparkSession): ScalarCodec = kind match {
     case "sq8"  => val (mn, mx) = loadRanges(path, spark); SQModel(mn, mx)
     case "sq4"  => val (mn, mx) = loadRanges(path, spark); SQ4Model(mn, mx)
+    case "sq6"  => val (mn, mx) = loadRanges(path, spark); SQ6Model(mn, mx)
     case "fp16" => FP16Codec(dim)
     case k => throw new IllegalArgumentException(s"unknown codec kind $k")
   }

@@ -219,13 +219,20 @@ final case class SQModel(vmin: Array[Float], vmax: Array[Float]) extends ScalarC
 }
 
 object ScalarQuantizer {
-  def train(df: DataFrame, vecCol: String = "vec"): SQModel = {
+  /** Per-dimension range (QT_8bit) or shared global range
+    * (QT_8bit_uniform). */
+  def train(df: DataFrame, vecCol: String = "vec",
+            uniform: Boolean = false): SQModel = {
     import df.sparkSession.implicits._
     val stats = df.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy(col("pos"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .as[(Int, Float, Float)].collect().sortBy(_._1)
-    SQModel(stats.map(_._2), stats.map(_._3))
+    if (uniform) {
+      val mn = stats.map(_._2).min
+      val mx = stats.map(_._3).max
+      SQModel(Array.fill(stats.length)(mn), Array.fill(stats.length)(mx))
+    } else SQModel(stats.map(_._2), stats.map(_._3))
   }
 
   def encode(df: DataFrame, model: SQModel, vecCol: String = "vec"): DataFrame = {

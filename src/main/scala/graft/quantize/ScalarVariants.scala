@@ -65,6 +65,52 @@ object SQ4 {
   }
 }
 
+/** 6-bit scalar quantizer (QT_6bit, `Codec6bit`
+  * `Auncel/IndexScalarQuantizer.cpp:135-198`): 63-step grid per
+  * dimension, components packed 6 bits apart — 4 components per
+  * 3 bytes. */
+final case class SQ6Model(vmin: Array[Float], vmax: Array[Float])
+    extends ScalarCodec {
+  def dim: Int = vmin.length
+  def codeSize: Int = (dim * 6 + 7) / 8
+  val vdiff: Array[Float] = Array.tabulate(dim)(i => vmax(i) - vmin(i))
+
+  def encode(v: Array[Float]): Array[Byte] = {
+    val out = new Array[Byte](codeSize)
+    var i = 0
+    while (i < dim) {
+      val x = if (vdiff(i) == 0f) 0.0 else (v(i) - vmin(i)) / vdiff(i) * 63.0
+      val c = math.max(0, math.min(63, math.round(x))).toInt
+      val bitpos = 6 * i
+      val byteIdx = bitpos >> 3
+      val shift = bitpos & 7
+      out(byteIdx) = (out(byteIdx) | ((c << shift) & 0xff)).toByte
+      if (shift > 2) // spills into the next byte
+        out(byteIdx + 1) = (out(byteIdx + 1) | (c >> (8 - shift))).toByte
+      i += 1
+    }
+    out
+  }
+
+  def decode(code: Array[Byte]): Array[Float] =
+    Array.tabulate(dim) { i =>
+      val bitpos = 6 * i
+      val byteIdx = bitpos >> 3
+      val shift = bitpos & 7
+      var c = (code(byteIdx) & 0xff) >> shift
+      if (shift > 2) c |= (code(byteIdx + 1) & 0xff) << (8 - shift)
+      c &= 0x3f
+      vmin(i) + ((c + 0.5f) / 63.0f) * vdiff(i)
+    }
+}
+
+object SQ6 {
+  def train(df: DataFrame, vecCol: String = "vec"): SQ6Model = {
+    val sq = SQ4.train(df, uniform = false, vecCol)
+    SQ6Model(sq.vmin, sq.vmax)
+  }
+}
+
 /** IEEE-754 half precision (QT_fp16,
   * `Auncel/IndexScalarQuantizer.cpp:200-330`): round-to-nearest-even
   * to the 11-bit-significand grid, stored 2 bytes/component.

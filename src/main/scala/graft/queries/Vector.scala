@@ -313,23 +313,24 @@ object Vector {
       |FROM embeddings e CROSS JOIN dims d ORDER BY e.vec_id""".stripMargin
 
   /** §2.3 scalar-codec family beyond SQ8: per-vector squared
-    * reconstruction error of QT_4bit (per-dim range), QT_4bit_uniform
-    * (shared range) and QT_fp16 (IEEE half, round-to-nearest-even) —
-    * the v09 pattern, one column per codec. The fp16 grid is expressed
-    * identically in both engines: scale by 2^(10−e) (e = clamped
-    * exponent), round half-even, unscale, cast float. */
+    * reconstruction error of QT_4bit / QT_4bit_uniform / QT_6bit /
+    * QT_8bit_uniform / QT_fp16 — the v09 pattern, one column per
+    * codec. The fp16 grid is expressed identically in both engines:
+    * scale by 2^(10−e) (e = clamped exponent), round half-even,
+    * unscale, cast float. */
   def v16ScalarCodecs(s: SparkSession, dir: String): DataFrame = {
-    import graft.quantize.{SQ4, ScalarQuantizer}
+    import graft.quantize.ScalarQuantizer
     val b = base(s, dir)
-    val sq = ScalarQuantizer.train(b) // same per-dim min/max ranges as SQ4
+    val sq = ScalarQuantizer.train(b) // per-dim min/max, shared by all grids
     val mins = sq.vmin.map(_.toDouble)
     val diffs = Array.tabulate(sq.dim)(i => sq.vmax(i).toDouble - sq.vmin(i).toDouble)
     val gMin = sq.vmin.min.toDouble
     val gDiff = sq.vmax.max.toDouble - gMin
-    def sqErr(mn: org.apache.spark.sql.Column, df: org.apache.spark.sql.Column,
-              x: org.apache.spark.sql.Column) = {
-      val code = least(lit(15.0), greatest(lit(0.0), round((x - mn) / df * 15)))
-      val dec = (mn + (code + 0.5) / 15.0 * df).cast("float").cast("double")
+    def sqErr(steps: Int)(mn: org.apache.spark.sql.Column,
+              df: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) = {
+      val st = steps.toDouble
+      val code = least(lit(st), greatest(lit(0.0), round((x - mn) / df * st)))
+      val dec = (mn + (code + 0.5) / st * df).cast("float").cast("double")
       (x - dec) * (x - dec)
     }
     def fp16Err(x: org.apache.spark.sql.Column) = {
@@ -341,47 +342,59 @@ object Vector {
     val dims = sequence(lit(0), lit(sq.dim - 1))
     val xAt = (i: org.apache.spark.sql.Column) =>
       element_at(col("vec"), i + 1).cast("double")
+    def perDim(steps: Int) = aggregate(
+      transform(dims, i => sqErr(steps)(element_at(lit(mins), i + 1),
+        element_at(lit(diffs), i + 1), xAt(i))), lit(0.0), (a, x) => a + x)
+    def global(steps: Int) = aggregate(
+      transform(dims, i => sqErr(steps)(lit(gMin), lit(gDiff), xAt(i))),
+      lit(0.0), (a, x) => a + x)
     b.select(
       col("id").as("vec_id"),
-      aggregate(transform(dims, i => sqErr(element_at(lit(mins), i + 1),
-        element_at(lit(diffs), i + 1), xAt(i))), lit(0.0), (a, x) => a + x)
-        .as("sq4_err"),
-      aggregate(transform(dims, i => sqErr(lit(gMin), lit(gDiff), xAt(i))),
-        lit(0.0), (a, x) => a + x).as("sq4u_err"),
+      perDim(15).as("sq4_err"),
+      global(15).as("sq4u_err"),
+      perDim(63).as("sq6_err"),
+      global(255).as("sq8u_err"),
       aggregate(transform(dims, i => fp16Err(xAt(i))), lit(0.0),
         (a, x) => a + x).as("fp16_err"))
       .orderBy(col("vec_id"))
   }
 
-  val v16Sql: String =
-    """WITH dims AS (
-      |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs,
-      |         MIN(mn) AS gmn, MAX(mx) AS gmx FROM (
-      |    SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
-      |           MAX(CAST(embedding[i] AS DOUBLE)) AS mx
-      |    FROM embeddings, range(1, 65) t(i) GROUP BY i))
-      |SELECT e.vec_id,
-      |  list_sum(list_transform(list_transform(range(1, 65), i ->
-      |    CAST(e.embedding[i] AS DOUBLE) -
-      |      CAST(CAST(d.mns[i] + (LEAST(15.0, GREATEST(0.0,
-      |        round((CAST(e.embedding[i] AS DOUBLE) - d.mns[i]) / (d.mxs[i] - d.mns[i]) * 15, 0)))
-      |        + 0.5) / 15.0 * (d.mxs[i] - d.mns[i]) AS FLOAT) AS DOUBLE)
-      |  ), y -> y * y)) AS sq4_err,
-      |  list_sum(list_transform(list_transform(range(1, 65), i ->
-      |    CAST(e.embedding[i] AS DOUBLE) -
-      |      CAST(CAST(d.gmn + (LEAST(15.0, GREATEST(0.0,
-      |        round((CAST(e.embedding[i] AS DOUBLE) - d.gmn) / (d.gmx - d.gmn) * 15, 0)))
-      |        + 0.5) / 15.0 * (d.gmx - d.gmn) AS FLOAT) AS DOUBLE)
-      |  ), y -> y * y)) AS sq4u_err,
-      |  list_sum(list_transform(list_transform(range(1, 65), i ->
-      |    CAST(e.embedding[i] AS DOUBLE) -
-      |      CAST(CAST(CASE WHEN e.embedding[i] = 0 THEN 0
-      |        ELSE round_even(CAST(e.embedding[i] AS DOUBLE) *
-      |               power(2, 10 - GREATEST(floor(log2(abs(CAST(e.embedding[i] AS DOUBLE)))), -14)), 0)
-      |             / power(2, 10 - GREATEST(floor(log2(abs(CAST(e.embedding[i] AS DOUBLE)))), -14))
-      |        END AS FLOAT) AS DOUBLE)
-      |  ), y -> y * y)) AS fp16_err
-      |FROM embeddings e CROSS JOIN dims d ORDER BY e.vec_id""".stripMargin
+  val v16Sql: String = {
+    def perDim(steps: Int, alias: String) =
+      s"""  list_sum(list_transform(list_transform(range(1, 65), i ->
+         |    CAST(e.embedding[i] AS DOUBLE) -
+         |      CAST(CAST(d.mns[i] + (LEAST($steps.0, GREATEST(0.0,
+         |        round((CAST(e.embedding[i] AS DOUBLE) - d.mns[i]) / (d.mxs[i] - d.mns[i]) * $steps, 0)))
+         |        + 0.5) / $steps.0 * (d.mxs[i] - d.mns[i]) AS FLOAT) AS DOUBLE)
+         |  ), y -> y * y)) AS $alias""".stripMargin
+    def global(steps: Int, alias: String) =
+      s"""  list_sum(list_transform(list_transform(range(1, 65), i ->
+         |    CAST(e.embedding[i] AS DOUBLE) -
+         |      CAST(CAST(d.gmn + (LEAST($steps.0, GREATEST(0.0,
+         |        round((CAST(e.embedding[i] AS DOUBLE) - d.gmn) / (d.gmx - d.gmn) * $steps, 0)))
+         |        + 0.5) / $steps.0 * (d.gmx - d.gmn) AS FLOAT) AS DOUBLE)
+         |  ), y -> y * y)) AS $alias""".stripMargin
+    s"""WITH dims AS (
+       |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs,
+       |         MIN(mn) AS gmn, MAX(mx) AS gmx FROM (
+       |    SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+       |           MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+       |    FROM embeddings, range(1, 65) t(i) GROUP BY i))
+       |SELECT e.vec_id,
+       |${perDim(15, "sq4_err")},
+       |${global(15, "sq4u_err")},
+       |${perDim(63, "sq6_err")},
+       |${global(255, "sq8u_err")},
+       |  list_sum(list_transform(list_transform(range(1, 65), i ->
+       |    CAST(e.embedding[i] AS DOUBLE) -
+       |      CAST(CAST(CASE WHEN e.embedding[i] = 0 THEN 0
+       |        ELSE round_even(CAST(e.embedding[i] AS DOUBLE) *
+       |               power(2, 10 - GREATEST(floor(log2(abs(CAST(e.embedding[i] AS DOUBLE)))), -14)), 0)
+       |             / power(2, 10 - GREATEST(floor(log2(abs(CAST(e.embedding[i] AS DOUBLE)))), -14))
+       |        END AS FLOAT) AS DOUBLE)
+       |  ), y -> y * y)) AS fp16_err
+       |FROM embeddings e CROSS JOIN dims d ORDER BY e.vec_id""".stripMargin
+  }
 
   /** §2.3 binary codes beyond 63 bits: 128-bit random-hyperplane
     * signatures in an ARRAY<LONG> column, Hamming k-NN via per-word

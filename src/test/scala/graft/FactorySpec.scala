@@ -73,6 +73,20 @@ class FactorySpec extends SparkSpec {
     assert(r > 0.85, s"factory HNSW recall $r")
   }
 
+  test("HNSW over compressed storage (HNSW16,SQ8 / HNSW16,SQ4): codec-space graph") {
+    // IndexHNSWSQ parity: the graph lives in the codec's decoded space,
+    // so recall survives 8-bit quantization and degrades gracefully at 4
+    val sq8 = IndexFactory.build("HNSW16,SQ8", baseDF)
+    assert(sq8.graph.isDefined && sq8.sq.isDefined)
+    val r8 = recallVsExact(sq8.search(qDF, k = 10), 10)
+    assert(r8 > 0.8, s"HNSW,SQ8 recall $r8")
+    val sq4 = IndexFactory.build("HNSW16,SQ4", baseDF)
+    val r4 = recallVsExact(sq4.search(qDF, k = 10), 10)
+    assert(r4 > 0.3, s"HNSW,SQ4 recall $r4") // 4-bit loses real precision
+
+    assert(r8 >= r4 - 0.05, s"8-bit ($r8) should not trail 4-bit ($r4)")
+  }
+
   test("random rotation preserves distances; L2norm makes unit vectors") {
     val rot = LinearTransform.randomRotation(32, seed = 5L)
     val a = base(0); val b = base(1)

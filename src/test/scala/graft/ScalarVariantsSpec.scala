@@ -31,6 +31,27 @@ class ScalarVariantsSpec extends SparkSpec {
     assert(sq.vmin(0) == perDim.vmin.min && sq.vmax(0) == perDim.vmax.max)
   }
 
+  test("SQ6: round-trip error bounded by one 63rd-step; 6-bit packing") {
+    val sq = graft.quantize.SQ6.train(baseDF)
+    assert(sq.codeSize == 12) // 16 dims * 6 bits = 96 bits = 12 bytes
+    base.take(50).foreach { v =>
+      val dec = sq.decode(sq.encode(v))
+      v.indices.foreach { i =>
+        val step = sq.vdiff(i) / 63.0
+        assert(math.abs(dec(i) - v(i)) <= step + 1e-5,
+          s"dim $i err ${math.abs(dec(i) - v(i))} step $step")
+      }
+    }
+    // packing is dense: distinct nearby vectors get distinct codes
+    val codes = base.take(50).map(v => sq.encode(v).toSeq).distinct
+    assert(codes.length == 50)
+  }
+
+  test("SQ8 uniform shares one range across dimensions") {
+    val sq = graft.quantize.ScalarQuantizer.train(baseDF, uniform = true)
+    assert(sq.vmin.distinct.length == 1 && sq.vmax.distinct.length == 1)
+  }
+
   test("fp16: known IEEE half values round-trip exactly") {
     // (input, exact half value) — standard conversion cases incl.
     // round-to-nearest-even ties and a subnormal
