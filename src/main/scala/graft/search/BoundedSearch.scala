@@ -68,10 +68,13 @@ object BoundedSearch {
       ErrorProfile.boundaryDistances(r.map(_._2), r.map(_._1), model.interdisAt, nlist)
     }
 
-    // driver-side control state lives in the Decider (O(nq), never O(data))
+    // driver-side control state lives in the Decider (O(nq), never O(data));
+    // per-query boundary distances broadcast once for executor-side recall
     val decider = new Decider(nq, k, model.metric, traces,
       dBs, qVecs.map(_._3), multiplier, stdM, levels)
     import decider.{myNprobe, predicted, decidedStage}
+    val bDBs = spark.sparkContext.broadcast(
+      qVecs.indices.map(i => (qVecs(i)._1, dBs(i))).toMap)
 
     if (levels <= 3 && !forceLazy)
       return searchEagerStaged(ivfData, model, qVecs, ranks, decider, k)
@@ -102,16 +105,38 @@ object BoundedSearch {
         state = if (j >= 3) merged.localCheckpoint(eager = true)
                 else merged.cache()
 
-        // decision: per-query sorted top-k distances. This collect also
-        // materializes the (lazy) cache — only THEN is it safe to drop
-        // the previous round's cached state.
-        val topkD: Map[Long, Array[Double]] = state
+        // decision: the geometric recall prediction (sumAngle over the
+        // boundary window + trace lookup + rank binary search) runs on
+        // executors WHERE THE TOP-K ROWS ARE; the driver receives three
+        // scalars per query — (predicted recall, #dists, worst dist) —
+        // and applies only the stagnation/decision bookkeeping. This
+        // collect also materializes the (lazy) cache — only THEN is it
+        // safe to drop the previous round's cached state.
+        val bTrace = spark.sparkContext.broadcast(traces(j))
+        val jj = j
+        val kk = k
+        val met = model.metric
+        val sm = stdM
+        val summaries: Array[(Long, Float, Int, Double)] = state
           .groupBy(col("qid")).agg(sort_array(collect_list(col("dist"))).as("d"))
-          .as[(Long, Array[Double])].collect().toMap
+          .as[(Long, Array[Double])]
+          .mapPartitions { it =>
+            val tr = bTrace.value
+            val dbs = bDBs.value
+            it.map { case (qid, dRaw) =>
+              val recall = BoundedSearch.predictedRecall(
+                dRaw, dbs(qid), tr, jj, kk, sm, met)
+              val maxVal = if (dRaw.isEmpty) Double.NaN else dRaw.max
+              (qid, recall, dRaw.length, maxVal)
+            }
+          }.collect()
         prev.unpersist()
 
+        val byQid = summaries.map(s => (s._1, s)).toMap
         active.foreach { qi =>
-          topkD.get(qVecs(qi)._1).foreach(dRaw => decider.evaluate(qi, j, dRaw))
+          byQid.get(qVecs(qi)._1).foreach { case (_, recall, nDists, maxVal) =>
+            decider.decide(qi, j, recall, nDists, maxVal)
+          }
         }
       }
       j += 1
@@ -156,23 +181,28 @@ object BoundedSearch {
     val decidedStage = new Array[Int](nq)
 
     /** Evaluate query qi at stage 2^j given its current sorted top-k
-      * raw distances. */
+      * raw distances (driver-side math; the lazy path instead computes
+      * the recall on executors and calls [[decide]]). */
     def evaluate(qi: Int, j: Int, dRaw: Array[Double]): Unit = {
+      val recall = BoundedSearch.predictedRecall(
+        dRaw, dBs(qi), traces(j), j, k, stdM, metric)
+      val maxVal = if (dRaw.isEmpty) Double.NaN else dRaw.max
+      decide(qi, j, recall, dRaw.length, maxVal)
+    }
+
+    /** Stagnation bookkeeping + termination decision from the three
+      * per-query scalars (O(1) driver work per query per round). */
+    def decide(qi: Int, j: Int, recallRaw: Float, nDists: Int,
+               maxVal: Double): Unit = {
       val lo = if (j == 0) 0 else 1 << (j - 1)
       val hi = 1 << j
       val require = requires(qi)
-      val dists =
-        if (metric == "ip") dRaw.map(d => ErrorProfile.arcos((-d).toFloat))
-        else dRaw.map(_.toFloat)
-      var recall =
-        if (dists.length < k) 0f
-        else ErrorProfile.curNum(dists, dBs(qi), traces(j), j, k, stdM).toFloat / k
+      var recall = recallRaw
       // stagnation heuristic on the worst kept distance
-      val maxVal = if (dRaw.isEmpty) Double.NaN else dRaw.max
       if (j > 0 && maxVal == preVal(qi)) stoped(qi) += (hi - lo)
       else if (j > 0) stoped(qi) = 0
       preVal(qi) = maxVal
-      if (stoped(qi) >= (require * 12).toInt && dists.length >= k) recall = 1f
+      if (stoped(qi) >= (require * 12).toInt && nDists >= k) recall = 1f
       val capped = j == levels - 1
       if ((recall >= require || capped) && myNprobe(qi) == 0) {
         myNprobe(qi) = math.max(hi, (hi * multiplier).toInt)
@@ -180,6 +210,20 @@ object BoundedSearch {
         decidedStage(qi) = hi
       }
     }
+  }
+
+  /** Pure per-query recall prediction — the executor-side piece of the
+    * decision (the `IndexIVF.cpp:504-637` tune block minus the
+    * stagnation rule, which needs cross-round driver state): arccos
+    * for the IP/angle metric, then curNum/k from the trace. */
+  def predictedRecall(dRaw: Array[Double], dB: Array[Float],
+                      trace: Trace, j: Int, k: Int, stdM: Float,
+                      metric: String): Float = {
+    val dists =
+      if (metric == "ip") dRaw.map(d => ErrorProfile.arcos((-d).toFloat))
+      else dRaw.map(_.toFloat)
+    if (dists.length < k) 0f
+    else ErrorProfile.curNum(dists, dB, trace, j, k, stdM).toFloat / k
   }
 
   /** Eager variant for shallow schedules (levels ≤ 3, i.e. nlist ≤ 64):
