@@ -63,7 +63,13 @@ object BoundedSearch {
     val qVecs = qRows.map { case (qid, v, r) =>
       (qid, if (model.metric == "ip") Kernels.l2Normalize(v) else v, r)
     }
-    val ranks = qVecs.map { case (_, v, _) => model.rankCentroids(v) }
+    // deepest rank any query can need: the decision cap is nlist/8, the
+    // finishing pass probes out to stage × multiplier, and the boundary
+    // geometry reads nlist/8 + 20 — never the full nlist ranking
+    val maxRankNeeded = math.min(nlist, math.max(nlist / 8 + 20,
+      math.ceil(nlist / 8.0 * multiplier).toInt))
+    val ranks = IVFSearch.rankTop(spark, model,
+      qVecs.map(v => (v._1, v._2)), maxRankNeeded)
     val dBs = ranks.map { r =>
       ErrorProfile.boundaryDistances(r.map(_._2), r.map(_._1), model.interdisAt, nlist)
     }
@@ -351,7 +357,7 @@ object BoundedSearch {
       math.max(1, math.min(model.nlist,
         (b * 0.95 / costPerProbeMs).toInt))
     }
-    val ranks = qVecs.map { case (_, v) => model.rankCentroids(v) }
+    val ranks = IVFSearch.rankTop(spark, model, qVecs, budgets.max)
     val probeMap: Map[Int, Array[Int]] = qVecs.indices.flatMap { qi =>
       ranks(qi).take(budgets(qi)).map { case (l, _) => (l, qi) }
     }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }

@@ -21,6 +21,27 @@ import graft.operators.TopK
   */
 object IVFSearch {
 
+  /** Coarse quantization for a (collected, metric-normalized) query
+    * batch, returning only the top `top` ranked centroids per query.
+    * Small batches rank on the driver; past ~1M query×centroid
+    * distance computations the ranking fans out to executors so the
+    * driver never does O(nq·nlist·d) float work — the coarse step
+    * scales in the query dimension like everything else. */
+  private[search] def rankTop(spark: org.apache.spark.sql.SparkSession,
+                              model: IVFModel, q: Array[(Long, Array[Float])],
+                              top: Int): Array[Array[(Int, Float)]] = {
+    val t = math.min(top, model.nlist)
+    if (q.length.toLong * model.nlist < (1L << 20))
+      q.map { case (_, v) => model.rankCentroids(v).take(t) }
+    else {
+      val bm = spark.sparkContext.broadcast(model)
+      val slices = math.max(1, math.min(q.length, 256))
+      spark.sparkContext.parallelize(q.toSeq, slices)
+        .map { case (qid, v) => (qid, bm.value.rankCentroids(v).take(t)) }
+        .collect().sortBy(_._1).map(_._2)
+    }
+  }
+
   /** @param ivfData (id LONG, vec ARRAY<FLOAT>, list_no INT) — ideally
     *                read from a `partitionBy("list_no")` Parquet table
     * @param queries (qid LONG, vec ARRAY<FLOAT>)
@@ -36,14 +57,16 @@ object IVFSearch {
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val np = math.min(nprobe, model.nlist)
 
-    // per-list → probing queries (qid, qvec); driver-side: nq × nlist flops
+    // per-list → probing queries (qid, qvec); ranking fans out past ~1M
+    // query×centroid computations (see rankTop)
     val qNorm = if (model.metric == "ip")
       q.map { case (qid, v) => (qid, Kernels.l2Normalize(v)) } else q
-    val probesByList: Map[Int, Array[(Long, Array[Float])]] = qNorm
-      .flatMap { case (qid, v) =>
-        model.rankCentroids(v).take(np).map { case (l, _) => (l, (qid, v)) }
+    val ranks = rankTop(spark, model, qNorm, np)
+    val probesByList: Map[Int, Array[(Long, Array[Float])]] = qNorm.indices
+      .flatMap { i =>
+        ranks(i).map { case (l, _) => (l, qNorm(i)) }
       }
-      .groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2)) }
+      .groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }
 
     val allLists = probesByList.keys.toSeq.sorted
     val bq = spark.sparkContext.broadcast(probesByList)
@@ -90,10 +113,11 @@ object IVFSearch {
     val np = math.min(nprobe, model.nlist)
     val qNorm = if (model.metric == "ip")
       q.map { case (qid, v) => (qid, Kernels.l2Normalize(v)) } else q
-    val probesByList: Map[Int, Array[(Long, Array[Float])]] = qNorm
-      .flatMap { case (qid, v) =>
-        model.rankCentroids(v).take(np).map { case (l, _) => (l, (qid, v)) }
-      }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2)) }
+    val rks = rankTop(spark, model, qNorm, np)
+    val probesByList: Map[Int, Array[(Long, Array[Float])]] = qNorm.indices
+      .flatMap { i =>
+        rks(i).map { case (l, _) => (l, qNorm(i)) }
+      }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }
     val bq = spark.sparkContext.broadcast(probesByList)
     val m = model.metric
     ivfData
