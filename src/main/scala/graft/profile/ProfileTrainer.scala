@@ -48,7 +48,7 @@ object ProfileTrainer {
     * distance list, computed in ONE pass over the probed lists.
     * @return (qid LONG, stage INT, dists ARRAY<DOUBLE> ascending) */
   def stagedTopK(ivfData: DataFrame, model: IVFModel, trainQueries: DataFrame,
-                 maxTopk: Int): DataFrame = {
+                 maxTopk: Int, chunkQueries: Int = 8192): DataFrame = {
     val spark = ivfData.sparkSession
     import spark.implicits._
     val nlist = model.nlist
@@ -60,8 +60,9 @@ object ProfileTrainer {
     val qVecs = q.map { case (qid, v) =>
       (qid, if (model.metric == "ip") Kernels.l2Normalize(v) else v)
     }
-    val ranks = qVecs.map { case (_, v) => model.rankCentroids(v) }
-    stagedTopKImpl(ivfData, model, qVecs, ranks, maxTopk, levels, maxRank)
+    val ranks = graft.search.IVFSearch.rankTop(spark, model, qVecs, maxRank)
+    stagedTopKImpl(ivfData, model, qVecs, ranks, maxTopk, levels, maxRank,
+      chunkQueries)
   }
 
   def train(ivfData: DataFrame, model: IVFModel, trainQueries: DataFrame,
@@ -80,8 +81,11 @@ object ProfileTrainer {
       (qid, if (model.metric == "ip") Kernels.l2Normalize(v) else v)
     }
 
-    // per-query full centroid ranking → boundary distances + probe ranks
-    val ranks: Array[Array[(Int, Float)]] = qVecs.map { case (_, v) => model.rankCentroids(v) }
+    // per-query centroid rank prefix (boundary geometry reads
+    // nlist/8 + 20, the staged scan nlist/8) → boundary distances;
+    // ranking fans out for large training batches (rankTop)
+    val ranks: Array[Array[(Int, Float)]] = graft.search.IVFSearch.rankTop(
+      spark, model, qVecs, math.max(maxRank, nlist / 8 + 20))
     val dBs: Array[Array[Float]] = ranks.map { r =>
       ErrorProfile.boundaryDistances(r.map(_._2), r.map(_._1), model.interdisAt, nlist)
     }
@@ -119,13 +123,23 @@ object ProfileTrainer {
   }
 
   /** One scan: per-partition, per (query, first-probed-stage) bounded
-    * heaps; stage s top-k = window top-k over partials with j0 ≤ s. */
+    * heaps; stage s top-k = window top-k over partials with j0 ≤ s.
+    * Per-partition heap state is O(nq · levels · k), so training
+    * batches beyond `chunkQueries` are processed in chunks (bounded
+    * memory, one extra scan per chunk) and unioned. */
   private def stagedTopKImpl(ivfData: DataFrame, model: IVFModel,
                              qVecs: Array[(Long, Array[Float])],
                              ranks: Array[Array[(Int, Float)]], maxTopk: Int,
-                             levels: Int, maxRank: Int): DataFrame = {
+                             levels: Int, maxRank: Int,
+                             chunkQueries: Int = 8192): DataFrame = {
     val spark = ivfData.sparkSession
     import spark.implicits._
+    if (qVecs.length > chunkQueries) {
+      return qVecs.indices.grouped(chunkQueries).map { idxs =>
+        stagedTopKImpl(ivfData, model, idxs.map(qVecs).toArray,
+          idxs.map(ranks).toArray, maxTopk, levels, maxRank, chunkQueries)
+      }.reduce(_ unionByName _)
+    }
     val k = maxTopk
     val metric = model.metric
     // list_no → [(query index, first stage level j0 at which it's probed)]

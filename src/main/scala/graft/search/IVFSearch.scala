@@ -21,15 +21,15 @@ import graft.operators.TopK
   */
 object IVFSearch {
 
-  /** Coarse quantization for a (collected, metric-normalized) query
-    * batch, returning only the top `top` ranked centroids per query.
-    * Small batches rank on the driver; past ~1M query×centroid
+  /** Coarse quantization for a (collected, metric-normalized, qid-sorted)
+    * query batch, returning only the top `top` ranked centroids per
+    * query. Small batches rank on the driver; past ~1M query×centroid
     * distance computations the ranking fans out to executors so the
     * driver never does O(nq·nlist·d) float work — the coarse step
     * scales in the query dimension like everything else. */
-  private[search] def rankTop(spark: org.apache.spark.sql.SparkSession,
-                              model: IVFModel, q: Array[(Long, Array[Float])],
-                              top: Int): Array[Array[(Int, Float)]] = {
+  def rankTop(spark: org.apache.spark.sql.SparkSession,
+              model: IVFModel, q: Array[(Long, Array[Float])],
+              top: Int): Array[Array[(Int, Float)]] = {
     val t = math.min(top, model.nlist)
     if (q.length.toLong * model.nlist < (1L << 20))
       q.map { case (_, v) => model.rankCentroids(v).take(t) }

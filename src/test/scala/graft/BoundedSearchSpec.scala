@@ -40,6 +40,20 @@ class BoundedSearchSpec extends SparkSpec {
       (qid, dists.count(_ <= gtKth(qid) * 1.0005).toDouble / k)
     }
 
+  test("stagedTopK chunked query batches produce identical capture") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tq = vecDF(trainQ.take(20), "qid")
+    def capture(chunk: Int) =
+      ProfileTrainer.stagedTopK(assigned, model, tq, maxTopk = k, chunkQueries = chunk)
+        .select(col("qid").cast("long"), col("stage"), col("dists"))
+        .as[(Long, Int, Array[Double])].collect()
+        .map { case (q, s, ds) => (q, s, ds.toSeq) }.sortBy(x => (x._1, x._2))
+    val whole = capture(1000)
+    val chunked = capture(7) // forces 3 chunks
+    assert(whole.sameElements(chunked))
+  }
+
   test("traces are trained, monotone-indexed, and non-trivial") {
     assert(traces.length == 4)
     traces.zipWithIndex.foreach { case (t, j) =>
