@@ -34,6 +34,19 @@ object EventStream {
   def assignStream(vectors: DataFrame, model: IVFModel, batchId: Long): DataFrame =
     IVFIndex.assign(vectors, model).withColumn("batch_id", lit(batchId))
 
+  /** Streaming exact dedup — the streaming twin of d01 for continuous
+    * training-data ingest: fingerprint the normalized text, then keep
+    * the first arrival of each fingerprint, with state bounded by the
+    * event-time watermark (`dropDuplicatesWithinWatermark`: duplicates
+    * farther apart than the delay are out of dedup scope by contract,
+    * which is what bounds state at 100 TB/day ingest rates). */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts",
+                  textCol: String = "text", delay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("fp")
+
   final case class Session(userId: Long, nEvents: Long, totalValue: Double)
 
   /** Stateful per-user session aggregation via mapGroupsWithState —

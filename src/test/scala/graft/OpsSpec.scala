@@ -99,6 +99,36 @@ class OpsSpec extends SparkSpec {
     assert(j.filter(col("n") =!= col("n_b")).count() == 0)
   }
 
+  test("streaming dedup keeps one row per fingerprint within the watermark") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sdedup").toString
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    // 6 docs, 2 exact duplicates (same normalized text) close in time
+    Seq(
+      (1L, at(0), "alpha beta gamma"),
+      (2L, at(1), "Alpha  beta   GAMMA"), // dup of 1 after normalization
+      (3L, at(2), "delta epsilon"),
+      (4L, at(3), "zeta eta theta"),
+      (5L, at(4), "delta epsilon"),       // dup of 3
+      (6L, at(5), "unique text here"))
+      .toDF("doc_id", "ts", "text").write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = EventStream.dedupStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT doc_id FROM sdedup").as[Long].collect().sorted
+    // one survivor per fingerprint (which duplicate survives within a
+    // microbatch is not ordered — only the per-key uniqueness is)
+    assert(got.length == 4, s"got ${got.toSeq}")
+    assert(got.count(id => id == 1L || id == 2L) == 1)
+    assert(got.count(id => id == 3L || id == 5L) == 1)
+    assert(got.contains(4L) && got.contains(6L))
+  }
+
   test("streaming vector ingest assigns lists and batches") {
     val model = IVFIndex.train(vecDF(randVecs(200, 8, seed = 61)), nlist = 8)
     val batch = EventStream.assignStream(vecDF(randVecs(50, 8, seed = 62)), model, batchId = 3L)
