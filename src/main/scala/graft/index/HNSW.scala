@@ -147,15 +147,32 @@ object HNSW {
         val chosen = select(vec, cands, maxConn)
         neighbors(node)(l) ++= chosen
         chosen.foreach { c =>
-          val cn = neighbors(c)(math.min(l, levels(c)))
+          val cl = math.min(l, levels(c))
+          val cn = neighbors(c)(cl)
           cn += node
           if (cn.length > maxConn) {
             val kept = select(vecs(c), cn.toArray, maxConn)
-            cn.clear(); cn ++= kept
+            // never prune the insert-order chain edges (c±1) at level 0 —
+            // they carry the block-connectivity guarantee below
+            val chain =
+              if (cl == 0)
+                cn.filter(n => (n == c - 1 || n == c + 1) && !kept.contains(n)).distinct
+              else Nil
+            cn.clear(); cn ++= kept ++ chain
           }
         }
         if (cands.nonEmpty) ep = cands(0)
         l -= 1
+      }
+      // insert-order chain backstop: a bidirectional (node-1 ↔ node) edge
+      // at level 0 guarantees the block's level-0 graph stays connected
+      // even when heuristic pruning would fragment clustered data into
+      // islands — which exhaustive-beam exactness (v14) depends on.
+      if (node > 0) {
+        val n0 = neighbors(node)(0)
+        if (!n0.contains(node - 1)) n0 += (node - 1)
+        val p0 = neighbors(node - 1)(0)
+        if (!p0.contains(node)) p0 += node
       }
       if (lvl > maxLevel) { maxLevel = lvl; entryPoint = node }
     }
@@ -181,6 +198,11 @@ object HNSW {
         .map(n => (dist(n, q), ids(n)))
         .sortBy { case (d, id) => (d, id) }.take(k)
     }
+
+    /** Level-0 out-adjacency (node → neighbor node indices) — lets the
+      * spec assert the chain-backstop connectivity invariant. */
+    def level0Adjacency: Array[Array[Int]] =
+      neighbors.map(_(0).toArray).toArray
 
     /** Adjacency dump: (part, node, id, vec, level, nbrs-per-level). */
     private[HNSW] def exportRows(part: Int)

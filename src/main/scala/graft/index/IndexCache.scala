@@ -51,10 +51,12 @@ object IndexCache {
     * IVF model. */
   def hnsw(key: String, df: => DataFrame, nParts: Int = 8, m: Int = 16,
            efConstruction: Int = 64): DataFrame =
-    graphs.computeIfAbsent(s"$key|hnsw|$nParts|$m|$efConstruction", { _ =>
+    graphs.computeIfAbsent(s"$key|hnsw2|$nParts|$m|$efConstruction", { _ =>
       val data = df
       val spark = data.sparkSession
-      val path = diskPath(s"$key|hnsw|$nParts|$m|$efConstruction")
+      // "hnsw2" = graph format v2 (level-0 chain-edge connectivity
+      // backstop); keeps pre-backstop disk graphs from being reused
+      val path = diskPath(s"$key|hnsw2|$nParts|$m|$efConstruction")
       if (!onDisk(path))
         HNSW.writeGraph(HNSW.buildGraph(data, nParts, m, efConstruction), path)
       val g = HNSW.readGraph(spark, path).cache()

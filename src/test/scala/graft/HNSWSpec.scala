@@ -51,6 +51,32 @@ class HNSWSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("level-0 graph stays connected on far-apart clustered data") {
+    // two tight clusters 1000 apart — the shape most likely to fragment
+    // under heuristic pruning; the insert-order chain backstop must keep
+    // level 0 one component (exhaustive-beam exactness depends on it)
+    val rng = new scala.util.Random(7)
+    def cluster(center: Float, n: Int) = Array.fill(n)(
+      Array.fill(12)(center + rng.nextGaussian().toFloat * 0.01f))
+    val vs = cluster(0f, 150) ++ cluster(1000f, 150)
+    val g = new HNSW.LocalGraph(12, m = 4, efConstruction = 8)
+    vs.zipWithIndex.foreach { case (v, i) => g.insert(i.toLong, v) }
+    val adj = g.level0Adjacency
+    // BFS over level-0 out-edges from node 0 must reach every node
+    val seen = scala.collection.mutable.HashSet(0)
+    val queue = scala.collection.mutable.Queue(0)
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      adj(n).foreach { nb => if (seen.add(nb)) queue.enqueue(nb) }
+    }
+    assert(seen.size == vs.length, s"level-0 reachable ${seen.size}/${vs.length}")
+    // and an exhaustive beam over the connected block is exact
+    val q = vs(200)
+    val got = g.search(q, 5, efSearch = vs.length).map(_._2)
+    val want = bruteForce(vs, q, 5).map(_._2)
+    assert(got.sameElements(want), s"${got.toSeq} != ${want.toSeq}")
+  }
+
   test("efSearch trades recall for work") {
     val lo = recallVs(HNSW.knn(baseDF, qDF, k = 10, efSearch = 12), 10)
     val hi = recallVs(HNSW.knn(baseDF, qDF, k = 10, efSearch = 128), 10)
