@@ -80,8 +80,22 @@ object IndexCache {
       }
     })
 
-  /** Generic built-once cached DataFrame (e.g. MinHash signature
-    * tables shared across the dedup pipeline's queries). */
+  /** Disk-backed built-once DataFrame for model-like artifacts (e.g.
+    * MinHash signature tables — trained-once corpus fingerprints, the
+    * same contract as IVF centroids): a fresh JVM pays a parquet load,
+    * not a re-shingle of the corpus. */
+  def frameDisk(key: String, spark: org.apache.spark.sql.SparkSession,
+                build: => DataFrame): DataFrame =
+    frames.computeIfAbsent(s"$key|disk", { _ =>
+      val path = diskPath(key)
+      if (!onDisk(path)) build.write.mode("overwrite").parquet(path)
+      val df = spark.read.parquet(path).cache()
+      df.count()
+      df
+    })
+
+  /** Generic built-once cached DataFrame (e.g. LSH candidate sets
+    * shared across the dedup pipeline's queries). */
   def frame(key: String, build: => DataFrame): DataFrame =
     frames.computeIfAbsent(key, { _ =>
       val df = build.cache()

@@ -163,7 +163,7 @@ object Documents {
     * corpus per query. */
   def d05MinhashEstimate(s: SparkSession, dir: String): DataFrame = {
     val pairs = d03LshCandidates(s, dir) // cached artifact (shared with d03)
-    val sigs = graft.index.IndexCache.frame(s"$dir|minhash16",
+    val sigs = graft.index.IndexCache.frameDisk(s"$dir|minhash16", s,
       graft.ops.MinHash.signatures(docs(s, dir), numHashes = 16))
     graft.ops.MinHash.estimate(pairs, sigs)
       .orderBy(col("a"), col("b"))

@@ -116,4 +116,20 @@ class IndexIOSpec extends SparkSpec {
       .as[(Long, Int, Long, Double)].collect().sorted
     assert(a.sameElements(b))
   }
+
+  test("frameDisk builds once, then reloads from parquet across sessions") {
+    import spark.implicits._
+    val key = s"frameDiskSpec_${System.nanoTime()}"
+    var builds = 0
+    def build = { builds += 1; Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+    val first = graft.index.IndexCache.frameDisk(key, spark, build)
+      .as[(Long, String)].collect().sorted
+    assert(builds == 1)
+    // simulate a fresh JVM: drop the session cache, keep the disk layer
+    graft.index.IndexCache.clear()
+    val second = graft.index.IndexCache.frameDisk(key, spark, build)
+      .as[(Long, String)].collect().sorted
+    assert(builds == 1, "reload must come from parquet, not a rebuild")
+    assert(first.sameElements(second))
+  }
 }
