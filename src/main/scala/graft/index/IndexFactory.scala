@@ -16,7 +16,8 @@ import graft.transforms._
   * rotation), `L2norm`, `Remap<d>`, `IDMap` (no-op — ids are explicit
   * columns here), coarse `IVF<nlist>` or flat, encodings `Flat`,
   * `PQ<M>`, `SQ8`; `HNSW<M>` as the graph-index alternative to IVF
-  * (partitioned build-at-search, `index.HNSW`).
+  * (partitioned build-at-search, `index.HNSW`); `RFlat` (exact-rerank
+  * refinement over stored raw vectors, `IndexRefineFlat`).
   */
 object IndexFactory {
 
@@ -31,7 +32,7 @@ object IndexFactory {
   case object FP16Enc extends Encoding
 
   final case class Spec(pre: Seq[PreTok], nlist: Option[Int], enc: Encoding,
-                        hnswM: Option[Int] = None)
+                        hnswM: Option[Int] = None, refine: Boolean = false)
   sealed trait PreTok
   final case class OpqTok(m: Int) extends PreTok
   final case class PcaTok(d: Int, whiten: Boolean) extends PreTok
@@ -44,6 +45,7 @@ object IndexFactory {
     var nlist: Option[Int] = None
     var enc: Option[Encoding] = None
     var hnswM: Option[Int] = None
+    var refine = false
     val pcaW = "PCAW(\\d+)".r; val pca = "PCA(\\d+)".r; val rr = "RR(\\d+)".r
     val opq = "OPQ(\\d+)".r; val hnsw = "HNSW(\\d+)".r
     val ivf = "IVF(\\d+)".r; val pqp = "PQ(\\d+)".r; val remap = "Remap(\\d+)".r
@@ -65,11 +67,12 @@ object IndexFactory {
       case "SQ4U"    => enc = Some(SQ4UEnc)
       case "SQ6"     => enc = Some(SQ6Enc)
       case "SQfp16"  => enc = Some(FP16Enc)
+      case "RFlat"   => refine = true // IndexRefineFlat suffix (`AutoTune.cpp`)
       case tok => throw new IllegalArgumentException(
         s"index_factory: unsupported token '$tok' in '$spec'")
     }
     require(hnswM.isEmpty || nlist.isEmpty, "HNSW and IVF are alternative coarse structures")
-    Spec(pre, nlist, enc.getOrElse(FlatEnc), hnswM)
+    Spec(pre, nlist, enc.getOrElse(FlatEnc), hnswM, refine)
   }
 
   /** A trained index: transform chain + optional IVF coarse model +
@@ -78,9 +81,11 @@ object IndexFactory {
   final case class GraftIndex(spec: Spec, chain: TransformChain,
                               ivf: Option[IVFModel], pq: Option[PQModel],
                               sq: Option[ScalarCodec], data: DataFrame,
-                              graph: Option[DataFrame] = None) {
+                              graph: Option[DataFrame] = None,
+                              raw: Option[DataFrame] = None) {
 
-    def search(queries: DataFrame, k: Int, nprobe: Int = 8): DataFrame = {
+    def search(queries: DataFrame, k: Int, nprobe: Int = 8,
+               kFactor: Int = 4): DataFrame = {
       val spark = queries.sparkSession
       import spark.implicits._
       val tq = {
@@ -88,22 +93,48 @@ object IndexFactory {
         val u = udf { v: Seq[Float] => bc.value.applyVec(v.toArray) }
         queries.withColumn("vec", u(col("vec")))
       }
-      spec.hnswM match {
+      // RFlat: the codec path only generates candidates (k·kFactor),
+      // the answer is an exact rerank against the stored raw vectors
+      val kCand = if (spec.refine) k * kFactor else k
+      val cands = spec.hnswM match {
         case Some(mm) =>
           val g = graph.getOrElse(HNSW.buildGraph(data, m = mm))
-          return HNSW.searchGraph(g, tq, k, efSearch = math.max(64, 4 * k))
+          HNSW.searchGraph(g, tq, kCand, efSearch = math.max(64, 4 * kCand))
         case None =>
+          (ivf, pq, sq) match {
+            case (Some(m), Some(p), _) => IVFPQ.search(data, m, p, tq, kCand, nprobe)
+            case (Some(m), None, Some(s)) =>
+              // SQ inside IVF: decode-scan the probed lists
+              decodeScanIVF(m, s, tq, kCand, nprobe)
+            case (Some(m), None, None) => IVFSearch.search(data, m, tq, kCand, nprobe)
+            case (None, Some(p), _)    => ProductQuantizer.knnADC(data, p, tq, kCand)
+            case (None, None, Some(s)) => ScalarQuantizer.knn(data, s, tq, kCand)
+            case (None, None, None)    => FlatSearch.knn(data, tq, kCand)
+          }
       }
-      (ivf, pq, sq) match {
-        case (Some(m), Some(p), _) => IVFPQ.search(data, m, p, tq, k, nprobe)
-        case (Some(m), None, Some(s)) =>
-          // SQ inside IVF: decode-scan the probed lists
-          decodeScanIVF(m, s, tq, k, nprobe)
-        case (Some(m), None, None) => IVFSearch.search(data, m, tq, k, nprobe)
-        case (None, Some(p), _)    => ProductQuantizer.knnADC(data, p, tq, k)
-        case (None, None, Some(s)) => ScalarQuantizer.knn(data, s, tq, k)
-        case (None, None, None)    => FlatSearch.knn(data, tq, k)
+      if (!spec.refine) cands else rerankExact(cands, tq, k)
+    }
+
+    /** `IndexRefineFlat` (the factory's `RFlat` suffix): rerank codec
+      * candidates with exact L2 against the raw (chain-transformed)
+      * vectors — a broadcast of the query block plus one equi-join on
+      * id; candidate cardinality is queries × k·kFactor, never N. */
+    private def rerankExact(cands: DataFrame, tq: DataFrame, k: Int): DataFrame = {
+      val spark = cands.sparkSession
+      import spark.implicits._
+      val rawData = raw.getOrElse(throw new IllegalStateException(
+        "RFlat spec built without raw vectors"))
+      val q = tq.select(col("qid").cast("long"), col("vec"))
+        .as[(Long, Array[Float])].collect().toMap
+      val bq = spark.sparkContext.broadcast(q)
+      val exactU = udf { (qid: Long, v: Seq[Float]) =>
+        graft.functions.Kernels.l2Sqr(bq.value(qid), v.toArray)
       }
+      val rescored = cands.select(col("qid"), col("id"))
+        .join(rawData.select(col("id"), col("vec")), Seq("id"))
+        .withColumn("dist", exactU(col("qid"), col("vec")))
+        .select(col("qid"), col("id"), col("dist"))
+      FlatSearch.mergeTopK(rescored, k)
     }
 
     private def decodeScanIVF(m: IVFModel, s: ScalarCodec, tq: DataFrame,
@@ -141,6 +172,11 @@ object IndexFactory {
 
     val ivfModel = s.nlist.map(n => IVFIndex.train(cur, n, metric, seed))
     val assigned = ivfModel.map(m => IVFIndex.assign(cur, m)).getOrElse(cur)
+    // RFlat keeps the chain-transformed raw vectors beside the codes —
+    // the reference's IndexRefineFlat stores the same flat copy
+    val rawKeep =
+      if (s.refine) Some(assigned.select(col("id"), col("vec")).cache())
+      else None
 
     /** HNSW over a compressed codec (IndexHNSWSQ / IndexHNSWPQ,
       * `Auncel/IndexHNSW.h:116-150`): the graph lives in the codec's
@@ -159,38 +195,38 @@ object IndexFactory {
         val graph = s.hnswM.map { mm =>
           val g = HNSW.buildGraph(assigned, m = mm).cache(); g.count(); g
         }
-        GraftIndex(s, chain, ivfModel, None, None, assigned.cache(), graph)
+        GraftIndex(s, chain, ivfModel, None, None, assigned.cache(), graph, rawKeep)
       case PQEnc(m) =>
         ivfModel match {
           case Some(im) =>
             val pq = IVFPQ.trainResidualPQ(assigned, im, m, seed = seed)
             GraftIndex(s, chain, ivfModel, Some(pq), None,
-              IVFPQ.encode(assigned, im, pq).drop("vec").cache())
+              IVFPQ.encode(assigned, im, pq).drop("vec").cache(), raw = rawKeep)
           case None =>
             val pq = ProductQuantizer.train(assigned, m, seed = seed)
             GraftIndex(s, chain, None, Some(pq), None,
-              ProductQuantizer.encode(assigned, pq).drop("vec").cache())
+              ProductQuantizer.encode(assigned, pq).drop("vec").cache(), raw = rawKeep)
         }
       case SQ8Enc | SQ8UEnc =>
         val sq = ScalarQuantizer.train(assigned, uniform = s.enc == SQ8UEnc)
         GraftIndex(s, chain, ivfModel, None, Some(sq),
           ScalarQuantizer.encode(assigned, sq).drop("vec").cache(),
-          codecGraph(sq))
+          codecGraph(sq), rawKeep)
       case SQ4Enc | SQ4UEnc =>
         val sq = SQ4.train(assigned, uniform = s.enc == SQ4UEnc)
         GraftIndex(s, chain, ivfModel, None, Some(sq),
           ScalarVariants.encode(assigned, sq).drop("vec").cache(),
-          codecGraph(sq))
+          codecGraph(sq), rawKeep)
       case SQ6Enc =>
         val sq = SQ6.train(assigned)
         GraftIndex(s, chain, ivfModel, None, Some(sq),
           ScalarVariants.encode(assigned, sq).drop("vec").cache(),
-          codecGraph(sq))
+          codecGraph(sq), rawKeep)
       case FP16Enc =>
         val codec = FP16Codec(dim)
         GraftIndex(s, chain, ivfModel, None, Some(codec),
           ScalarVariants.encode(assigned, codec).drop("vec").cache(),
-          codecGraph(codec))
+          codecGraph(codec), rawKeep)
     }
   }
 }

@@ -176,14 +176,15 @@ object IndexIO {
     import spark.implicits._
     Seq((spec, gi.ivf.isDefined, gi.pq.isDefined,
         gi.sq.map(sqKind).getOrElse("none"),
-        gi.sq.map(_.dim).getOrElse(0), gi.graph.isDefined))
-      .toDF("spec", "has_ivf", "has_pq", "sq_kind", "sq_dim", "has_graph")
+        gi.sq.map(_.dim).getOrElse(0), gi.graph.isDefined, gi.raw.isDefined))
+      .toDF("spec", "has_ivf", "has_pq", "sq_kind", "sq_dim", "has_graph", "has_raw")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
     saveChain(gi.chain, s"$path/chain", spark)
     gi.ivf.foreach(m => IVFIndex.saveModel(m, s"$path/ivf", spark))
     gi.pq.foreach(p => savePQ(p, s"$path/pq", spark))
     gi.sq.foreach(q => saveCodec(q, s"$path/sq", spark))
     gi.graph.foreach(g => HNSW.writeGraph(g, s"$path/graph"))
+    gi.raw.foreach(r => r.write.mode("overwrite").parquet(s"$path/raw"))
     if (gi.data.columns.contains("list_no"))
       IVFIndex.write(gi.data, s"$path/data")
     else gi.data.write.mode("overwrite").parquet(s"$path/data")
@@ -191,11 +192,11 @@ object IndexIO {
 
   def loadIndex(path: String, spark: SparkSession): IndexFactory.GraftIndex = {
     import spark.implicits._
-    val (spec, hasIvf, hasPq, sqKindS, sqDim, hasGraph) =
+    val (spec, hasIvf, hasPq, sqKindS, sqDim, hasGraph, hasRaw) =
       spark.read.parquet(s"$path/manifest")
         .select(col("spec"), col("has_ivf"), col("has_pq"), col("sq_kind"),
-          col("sq_dim"), col("has_graph"))
-        .as[(String, Boolean, Boolean, String, Int, Boolean)].head()
+          col("sq_dim"), col("has_graph"), col("has_raw"))
+        .as[(String, Boolean, Boolean, String, Int, Boolean, Boolean)].head()
     IndexFactory.GraftIndex(
       IndexFactory.parse(spec),
       loadChain(s"$path/chain", spark),
@@ -203,6 +204,7 @@ object IndexIO {
       if (hasPq) Some(loadPQ(s"$path/pq", spark)) else None,
       if (sqKindS != "none") Some(loadCodec(sqKindS, sqDim, s"$path/sq", spark)) else None,
       spark.read.parquet(s"$path/data"),
-      if (hasGraph) Some(HNSW.readGraph(spark, s"$path/graph")) else None)
+      if (hasGraph) Some(HNSW.readGraph(spark, s"$path/graph")) else None,
+      if (hasRaw) Some(spark.read.parquet(s"$path/raw")) else None)
   }
 }

@@ -33,8 +33,28 @@ class FactorySpec extends SparkSpec {
     assert(IndexFactory.parse("IVF32,SQ8").enc == IndexFactory.SQ8Enc)
     assert(IndexFactory.parse("IDMap,Flat").pre.isEmpty)
     assert(IndexFactory.parse("HNSW32").hnswM.contains(32))
+    assert(IndexFactory.parse("IVF16,PQ8,RFlat").refine)
+    assert(!IndexFactory.parse("IVF16,PQ8").refine)
     intercept[IllegalArgumentException](IndexFactory.parse("IVF16,HNSW32"))
     intercept[IllegalArgumentException](IndexFactory.parse("Bogus42"))
+  }
+
+  test("RFlat refinement lifts PQ recall to exact at full probe") {
+    val plain = IndexFactory.build("IVF16,PQ8", baseDF)
+    val refined = IndexFactory.build("IVF16,PQ8,RFlat", baseDF)
+    val rPlain = recallVsExact(plain.search(qDF, k = 10, nprobe = 16), 10)
+    val rRef = recallVsExact(refined.search(qDF, k = 10, nprobe = 16, kFactor = 8), 10)
+    assert(rRef >= rPlain - 1e-9, s"refined $rRef < plain $rPlain")
+    assert(rRef > 0.95, s"refined recall $rRef")
+    // refined distances are the exact ones: top-1 dist matches flat search
+    import spark.implicits._
+    val exact1 = FlatSearch.knn(baseDF, qDF, 1)
+      .select(col("qid"), col("dist")).as[(Long, Double)].collect().toMap
+    val ref1 = refined.search(qDF, k = 1, nprobe = 16, kFactor = 8)
+      .select(col("qid"), col("dist")).as[(Long, Double)].collect().toMap
+    ref1.foreach { case (q, d) =>
+      assert(math.abs(d - exact1(q)) < 1e-6, s"qid $q: $d vs ${exact1(q)}")
+    }
   }
 
   test("IVF32,Flat via factory: full-probe equals exact search") {

@@ -117,6 +117,23 @@ class IndexIOSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("RFlat factory index round-trips raw vectors and searches identically") {
+    import spark.implicits._
+    val vs = clusteredVecs(400, 16, nClusters = 8, seed = 77)
+    val baseDF = vecDF(vs.take(380))
+    val qDF = vecDF(vs.drop(380), "qid")
+    val gi = graft.index.IndexFactory.build("IVF8,PQ8,RFlat", baseDF)
+    val dir = java.nio.file.Files.createTempDirectory("rflatio").toString
+    graft.index.IndexIO.saveIndex(gi, "IVF8,PQ8,RFlat", dir)
+    val gi2 = graft.index.IndexIO.loadIndex(dir, spark)
+    assert(gi2.spec.refine && gi2.raw.isDefined)
+    def run(g: graft.index.IndexFactory.GraftIndex) =
+      g.search(qDF, k = 5, nprobe = 8)
+        .select(col("qid"), col("rank"), col("id"), col("dist"))
+        .as[(Long, Int, Long, Double)].collect().sorted
+    assert(run(gi).sameElements(run(gi2)))
+  }
+
   test("frameDisk builds once, then reloads from parquet across sessions") {
     import spark.implicits._
     val key = s"frameDiskSpec_${System.nanoTime()}"
