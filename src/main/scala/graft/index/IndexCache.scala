@@ -80,6 +80,23 @@ object IndexCache {
       }
     })
 
+  /** Trained-once PQ codebooks (plain or polysemous-reordered) with the
+    * same session + disk layering as the IVF model. */
+  def pq(key: String, spark: org.apache.spark.sql.SparkSession,
+         build: => graft.quantize.PQModel): graft.quantize.PQModel =
+    pqModels.computeIfAbsent(key, { _ =>
+      val path = diskPath(s"$key|pq")
+      if (onDisk(path)) IndexIO.loadPQ(path, spark)
+      else {
+        val p = build
+        IndexIO.savePQ(p, path, spark)
+        p
+      }
+    })
+
+  private val pqModels =
+    new ConcurrentHashMap[String, graft.quantize.PQModel]()
+
   /** Disk-backed built-once DataFrame for model-like artifacts (e.g.
     * MinHash signature tables — trained-once corpus fingerprints, the
     * same contract as IVF centroids): a fresh JVM pays a parquet load,
@@ -107,5 +124,6 @@ object IndexCache {
 
   def clear(): Unit = {
     models.clear(); graphs.clear(); traces.clear(); frames.clear()
+    pqModels.clear()
   }
 }

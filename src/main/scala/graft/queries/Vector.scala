@@ -429,6 +429,62 @@ object Vector {
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   }
 
+  /** §2.3 — polysemous codes (`Auncel/PolysemousTraining.cpp`,
+    * `IndexPQ.cpp` polysemous search): PQ codebooks annealed so code
+    * Hamming distance tracks centroid distance; search Hamming-filters
+    * every stored code against the query's own code (ht = 30 of 64),
+    * then ranks survivors by reconstruction distance ‖q − decode(code)‖²
+    * (≡ ADC — the per-subspace sums telescope). The oracle replays
+    * filter → decode → rank in SQL over persisted code/codebook side
+    * tables (the v06 playbook). */
+  def v18Polysemous(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.quantize.{Polysemous, ProductQuantizer}
+    val b = base(s, dir)
+    val pq = graft.index.IndexCache.pq(s"$dir|poly_m8", s,
+      Polysemous.train(ProductQuantizer.train(b, m = 8, seed = 42L)))
+    val enc = ProductQuantizer.encode(b, pq).select(col("id"), col("code"))
+    val oracleDir = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+    val toInts = udf { c: Array[Byte] => c.map(_ & 0xff) }
+    enc.select(col("id"), posexplode(toInts(col("code"))).as(Seq("sub", "code")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleDir/v18_codes.parquet")
+    val qRows = qs(s, dir, "vec_id < 8")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    qRows.flatMap { case (qid, v) =>
+      pq.encode(v).zipWithIndex.map { case (c, sub) => (qid, sub, c & 0xff) }
+    }.toSeq.toDF("qid", "sub", "qcode")
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleDir/v18_qcodes.parquet")
+    (for { sub <- 0 until pq.m; c <- 0 until pq.ksub }
+      yield (sub, c, pq.codebooks(sub)(c)))
+      .toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleDir/v18_books.parquet")
+    Polysemous.knn(enc, pq, qs(s, dir, "vec_id < 8"), k = 10, ht = 30)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v18Sql: String = {
+    val odir = "/tmp/graft_oracle/sf0.01"
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT id, sub, code FROM read_parquet('$odir/v18_codes.parquet/*.parquet')),
+       |qc AS (SELECT qid, sub, qcode FROM read_parquet('$odir/v18_qcodes.parquet/*.parquet')),
+       |bk AS (SELECT sub, code, centroid FROM read_parquet('$odir/v18_books.parquet/*.parquet')),
+       |ham AS (SELECT qc.qid, c.id,
+       |  SUM(bit_count(xor(CAST(c.code AS BIGINT), CAST(qc.qcode AS BIGINT)))) AS h
+       |  FROM c JOIN qc ON c.sub = qc.sub GROUP BY 1, 2),
+       |dec AS (SELECT c.id, flatten(list(bk.centroid ORDER BY c.sub)) AS dv
+       |  FROM c JOIN bk ON bk.sub = c.sub AND bk.code = c.code GROUP BY c.id),
+       |d AS (SELECT ham.qid, ham.id,
+       |  list_sum(list_transform(range(1, 65), i ->
+       |    (CAST(q.qv[i] AS DOUBLE) - CAST(dec.dv[i] AS DOUBLE)) *
+       |    (CAST(q.qv[i] AS DOUBLE) - CAST(dec.dv[i] AS DOUBLE)))) AS dist
+       |  FROM ham JOIN q ON q.qid = ham.qid JOIN dec ON dec.id = ham.id
+       |  WHERE ham.h <= 30)
+       |SELECT qid, id, dist, rank FROM (
+       |  SELECT qid, id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
   /** O9/O20 — sharded search: split the collection into 2 shards, exact
     * top-k per shard, global merge — must equal single-index search. */
   def v10ShardedKnn(s: SparkSession, dir: String): DataFrame = {
@@ -640,7 +696,8 @@ object Vector {
     "v07_neardup_pairs" -> v07NearDupPairs _,
     "v15_neardup_lsh" -> v15NeardupLsh _,
     "v16_scalar_codecs" -> v16ScalarCodecs _,
-    "v17_hamming_wide" -> v17HammingWide _)
+    "v17_hamming_wide" -> v17HammingWide _,
+    "v18_polysemous" -> v18Polysemous _)
 
   val oracles: Map[String, String] = Map(
     "a03_bounded_exact" -> a03Sql,
@@ -661,5 +718,6 @@ object Vector {
     "v07_neardup_pairs" -> v07Sql,
     "v15_neardup_lsh" -> v15Sql,
     "v16_scalar_codecs" -> v16Sql,
-    "v17_hamming_wide" -> v17Sql)
+    "v17_hamming_wide" -> v17Sql,
+    "v18_polysemous" -> v18Sql)
 }
