@@ -121,6 +121,32 @@ object AutoTune {
       cfg => cfg("efSearch") / blockSize)
   }
 
+  /** ht (polysemous Hamming threshold) sweep — the last of the
+    * reference ParameterSpace's axes (`Auncel/AutoTune.cpp:353-408`
+    * enumerates `ht` alongside nprobe/k_factor/efSearch). Cost model:
+    * the measured Hamming-CDF pass rate — the fraction of stored codes
+    * that survive the filter and pay ADC — priced for ALL thresholds
+    * from one distributed histogram pass, so the sweep scans the data
+    * once for costs plus once per ht for recall. */
+  def sweepPolysemousHt(codes: DataFrame, baseVecs: DataFrame,
+                        pq: graft.quantize.PQModel, queries: DataFrame,
+                        k: Int, hts: Seq[Int]): Seq[MultiPoint] = {
+    import codes.sparkSession.implicits._
+    val exact = graft.search.FlatSearch.knn(baseVecs, queries, k)
+      .select(col("qid").cast("long"), col("id").cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hist = graft.quantize.Polysemous.hammingHistogram(codes, pq, queries)
+    val total = hist.sum.toDouble
+    val cdf = hist.scanLeft(0L)(_ + _).tail // cdf(d) = pairs at distance ≤ d
+    def passRate(ht: Int): Double =
+      if (total == 0) 0.0 else cdf(math.min(ht, cdf.length - 1)) / total
+    sweepGrid(hts.map(h => Map("ht" -> h)),
+      cfg => graft.quantize.Polysemous.knn(codes, pq, queries, k, cfg("ht")),
+      exact, k,
+      cfg => passRate(cfg("ht")))
+  }
+
   /** Pareto front / bounded-case selection over multi-param points —
     * same worst-case criterion as the single-param form. */
   def paretoFrontMulti(points: Seq[MultiPoint],

@@ -119,6 +119,32 @@ object Polysemous {
     perm
   }
 
+  /** Histogram of code-Hamming distances over every (query, stored
+    * code) pair in ONE distributed pass: hist(d) = #pairs at distance
+    * d, 0 ≤ d ≤ m·nbits. Its CDF prices every candidate threshold at
+    * once — Σ_{d≤ht} hist(d) / (N·nq) is the fraction of codes that
+    * survive the filter at `ht` and pay the ADC evaluation — so an ht
+    * sweep costs one scan, not one per threshold. */
+  def hammingHistogram(codes: DataFrame, model: PQModel,
+                       queries: DataFrame): Array[Long] = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("qid").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bqCodes = spark.sparkContext.broadcast(q.map { case (_, v) => model.encode(v) })
+    val bins = model.m * model.nbits + 1
+    codes.select(col("code")).as[Array[Byte]]
+      .mapPartitions { it =>
+        val qCodes = bqCodes.value
+        val h = new Array[Long](bins)
+        it.foreach { code =>
+          var i = 0
+          while (i < qCodes.length) { h(hamming(qCodes(i), code)) += 1L; i += 1 }
+        }
+        Iterator.single(h)
+      }.reduce((a, b) => Array.tabulate(bins)(i => a(i) + b(i)))
+  }
+
   /** k-NN over polysemous codes: Hamming-filter each stored code
     * against the query's own code (≤ `ht` passes), then rank survivors
     * by the exact code distance ‖q − decode(code)‖² (≡ ADC: the

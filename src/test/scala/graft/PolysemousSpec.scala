@@ -44,6 +44,37 @@ class PolysemousSpec extends SparkSpec {
     assert(run(8 * polyPQ.m).sameElements(run(Int.MaxValue)))
   }
 
+  test("ht autotune sweep: CDF-priced costs, exact-corner recall, select") {
+    import spark.implicits._
+    import graft.operators.AutoTune
+    val enc = ProductQuantizer.encode(baseDF, polyPQ)
+      .select(col("id"), col("code")).cache()
+    val maxHt = 8 * polyPQ.m
+    val hts = Seq(8, 14, 20, maxHt)
+    val pts = AutoTune.sweepPolysemousHt(enc, baseDF, polyPQ, qDF, k = 10, hts)
+    assert(pts.length == hts.length)
+    // cost is the Hamming CDF: monotone, 1.0 at the max threshold,
+    // and a moderate threshold really prunes
+    assert(pts.map(_.cost).sliding(2).forall(p => p.size == 1 || p.head <= p.last))
+    assert(pts.last.cost == 1.0)
+    assert(pts.find(_.params("ht") == 14).get.cost < 0.5)
+    // the unfiltered point matches the plain decode-scan's recall
+    val unfiltered = Polysemous.knn(enc, polyPQ, qDF, k = 10, ht = maxHt)
+      .select(col("qid"), col("id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = graft.search.FlatSearch.knn(baseDF, qDF, 10)
+      .select(col("qid"), col("id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pqRecall = exact.map { case (q, ids) =>
+      (unfiltered.getOrElse(q, Set.empty) & ids).size.toDouble / 10
+    }.sum / exact.size
+    assert(math.abs(pts.last.meanRecall - pqRecall) < 1e-9)
+    // bounded-case select at a target the sweep can meet picks a
+    // cheaper-than-unfiltered point when one qualifies
+    val sel = AutoTune.selectMulti(pts, pts.last.minRecall)
+    assert(sel.minRecall >= pts.last.minRecall && sel.cost <= 1.0)
+  }
+
   test("moderate ht prunes most candidates but keeps PQ-level recall") {
     import spark.implicits._
     val enc = ProductQuantizer.encode(baseDF, polyPQ)
