@@ -10,10 +10,11 @@ import graft.search.FlatSearch
 /** IVF + PQ with residual encoding (`Auncel/IndexIVFPQ.cpp`,
   * by_residual=true): each vector stores a PQ code of (vec − centroid of
   * its list); at query time, per probed list the ADC table is built from
-  * the query's residual against that centroid. Optional exact-rerank
-  * refinement mirrors IVFPQR's second pass (`IndexIVFPQ.cpp`, refine):
-  * rerank the top k·kFactor ADC candidates with exact distances via a
-  * join back to the raw vectors.
+  * the query's residual against that centroid. Two refinement passes on
+  * top of the ADC candidates: exact rerank against raw vectors
+  * ([[searchRefine]], `IndexRefineFlat`) and two-level-PQ rerank against
+  * code-only reconstructions ([[searchPQR]], `IndexIVFPQR.cpp` — the
+  * memory point where refine IO is codes, not vectors).
   */
 object IVFPQ {
 
@@ -95,6 +96,84 @@ object IVFPQ {
         }
       }.toDF("qid", "id", "dist")
     FlatSearch.mergeTopK(partials, k)
+  }
+
+  /** Train the second-level refine PQ (`Auncel/IndexIVFPQR.cpp:30-45`
+    * `refine_pq`): a PQ over the SECOND residual
+    * vec − (centroid + decode(code)), i.e. what the first-level code
+    * failed to capture. Input must be the [[encode]] output (still
+    * carrying `vec`). */
+  def trainRefinePQ(encoded: DataFrame, model: IVFModel, pq: PQModel,
+                    m: Int, nbits: Int = 8, seed: Long = 43L): PQModel = {
+    val spark = encoded.sparkSession
+    val bm = spark.sparkContext.broadcast(model)
+    val bpq = spark.sparkContext.broadcast(pq)
+    val u = udf { (v: Seq[Float], listNo: Int, code: Array[Byte]) =>
+      val c = bm.value.centroids(listNo)
+      val d = bpq.value.decode(code)
+      Array.tabulate(v.length)(i => v(i) - c(i) - d(i))
+    }
+    val res2 = encoded.select(u(col("vec"), col("list_no"), col("code")).as("vec"))
+    graft.quantize.ProductQuantizer.train(res2, m, nbits, seed)
+  }
+
+  /** Add second-level refine codes (`rcode`) beside the first-level
+    * ones. */
+  def encodeRefine(encoded: DataFrame, model: IVFModel, pq: PQModel,
+                   rpq: PQModel): DataFrame = {
+    val spark = encoded.sparkSession
+    val bm = spark.sparkContext.broadcast(model)
+    val bpq = spark.sparkContext.broadcast(pq)
+    val brpq = spark.sparkContext.broadcast(rpq)
+    val u = udf { (v: Seq[Float], listNo: Int, code: Array[Byte]) =>
+      val c = bm.value.centroids(listNo)
+      val d = bpq.value.decode(code)
+      brpq.value.encode(Array.tabulate(v.length)(i => v(i) - c(i) - d(i)))
+    }
+    encoded.withColumn("rcode", u(col("vec"), col("list_no"), col("code")))
+  }
+
+  /** Two-level reconstruction: centroid + decode(code) + decode(rcode),
+    * float adds per component (the arithmetic the SQL oracle mirrors). */
+  def reconstruct2(model: IVFModel, pq: PQModel, rpq: PQModel,
+                   listNo: Int, code: Array[Byte], rcode: Array[Byte]): Array[Float] = {
+    val c = model.centroids(listNo)
+    val d = pq.decode(code)
+    val r = rpq.decode(rcode)
+    Array.tabulate(c.length)(i => c(i) + d(i) + r(i))
+  }
+
+  /** `IndexIVFPQR` search (`Auncel/IndexIVFPQR.cpp:82-126`): ADC top
+    * (k·kFactor) candidates reranked by the TWO-LEVEL reconstruction
+    * distance ‖q − (centroid + pq.decode + rpq.decode)‖². Unlike
+    * [[searchRefine]] the rerank never touches raw vectors — refine IO
+    * is m + mRefine bytes per candidate, the reference's
+    * memory/accuracy point between IVFPQ and RFlat. The candidate set
+    * (nq·k·kFactor rows) is broadcast and the code table streams
+    * through a broadcast hash join — no shuffle of the big side. */
+  def searchPQR(encodedR: DataFrame, model: IVFModel, pq: PQModel,
+                rpq: PQModel, queries: DataFrame, k: Int, nprobe: Int,
+                kFactor: Int = 4): DataFrame = {
+    val spark = encodedR.sparkSession
+    import spark.implicits._
+    val cand = search(encodedR, model, pq, queries, k * kFactor, nprobe)
+      .select(col("qid"), col("id"))
+    val q = queries.select(col("qid").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect().toMap
+    val bq = spark.sparkContext.broadcast(q)
+    val bm = spark.sparkContext.broadcast(model)
+    val bpq = spark.sparkContext.broadcast(pq)
+    val brpq = spark.sparkContext.broadcast(rpq)
+    val distU = udf { (qid: Long, listNo: Int, code: Array[Byte], rcode: Array[Byte]) =>
+      Kernels.l2Sqr(bq.value(qid),
+        reconstruct2(bm.value, bpq.value, brpq.value, listNo, code, rcode))
+    }
+    val rescored = encodedR
+      .select(col("id"), col("list_no").cast("int"), col("code"), col("rcode"))
+      .join(broadcast(cand), Seq("id"))
+      .withColumn("dist", distU(col("qid"), col("list_no"), col("code"), col("rcode")))
+      .select(col("qid"), col("id"), col("dist"))
+    FlatSearch.mergeTopK(rescored, k)
   }
 
   /** IVFPQR-style refinement: ADC top (k·kFactor) candidates reranked

@@ -485,6 +485,52 @@ object Vector {
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   }
 
+  /** §2.3 IVFPQR (`Auncel/IndexIVFPQR.cpp`) — two-level-PQ refine:
+    * ADC candidates reranked by the code-only two-level reconstruction
+    * distance. Exact config (nprobe = nlist, kFactor·k ≥ N): the
+    * candidate pool is the whole collection, so the result is the
+    * deterministic top-k by reconstruction distance — which the oracle
+    * replays in SQL from the persisted reconstruction side table. */
+  def v19IvfpqrKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.index.IVFPQ
+    val b = base(s, dir)
+    val (model, assigned) = graft.index.IndexCache.ivf(dir, b, nlist = 16)
+    val pq = graft.index.IndexCache.pq(s"$dir|pqr_l1_m8", s,
+      IVFPQ.trainResidualPQ(assigned, model, m = 8, nbits = 4, seed = 42L))
+    val rpq = graft.index.IndexCache.pq(s"$dir|pqr_l2_m8", s,
+      IVFPQ.trainRefinePQ(IVFPQ.encode(assigned, model, pq), model, pq,
+        m = 8, nbits = 4, seed = 43L))
+    val encR = graft.index.IndexCache.frame(s"$dir|pqr_encR",
+      IVFPQ.encodeRefine(IVFPQ.encode(assigned, model, pq), model, pq, rpq))
+    val oracleDir = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+    encR.select(col("id"), col("list_no").cast("int"), col("code"), col("rcode"))
+      .as[(Long, Int, Array[Byte], Array[Byte])]
+      .map { case (id, l, c, rc) =>
+        (id, IVFPQ.reconstruct2(model, pq, rpq, l, c, rc))
+      }.toDF("id", "rvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleDir/v19_recon.parquet")
+    IVFPQ.searchPQR(encR.drop("vec"), model, pq, rpq,
+      qs(s, dir, "vec_id >= 32 AND vec_id < 40"), k = 10, nprobe = 16, kFactor = 50)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v19Sql: String = {
+    val odir = "/tmp/graft_oracle/sf0.01"
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id >= 32 AND vec_id < 40),
+       |r AS (SELECT id, rvec FROM read_parquet('$odir/v19_recon.parquet/*.parquet')),
+       |d AS (SELECT q.qid, r.id,
+       |  list_sum(list_transform(range(1, 65), i ->
+       |    (CAST(q.qv[i] AS DOUBLE) - CAST(r.rvec[i] AS DOUBLE)) *
+       |    (CAST(q.qv[i] AS DOUBLE) - CAST(r.rvec[i] AS DOUBLE)))) AS dist
+       |  FROM q CROSS JOIN r)
+       |SELECT qid, id, dist, rank FROM (
+       |  SELECT qid, id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
   /** O9/O20 — sharded search: split the collection into 2 shards, exact
     * top-k per shard, global merge — must equal single-index search. */
   def v10ShardedKnn(s: SparkSession, dir: String): DataFrame = {
@@ -697,7 +743,8 @@ object Vector {
     "v15_neardup_lsh" -> v15NeardupLsh _,
     "v16_scalar_codecs" -> v16ScalarCodecs _,
     "v17_hamming_wide" -> v17HammingWide _,
-    "v18_polysemous" -> v18Polysemous _)
+    "v18_polysemous" -> v18Polysemous _,
+    "v19_ivfpqr" -> v19IvfpqrKnn _)
 
   val oracles: Map[String, String] = Map(
     "a03_bounded_exact" -> a03Sql,
@@ -719,5 +766,6 @@ object Vector {
     "v15_neardup_lsh" -> v15Sql,
     "v16_scalar_codecs" -> v16Sql,
     "v17_hamming_wide" -> v17Sql,
-    "v18_polysemous" -> v18Sql)
+    "v18_polysemous" -> v18Sql,
+    "v19_ivfpqr" -> v19Sql)
 }

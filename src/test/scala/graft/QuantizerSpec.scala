@@ -57,6 +57,56 @@ class QuantizerSpec extends SparkSpec {
     assert(rr > 0.9, s"refined recall $rr")
   }
 
+  test("IVFPQR two-level refine: smaller residuals, better recall, code-only rerank") {
+    val model = IVFIndex.train(baseDF, nlist = 16, seed = 42L)
+    val assigned = IVFIndex.assign(baseDF, model).cache()
+    val pq = IVFPQ.trainResidualPQ(assigned, model, m = 8, nbits = 8)
+    val enc = IVFPQ.encode(assigned, model, pq).cache()
+    val rpq = IVFPQ.trainRefinePQ(enc, model, pq, m = 8, nbits = 8)
+    val encR = IVFPQ.encodeRefine(enc, model, pq, rpq).cache()
+
+    // the second level captures what the first missed: two-level
+    // reconstruction strictly improves on one-level for most vectors
+    import spark.implicits._
+    val sample = encR.select(col("vec"), col("list_no").cast("int"),
+      col("code"), col("rcode"))
+      .as[(Array[Float], Int, Array[Byte], Array[Byte])].take(200)
+    val (e1, e2) = sample.map { case (v, l, c, rc) =>
+      val one = {
+        val cen = model.centroids(l); val d = pq.decode(c)
+        Array.tabulate(v.length)(i => cen(i) + d(i))
+      }
+      (Kernels.l2Sqr(v, one), Kernels.l2Sqr(v, IVFPQ.reconstruct2(model, pq, rpq, l, c, rc)))
+    }.unzip
+    assert(e2.sum < e1.sum, s"two-level recon ${e2.sum} not below one-level ${e1.sum}")
+
+    val rAdc = recallOf(IVFPQ.search(enc.drop("vec"), model, pq, qDF, k = 10, nprobe = 16))
+    val rPqr = recallOf(IVFPQ.searchPQR(encR.drop("vec"), model, pq, rpq, qDF,
+      k = 10, nprobe = 16, kFactor = 5))
+    assert(rPqr >= rAdc, s"PQR rerank $rPqr below plain ADC $rAdc")
+
+    // exhaustive-candidate config: PQR ranks the whole collection by
+    // two-level reconstruction distance — rerank is deterministic and
+    // self-consistent with reconstruct2
+    val all = IVFPQ.searchPQR(encR.drop("vec"), model, pq, rpq, qDF.limit(2),
+      k = 5, nprobe = 16, kFactor = 400)
+    val byQ = all.select(col("qid"), col("id"), col("dist"))
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    val qv = qDF.limit(2).select(col("qid"), col("vec"))
+      .as[(Long, Array[Float])].collect().toMap
+    val codeMap = encR.select(col("id"), col("list_no").cast("int"),
+      col("code"), col("rcode"))
+      .as[(Long, Int, Array[Byte], Array[Byte])].collect()
+      .map { case (id, l, c, rc) => (id, (l, c, rc)) }.toMap
+    byQ.foreach { case (q, rows) =>
+      rows.foreach { case (_, id, d) =>
+        val (l, c, rc) = codeMap(id)
+        val expect = Kernels.l2Sqr(qv(q), IVFPQ.reconstruct2(model, pq, rpq, l, c, rc))
+        assert(d == expect, s"qid $q id $id dist $d != recon dist $expect")
+      }
+    }
+  }
+
   test("SQ8 quantization error is small and knn recall near-exact") {
     val sq = ScalarQuantizer.train(baseDF)
     val v = base(7)
