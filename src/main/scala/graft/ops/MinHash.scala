@@ -34,6 +34,19 @@ object MinHash {
       .select(col(idCol), array((0 until numHashes).map(h => col(s"mh$h")): _*).as("sig"))
   }
 
+  /** Row-local signature expression — identical semantics to
+    * [[signatures]] (min of the same salted md5 per hash function over
+    * the same 3-word shingles) but computed as a pure projection, so it
+    * works in STREAMING plans (no aggregation before the stateful op)
+    * and on single rows. Docs with fewer than 3 words yield an empty
+    * shingle set → a null-component signature (the batch groupBy drops
+    * them instead); filter on `sig[0] IS NOT NULL` to match. */
+  def sigExpr(text: org.apache.spark.sql.Column,
+              numHashes: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      h => array_min(transform(shingleU(text),
+        s => md5(concat(h.cast("string"), lit("|"), s)))))
+
   /** Estimated Jaccard for candidate pairs (a, b) given signatures. */
   def estimate(pairs: DataFrame, sigs: DataFrame): DataFrame = {
     val sa = sigs.select(col("doc_id").as("a"), col("sig").as("sig_a"))

@@ -443,7 +443,8 @@ object Vector {
     val b = base(s, dir)
     val pq = graft.index.IndexCache.pq(s"$dir|poly_m8", s,
       Polysemous.train(ProductQuantizer.train(b, m = 8, seed = 42L)))
-    val enc = ProductQuantizer.encode(b, pq).select(col("id"), col("code"))
+    val enc = graft.index.IndexCache.frame(s"$dir|poly_enc",
+      ProductQuantizer.encode(b, pq).select(col("id"), col("code")))
     val oracleDir = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
     val toInts = udf { c: Array[Byte] => c.map(_ & 0xff) }
     enc.select(col("id"), posexplode(toInts(col("code"))).as(Seq("sub", "code")))

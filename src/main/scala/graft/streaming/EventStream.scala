@@ -47,6 +47,69 @@ object EventStream {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fp")
 
+  final case class BandRow(key: String, docId: Long, ts: java.sql.Timestamp)
+
+  /** Streaming MinHash-LSH near-dup candidates — the streaming twin of
+    * d02+d03 for continuous ingest. Signatures are a pure projection
+    * ([[graft.ops.MinHash.sigExpr]] — no aggregation, so the plan
+    * streams); banded keys become groupByKey state, and the moment a
+    * band bucket sees a second distinct document it emits a candidate
+    * pair (anchor = the bucket's first-seen doc). State is one
+    * (anchor id, ts) per live bucket, expired by event-time timeout at
+    * watermark + `delay`, which is what bounds state on an unbounded
+    * stream. Output: (bucket, a, b) with a the anchor — downstream
+    * dedups on (a, b) and reranks exactly like batch d03 → d04. */
+  def lshCandidateStream(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                         tsCol: String = "ts", idCol: String = "doc_id",
+                         textCol: String = "text", delay: String = "1 hour")(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val rows = numHashes / bands
+    val delayMs = parseDelayMs(delay)
+    val banded = docs
+      .withColumn("sig", graft.ops.MinHash.sigExpr(col(textCol), numHashes))
+      .filter(size(col("sig")) > 0 && col("sig").getItem(0).isNotNull)
+      .withWatermark(tsCol, delay)
+      .select(col(idCol).cast("long").as("docId"), col(tsCol).as("ts"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("", slice(col("sig"), b * lit(rows) + 1, lit(rows)))))
+          .as(Seq("bandIdx", "bandKey")))
+      .select(concat(col("bandIdx").cast("string"), lit("|"), col("bandKey")).as("key"),
+        col("docId"), col("ts"))
+      .as[BandRow]
+    banded.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long), (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, it, state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arrivals = it.toSeq.sortBy(r => (r.ts.getTime, r.docId))
+            var (anchor, anchorTs) = state.getOption
+              .getOrElse((arrivals.head.docId, arrivals.head.ts.getTime))
+            val out = scala.collection.mutable.LinkedHashSet.empty[(String, Long, Long)]
+            arrivals.foreach { r =>
+              if (r.docId != anchor) out += ((key, anchor, r.docId))
+            }
+            state.update((anchor, anchorTs))
+            state.setTimeoutTimestamp(arrivals.map(_.ts.getTime).max + delayMs)
+            out.iterator
+          }
+      }.toDF("bucket", "a", "b")
+  }
+
+  private def parseDelayMs(delay: String): Long = {
+    val Array(n, unit) = delay.trim.split("\\s+")
+    val base = unit.toLowerCase match {
+      case u if u.startsWith("day")  => 86400000L
+      case u if u.startsWith("hour") => 3600000L
+      case u if u.startsWith("min")  => 60000L
+      case u if u.startsWith("sec")  => 1000L
+      case u => throw new IllegalArgumentException(s"unsupported delay unit $u")
+    }
+    n.toLong * base
+  }
+
   final case class Session(userId: Long, nEvents: Long, totalValue: Double)
 
   /** Stateful per-user session aggregation via mapGroupsWithState —

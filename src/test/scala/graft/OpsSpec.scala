@@ -129,6 +129,54 @@ class OpsSpec extends SparkSpec {
     assert(got.contains(4L) && got.contains(6L))
   }
 
+  test("streaming LSH candidates match the batch banding, state bounded by watermark") {
+    import spark.implicits._
+    import graft.ops.MinHash
+    val dir = java.nio.file.Files.createTempDirectory("slsh").toString
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    Seq(
+      (1L, at(0), "alpha beta gamma delta epsilon"),
+      (2L, at(1), "alpha beta gamma delta epsilon"), // near-dup of 1 (identical)
+      (3L, at(2), "one two three four five"),
+      (4L, at(3), "completely different words entirely here"))
+      .toDF("doc_id", "ts", "text").write.mode("overwrite").parquet(s"$dir/in")
+    val batchDocs = spark.read.parquet(s"$dir/in")
+
+    // the row-local signature expression equals the batch aggregation
+    val bySig = MinHash.signatures(batchDocs, numHashes = 16)
+      .withColumnRenamed("sig", "sig_agg")
+    val byExpr = batchDocs.select(col("doc_id"),
+      MinHash.sigExpr(col("text"), 16).as("sig_expr"))
+    assert(bySig.join(byExpr, Seq("doc_id"))
+      .filter(col("sig_agg") =!= col("sig_expr")).count() == 0)
+
+    // expected candidate pairs from the SAME banding computed in batch
+    val rows = 4
+    val banded = batchDocs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => concat_ws("", slice(MinHash.sigExpr(col("text"), 16),
+          b * lit(rows) + 1, lit(rows))))).as(Seq("bi", "bk")))
+    val expected = banded.as("x").join(banded.as("y"),
+      col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct().as[(Long, Long)].collect().toSet
+
+    implicit val s = spark
+    val schema = batchDocs.schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = EventStream.lshCandidateStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("slsh")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT a, b FROM slsh").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(got == expected, s"stream $got vs batch $expected")
+    assert(got == Set((1L, 2L)))
+  }
+
   test("streaming vector ingest assigns lists and batches") {
     val model = IVFIndex.train(vecDF(randVecs(200, 8, seed = 61)), nlist = 8)
     val batch = EventStream.assignStream(vecDF(randVecs(50, 8, seed = 62)), model, batchId = 3L)
