@@ -95,6 +95,62 @@ object BinaryHash {
     graft.search.FlatSearch.mergeTopK(partials, k)
   }
 
+  /** `Auncel/IndexBinaryIVF.cpp` — IVF-bucketed binary codes: vectors
+    * are coarse-quantized by the float k-means (the reference trains
+    * its coarse quantizer from floats via `IndexBinaryFromFloat`),
+    * signatures are stored partitioned by inverted list, and search
+    * Hamming-scans ONLY the nprobe probed lists — sub-linear binary
+    * search: list-pruned IO plus an integer xor/popcount scan, the
+    * 100 TB shape for binary codes. Input is the IVF-assigned table
+    * (id, vec, list_no); output drops the floats. */
+  def encodeIvf(assigned: DataFrame, model: WideLSHModel): DataFrame =
+    encodeWide(assigned, model).select(col("id"), col("list_no"), col("sig"))
+
+  /** Hamming k-NN over the probed lists — the partial-heap scan of
+    * [[knnHammingWide]] restricted to each query's nprobe coarse
+    * buckets. At nprobe = nlist this equals the flat wide scan
+    * exactly (same distances, same id tie-break). */
+  def knnHammingIvf(encoded: DataFrame, ivf: IVFModel, model: WideLSHModel,
+                    queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("qid").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val np = math.min(nprobe, ivf.nlist)
+    val probesByList: Map[Int, Array[Int]] = q.indices.flatMap { qi =>
+      ivf.rankCentroids(q(qi)._2).take(np).map { case (l, _) => (l, qi) }
+    }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }
+    val qSigs = q.map { case (qid, v) => (qid, model.signature(v)) }
+    val bq = spark.sparkContext.broadcast(qSigs)
+    val bp = spark.sparkContext.broadcast(probesByList)
+    val partials = encoded
+      .filter(col("list_no").isin(probesByList.keys.toSeq.sorted: _*))
+      .select(col("list_no").cast("int"), col("id").cast("long"), col("sig"))
+      .as[(Int, Long, Array[Long])]
+      .mapPartitions { it =>
+        val qs = bq.value
+        val pm = bp.value
+        val heaps = scala.collection.mutable.HashMap.empty[Int, graft.operators.TopK]
+        it.foreach { case (listNo, id, sig) =>
+          pm.get(listNo) match {
+            case Some(qis) =>
+              var i = 0
+              while (i < qis.length) {
+                val qi = qis(i)
+                heaps.getOrElseUpdate(qi, new graft.operators.TopK(k))
+                  .add(hammingWide(sig, qs(qi)._2).toDouble, id)
+                i += 1
+              }
+            case None =>
+          }
+        }
+        heaps.iterator.flatMap { case (qi, h) =>
+          h.sorted.iterator.map { case (d, id) => (qs(qi)._1, id, d) }
+        }
+      }.toDF("qid", "id", "dist")
+    graft.search.FlatSearch.mergeTopK(partials, k)
+  }
+
   def encode(df: DataFrame, model: LSHModel, vecCol: String = "vec"): DataFrame = {
     val bm = df.sparkSession.sparkContext.broadcast(model)
     val u = udf { v: Seq[Float] => bm.value.signature(v.toArray) }

@@ -97,6 +97,40 @@ class ScalarVariantsSpec extends SparkSpec {
     sigs.foreach(s => assert(BinaryHash.hammingWide(s, s) == 0))
   }
 
+  test("binary IVF: full probe equals flat wide scan; partial probe keeps recall") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.index.IVFIndex
+    val cl = clusteredVecs(1000, 16, nClusters = 8, seed = 74)
+    val df = vecDF(cl).cache()
+    val ivf = IVFIndex.train(df, nlist = 8, seed = 42L)
+    val model = BinaryHash.trainWide(d = 16, nbits = 128, seed = 13L)
+    val enc = BinaryHash.encodeIvf(IVFIndex.assign(df, ivf), model).cache()
+    val qDF = vecDF(cl.take(6), "qid")
+
+    val flat = BinaryHash.knnHammingWide(
+      enc.select(col("id"), col("sig")),
+      BinaryHash.encodeWide(qDF, model).select(col("qid"), col("sig")), k = 5)
+      .select(col("qid"), col("rank"), col("id"), col("dist"))
+      .as[(Long, Int, Long, Double)].collect().sorted
+    val full = BinaryHash.knnHammingIvf(enc, ivf, model, qDF, k = 5, nprobe = 8)
+      .select(col("qid"), col("rank"), col("id"), col("dist"))
+      .as[(Long, Int, Long, Double)].collect().sorted
+    assert(full.sameElements(flat), "full-probe binary IVF != flat wide scan")
+
+    // partial probe: scans a fraction of lists, keeps most of the
+    // full-scan top-k on clustered data (queries are base members)
+    val part = BinaryHash.knnHammingIvf(enc, ivf, model, qDF, k = 5, nprobe = 2)
+      .select(col("qid"), col("id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val fullSets = full.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSet).toMap
+    val recall = fullSets.map { case (q, ids) =>
+      (part.getOrElse(q, Set.empty) & ids).size.toDouble / ids.size
+    }.sum / fullSets.size
+    assert(recall >= 0.5, s"nprobe=2/8 recall vs full probe: $recall")
+  }
+
   test("wide Hamming k-NN matches a driver-side brute force") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
