@@ -95,6 +95,49 @@ object Documents {
         .select(col("a"), col("b")).distinct()
     }).orderBy(col("a"), col("b"))
 
+  /** Streaming MinHash-LSH near-dup candidates, executed as a REAL
+    * Structured Streaming query (AvailableNow over a staged copy of the
+    * documents table → `EventStream.lshCandidateStream` → memory sink):
+    * each LSH band bucket emits (anchor = first-seen doc, later doc)
+    * pairs from flatMapGroupsWithState. Event time is doc_id-ordered
+    * (ts = epoch + doc_id), so the anchor is deterministically the
+    * bucket's min doc_id — which is what the batch SQL oracle replays.
+    * The streaming twin of d03 with an exact oracle. */
+  def s02StreamLsh(s: SparkSession, dir: String): DataFrame = {
+    val staged = s"/tmp/graft_stream/${new java.io.File(dir).getName}/s02_docs.parquet"
+    docs(s, dir)
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1767225600L) + col("doc_id")).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    val schema = s.read.parquet(staged).schema
+    val stream = s.readStream.schema(schema).parquet(staged)
+    val sink = "s02_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = graft.streaming.EventStream
+      .lshCandidateStream(stream, numHashes = 16, bands = 4)(s)
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    s.table(sink).select(col("bucket"), col("a"), col("b"))
+      .orderBy(col("bucket"), col("a"), col("b"))
+  }
+
+  val s02Sql: String = {
+    val mins = (0 until 16).map(h => s"MIN(md5('$h|' || s)) AS mh$h").mkString(", ")
+    val bandRows = (0 until 4).map { b =>
+      val key = (0 until 4).map(i => s"mh${b * 4 + i}").mkString(" || ")
+      val sel = if (b == 0) "doc_id, 0 AS bi, " + key + " AS bk" else s"doc_id, $b, $key"
+      s"SELECT $sel FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $shingleSqlCte,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |anch AS (SELECT bi, bk, MIN(doc_id) AS a FROM bands GROUP BY 1, 2)
+       |SELECT CAST(b.bi AS VARCHAR) || '|' || b.bk AS bucket, anch.a, b.doc_id AS b
+       |FROM bands b JOIN anch ON anch.bi = b.bi AND anch.bk = b.bk
+       |WHERE b.doc_id != anch.a
+       |ORDER BY bucket, a, b""".stripMargin
+  }
+
   val d03Sql: String =
     s"""WITH $shingleSqlCte,
        |sig AS (SELECT doc_id, MIN(md5('0|' || s)) AS mh0, MIN(md5('1|' || s)) AS mh1,
@@ -442,6 +485,7 @@ object Documents {
     "d01_dedup_exact" -> d01DedupExact _,
     "d02_minhash_sig" -> d02MinhashSig _,
     "d03_lsh_candidates" -> d03LshCandidates _,
+    "s02_stream_lsh" -> s02StreamLsh _,
     "d04_jaccard_top" -> d04JaccardTop _,
     "d05_minhash_estimate" -> d05MinhashEstimate _,
     "d06_curation_pipeline" -> d06CurationPipeline _,
@@ -458,6 +502,7 @@ object Documents {
     "mm01_binary_stats" -> mm01Sql,
     "mm02_media_features" -> mm02Sql,
     "d01_dedup_exact" -> d01Sql,
+    "s02_stream_lsh" -> s02Sql,
     "d02_minhash_sig" -> d02Sql,
     "d03_lsh_candidates" -> d03Sql,
     "d04_jaccard_top" -> d04Sql,

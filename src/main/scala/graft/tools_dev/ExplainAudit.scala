@@ -37,6 +37,9 @@ object ExplainAudit {
 
     println("=== v15 LSH near-dup: band equi-join, id-only candidate shuffle ===")
     graft.queries.Vector.v15NeardupLsh(spark, dir).explain("formatted")
+
+    println("=== v19 PQR rerank: candidate broadcast join (no big-side shuffle) ===")
+    graft.queries.Vector.v19IvfpqrKnn(spark, dir).explain("formatted")
     spark.stop()
   }
 }
