@@ -109,6 +109,24 @@ object IndexIO {
     BinaryHash.LSHModel(rows.map(_._2))
   }
 
+  /** Wide (ARRAY<LONG>-signature) LSH model — same (bit, plane) table
+    * as [[saveLSH]]; the packing width is derived from the bit count. */
+  def saveWideLSH(model: BinaryHash.WideLSHModel, path: String,
+                  spark: SparkSession): Unit = {
+    import spark.implicits._
+    model.planes.zipWithIndex.map { case (p, b) => (b, p) }.toSeq
+      .toDF("bit", "plane")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadWideLSH(path: String, spark: SparkSession): BinaryHash.WideLSHModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("bit"), col("plane"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+    BinaryHash.WideLSHModel(rows.map(_._2))
+  }
+
   // ---- linear transform: (row, arow, bias) ----
 
   def saveLinear(t: LinearTransform, path: String, spark: SparkSession): Unit = {

@@ -38,14 +38,51 @@ object MinHash {
     * [[signatures]] (min of the same salted md5 per hash function over
     * the same 3-word shingles) but computed as a pure projection, so it
     * works in STREAMING plans (no aggregation before the stateful op)
-    * and on single rows. Docs with fewer than 3 words yield an empty
-    * shingle set → a null-component signature (the batch groupBy drops
-    * them instead); filter on `sig[0] IS NOT NULL` to match. */
+    * and on single rows. One scalar UDF pass rather than numHashes
+    * nested higher-order transforms — the interpreted chain costs ~10×
+    * on long documents (same reasoning as the shingle UDF in
+    * queries/Documents). md5 hex + string min reproduce Spark's `md5`
+    * and `min` exactly (lowercase hex; ASCII order ≡ UTF8 binary
+    * order), so the batch/SQL oracles still match bit-for-bit. Docs
+    * with fewer than 3 words yield a null-component signature (the
+    * batch groupBy drops them instead); filter on
+    * `sig[0] IS NOT NULL` to match. */
   def sigExpr(text: org.apache.spark.sql.Column,
-              numHashes: Int): org.apache.spark.sql.Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(shingleU(text),
-        s => md5(concat(h.cast("string"), lit("|"), s)))))
+              numHashes: Int): org.apache.spark.sql.Column = {
+    val n = numHashes
+    val u = udf { text: String =>
+      val ws = text.split(" ", -1)
+      val mins = Array.fill[String](n)(null)
+      if (ws.length >= 3) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
+        val salts = Array.tabulate(n)(h => s"$h|")
+        var i = 0
+        while (i < ws.length - 2) {
+          val sh = ws(i) + " " + ws(i + 1) + " " + ws(i + 2)
+          var h = 0
+          while (h < n) {
+            md.reset()
+            val dig = md.digest((salts(h) + sh)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val cs = new Array[Char](32)
+            var b = 0
+            while (b < 16) {
+              cs(b * 2) = hex((dig(b) >> 4) & 0xf)
+              cs(b * 2 + 1) = hex(dig(b) & 0xf)
+              b += 1
+            }
+            val hx = new String(cs)
+            if (mins(h) == null || hx < mins(h)) mins(h) = hx
+            h += 1
+          }
+          i += 1
+        }
+      }
+      mins
+    }
+    u(text)
+  }
 
   /** Estimated Jaccard for candidate pairs (a, b) given signatures. */
   def estimate(pairs: DataFrame, sigs: DataFrame): DataFrame = {

@@ -54,6 +54,16 @@ class IndexIOSpec extends SparkSpec {
     base.take(20).foreach(v => assert(back.signature(v) == lsh.signature(v)))
   }
 
+  test("wide LSH model round-trips bit-identically") {
+    val wide = graft.index.BinaryHash.trainWide(d = 32, nbits = 128, seed = 9L)
+    val path = tmp("widelsh")
+    IndexIO.saveWideLSH(wide, path, spark)
+    val back = IndexIO.loadWideLSH(path, spark)
+    assert(back.nbits == wide.nbits && back.nWords == wide.nWords)
+    base.take(20).foreach(v =>
+      assert(back.signature(v).sameElements(wide.signature(v))))
+  }
+
   test("transform chain (linear + l2norm + center + remap) round-trips") {
     val chain = TransformChain(Seq(
       LinearTransform.randomRotation(32, seed = 3L),
