@@ -105,10 +105,13 @@ object Documents {
     * The streaming twin of d03 with an exact oracle. */
   def s02StreamLsh(s: SparkSession, dir: String): DataFrame = {
     val staged = s"/tmp/graft_stream/${new java.io.File(dir).getName}/s02_docs.parquet"
+    // multiple staged files: the AvailableNow microbatch parallelizes
+    // the signature UDF across them (anchor choice is arrival-order
+    // independent — each bucket sorts by event time inside the group)
     docs(s, dir)
       .select(col("doc_id"),
         timestamp_seconds(lit(1767225600L) + col("doc_id")).as("ts"), col("text"))
-      .coalesce(1).write.mode("overwrite").parquet(staged)
+      .repartition(16).write.mode("overwrite").parquet(staged)
     val schema = s.read.parquet(staged).schema
     val stream = s.readStream.schema(schema).parquet(staged)
     val sink = "s02_" + java.util.UUID.randomUUID().toString.take(8)
