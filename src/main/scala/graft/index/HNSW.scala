@@ -27,11 +27,17 @@ import graft.search.FlatSearch
   */
 object HNSW {
 
-  /** In-memory single-partition HNSW graph. */
-  final class LocalGraph(d: Int, m: Int = 16, efConstruction: Int = 64) {
+  /** In-memory single-partition HNSW graph, generic in the point type:
+    * `P = Array[Float]` with squared L2 is the float index
+    * (`IndexHNSW.cpp`); `P = Array[Long]` with per-word popcount
+    * Hamming is the binary index (`IndexBinaryHNSW.cpp` — see
+    * [[BinaryHNSW]]). All graph logic (level assignment, beam search,
+    * heuristic neighbor selection, chain backstop) is metric-agnostic. */
+  final class LocalGraph[P](dist2: (P, P) => Double, m: Int = 16,
+                            efConstruction: Int = 64) {
     private val mL = 1.0 / math.log(m.toDouble)
     private val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-    private val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    private val vecs = scala.collection.mutable.ArrayBuffer.empty[P]
     private val levels = scala.collection.mutable.ArrayBuffer.empty[Int]
     // neighbors(node)(level) -> array buffer of node indices
     private val neighbors =
@@ -49,10 +55,10 @@ object HNSW {
       math.min(12, (-math.log(u) * mL).toInt)
     }
 
-    private def dist(a: Int, q: Array[Float]): Double = Kernels.l2Sqr(vecs(a), q)
+    private def dist(a: Int, q: P): Double = dist2(vecs(a), q)
 
     /** Greedy beam search at one level; returns up to ef closest nodes. */
-    private def searchLayer(q: Array[Float], entry: Int, ef: Int,
+    private def searchLayer(q: P, entry: Int, ef: Int,
                             level: Int): Array[Int] = {
       val visited = scala.collection.mutable.HashSet(entry)
       val cand = scala.collection.mutable.PriorityQueue((-dist(entry, q), entry))(
@@ -89,7 +95,7 @@ object HNSW {
       * to the target than to any already-kept neighbor — preserves
       * diverse/long-range edges, without which clustered data
       * fragments into disconnected islands. */
-    private def select(q: Array[Float], cands: Array[Int], max: Int): Array[Int] = {
+    private def select(q: P, cands: Array[Int], max: Int): Array[Int] = {
       val sorted = cands.distinct.sortBy(c => (dist(c, q), ids(c)))
       val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
       var i = 0
@@ -99,7 +105,7 @@ object HNSW {
         var diverse = true
         var j = 0
         while (j < kept.length && diverse) {
-          if (Kernels.l2Sqr(vecs(c), vecs(kept(j))) < dq) diverse = false
+          if (dist2(vecs(c), vecs(kept(j))) < dq) diverse = false
           j += 1
         }
         if (diverse) kept += c
@@ -116,7 +122,7 @@ object HNSW {
       kept.toArray
     }
 
-    def insert(id: Long, vec: Array[Float]): Unit = {
+    def insert(id: Long, vec: P): Unit = {
       val node = ids.length
       val lvl = levelOf(id)
       ids += id; vecs += vec; levels += lvl
@@ -177,7 +183,7 @@ object HNSW {
       if (lvl > maxLevel) { maxLevel = lvl; entryPoint = node }
     }
 
-    def search(q: Array[Float], k: Int, efSearch: Int): Array[(Double, Long)] = {
+    def search(q: P, k: Int, efSearch: Int): Array[(Double, Long)] = {
       if (entryPoint < 0) return Array.empty
       var ep = entryPoint
       var l = maxLevel
@@ -205,19 +211,19 @@ object HNSW {
       neighbors.map(_(0).toArray).toArray
 
     /** Adjacency dump: (part, node, id, vec, level, nbrs-per-level). */
-    private[HNSW] def exportRows(part: Int)
-        : Iterator[(Int, Int, Long, Array[Float], Int, Array[Array[Int]])] =
+    private[index] def exportRows(part: Int)
+        : Iterator[(Int, Int, Long, P, Int, Array[Array[Int]])] =
       ids.indices.iterator.map { n =>
         (part, n, ids(n), vecs(n), levels(n), neighbors(n).map(_.toArray))
       }
 
-    private[HNSW] def loadRow(id: Long, vec: Array[Float], level: Int,
-                              nbrs: Array[Array[Int]]): Unit = {
+    private[index] def loadRow(id: Long, vec: P, level: Int,
+                               nbrs: Array[Array[Int]]): Unit = {
       ids += id; vecs += vec; levels += level
       neighbors += nbrs.map(a => scala.collection.mutable.ArrayBuffer.from(a))
     }
 
-    private[HNSW] def finishLoad(): Unit = if (ids.nonEmpty) {
+    private[index] def finishLoad(): Unit = if (ids.nonEmpty) {
       // the builder's entry point is the FIRST node that reached the
       // final max level (entry only changes on a strict level increase),
       // and node order follows the deterministic insert order — so this
@@ -228,10 +234,17 @@ object HNSW {
   }
 
   object LocalGraph {
-    /** Rebuild a graph from persisted adjacency rows (node-index order). */
+    /** Rebuild a float graph from persisted adjacency rows
+      * (node-index order). */
     def fromAdjacency(rows: Array[(Int, Long, Array[Float], Int, Array[Array[Int]])])
-        : LocalGraph = {
-      val g = new LocalGraph(rows.headOption.map(_._3.length).getOrElse(0))
+        : LocalGraph[Array[Float]] =
+      fromAdjacencyG[Array[Float]](Kernels.l2Sqr, rows)
+
+    /** Generic rebuild — any point type + distance. */
+    def fromAdjacencyG[P](dist2: (P, P) => Double,
+                          rows: Array[(Int, Long, P, Int, Array[Array[Int]])])
+        : LocalGraph[P] = {
+      val g = new LocalGraph[P](dist2)
       rows.foreach { case (_, id, vec, level, nbrs) => g.loadRow(id, vec, level, nbrs) }
       g.finishLoad()
       g
@@ -256,7 +269,7 @@ object HNSW {
         val rows = it.toArray.sortBy(_._1) // one block; deterministic order
         if (rows.isEmpty) Iterator.empty
         else {
-          val g = new LocalGraph(rows.head._2.length, mm, efc)
+          val g = new LocalGraph[Array[Float]](Kernels.l2Sqr, mm, efc)
           rows.foreach { case (id, v) => g.insert(id, v) }
           g.exportRows(part)
         }

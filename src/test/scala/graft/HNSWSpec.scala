@@ -23,7 +23,7 @@ class HNSWSpec extends SparkSpec {
   }
 
   test("local graph search matches brute force on a small set") {
-    val g = new HNSW.LocalGraph(8, m = 8, efConstruction = 48)
+    val g = new HNSW.LocalGraph[Array[Float]](graft.functions.Kernels.l2Sqr, m = 8, efConstruction = 48)
     val vs = randVecs(300, 8, seed = 122)
     vs.zipWithIndex.foreach { case (v, i) => g.insert(i.toLong, v) }
     val hits = qsFor(vs).map { q =>
@@ -59,7 +59,7 @@ class HNSWSpec extends SparkSpec {
     def cluster(center: Float, n: Int) = Array.fill(n)(
       Array.fill(12)(center + rng.nextGaussian().toFloat * 0.01f))
     val vs = cluster(0f, 150) ++ cluster(1000f, 150)
-    val g = new HNSW.LocalGraph(12, m = 4, efConstruction = 8)
+    val g = new HNSW.LocalGraph[Array[Float]](graft.functions.Kernels.l2Sqr, m = 4, efConstruction = 8)
     vs.zipWithIndex.foreach { case (v, i) => g.insert(i.toLong, v) }
     val adj = g.level0Adjacency
     // BFS over level-0 out-edges from node 0 must reach every node

@@ -131,6 +131,45 @@ class ScalarVariantsSpec extends SparkSpec {
     assert(recall >= 0.5, s"nprobe=2/8 recall vs full probe: $recall")
   }
 
+  test("binary HNSW: exhaustive beam equals flat wide scan; persists; moderate beam keeps recall") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.index.BinaryHNSW
+    val cl = clusteredVecs(800, 16, nClusters = 8, seed = 75)
+    val df = vecDF(cl).cache()
+    val model = BinaryHash.trainWide(d = 16, nbits = 128, seed = 13L)
+    val sigs = BinaryHash.encodeWide(df, model).select(col("id"), col("sig")).cache()
+    val qDF = vecDF(cl.take(5), "qid")
+    val qsigs = BinaryHash.encodeWide(qDF, model, "vec")
+      .select(col("qid"), col("sig")).cache()
+    val graph = BinaryHNSW.buildGraph(sigs, nParts = 4).cache()
+
+    def collect(res: org.apache.spark.sql.DataFrame) = res
+      .select(col("qid"), col("rank"), col("id"), col("dist"))
+      .as[(Long, Int, Long, Double)].collect().sorted
+    val flat = collect(BinaryHash.knnHammingWide(sigs, qsigs, k = 5))
+    // efSearch >= block size (800/4 = 200) -> exhaustive beam -> exact
+    val exact = collect(BinaryHNSW.searchGraph(graph, qsigs, k = 5, efSearch = 256))
+    assert(exact.sameElements(flat), "exhaustive binary beam != flat wide scan")
+
+    // write -> read -> search is identical
+    val path = java.nio.file.Files.createTempDirectory("bhnsw").toString + "/g"
+    BinaryHNSW.writeGraph(graph, path)
+    val back = collect(BinaryHNSW.searchGraph(
+      BinaryHNSW.readGraph(spark, path), qsigs, k = 5, efSearch = 256))
+    assert(back.sameElements(exact), "persisted binary graph differs")
+
+    // moderate beam: most of the exact Hamming top-k survives
+    val beam = BinaryHNSW.searchGraph(graph, qsigs, k = 5, efSearch = 48)
+      .select(col("qid"), col("id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exactSets = flat.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recall = exactSets.map { case (q, ids) =>
+      (beam.getOrElse(q, Set.empty) & ids).size.toDouble / ids.size
+    }.sum / exactSets.size
+    assert(recall >= 0.6, s"binary HNSW beam recall $recall")
+  }
+
   test("wide Hamming k-NN matches a driver-side brute force") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
