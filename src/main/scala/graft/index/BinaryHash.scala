@@ -117,8 +117,15 @@ object BinaryHash {
     val q = queries.select(col("qid").cast("long"), col("vec"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val np = math.min(nprobe, ivf.nlist)
+    // coarse ranking on the metric-correct query (ip models rank by
+    // angle over NORMALIZED vectors, like every other IVF search path),
+    // fanned out past ~1M query×centroid pairs via rankTop
+    val qRank = q.map { case (qid, v) =>
+      (qid, if (ivf.metric == "ip") Kernels.l2Normalize(v) else v)
+    }
+    val ranks = graft.search.IVFSearch.rankTop(spark, ivf, qRank, np)
     val probesByList: Map[Int, Array[Int]] = q.indices.flatMap { qi =>
-      ivf.rankCentroids(q(qi)._2).take(np).map { case (l, _) => (l, qi) }
+      ranks(qi).map { case (l, _) => (l, qi) }
     }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }
     val qSigs = q.map { case (qid, v) => (qid, model.signature(v)) }
     val bq = spark.sparkContext.broadcast(qSigs)

@@ -198,14 +198,26 @@ object IndexFactory {
         GraftIndex(s, chain, ivfModel, None, None, assigned.cache(), graph, rawKeep)
       case PQEnc(m) =>
         ivfModel match {
-          case Some(im) =>
+          case Some(im) => // parse forbids HNSW+IVF, so no graph here
             val pq = IVFPQ.trainResidualPQ(assigned, im, m, seed = seed)
             GraftIndex(s, chain, ivfModel, Some(pq), None,
               IVFPQ.encode(assigned, im, pq).drop("vec").cache(), raw = rawKeep)
           case None =>
+            // IndexHNSWPQ (`Auncel/IndexHNSW.h:131-140`): the graph
+            // lives in the PQ-decoded space, like codecGraph does for
+            // the SQ family — without it, HNSW×PQ specs crashed at
+            // search time on the vec-less code table
             val pq = ProductQuantizer.train(assigned, m, seed = seed)
+            val g = s.hnswM.map { mm =>
+              val bp = assigned.sparkSession.sparkContext.broadcast(pq)
+              val decU = udf { v: Seq[Float] =>
+                bp.value.decode(bp.value.encode(v.toArray))
+              }
+              val dec = assigned.select(col("id"), decU(col("vec")).as("vec"))
+              val gr = HNSW.buildGraph(dec, m = mm).cache(); gr.count(); gr
+            }
             GraftIndex(s, chain, None, Some(pq), None,
-              ProductQuantizer.encode(assigned, pq).drop("vec").cache(), raw = rawKeep)
+              ProductQuantizer.encode(assigned, pq).drop("vec").cache(), g, rawKeep)
         }
       case SQ8Enc | SQ8UEnc =>
         val sq = ScalarQuantizer.train(assigned, uniform = s.enc == SQ8UEnc)

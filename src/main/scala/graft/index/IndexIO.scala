@@ -94,38 +94,36 @@ object IndexIO {
 
   // ---- LSH hyperplanes: (bit, plane) ----
 
-  def saveLSH(model: BinaryHash.LSHModel, path: String, spark: SparkSession): Unit = {
+  // shared (bit, plane) table for both LSH model widths
+  private def savePlanes(planes: Array[Array[Float]], path: String,
+                         spark: SparkSession): Unit = {
     import spark.implicits._
-    model.planes.zipWithIndex.map { case (p, b) => (b, p) }.toSeq
+    planes.zipWithIndex.map { case (p, b) => (b, p) }.toSeq
       .toDF("bit", "plane")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  def loadLSH(path: String, spark: SparkSession): BinaryHash.LSHModel = {
+  private def loadPlanes(path: String, spark: SparkSession): Array[Array[Float]] = {
     import spark.implicits._
-    val rows = spark.read.parquet(path)
+    spark.read.parquet(path)
       .select(col("bit"), col("plane"))
-      .as[(Int, Array[Float])].collect().sortBy(_._1)
-    BinaryHash.LSHModel(rows.map(_._2))
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
   }
+
+  def saveLSH(model: BinaryHash.LSHModel, path: String, spark: SparkSession): Unit =
+    savePlanes(model.planes, path, spark)
+
+  def loadLSH(path: String, spark: SparkSession): BinaryHash.LSHModel =
+    BinaryHash.LSHModel(loadPlanes(path, spark))
 
   /** Wide (ARRAY<LONG>-signature) LSH model — same (bit, plane) table
     * as [[saveLSH]]; the packing width is derived from the bit count. */
   def saveWideLSH(model: BinaryHash.WideLSHModel, path: String,
-                  spark: SparkSession): Unit = {
-    import spark.implicits._
-    model.planes.zipWithIndex.map { case (p, b) => (b, p) }.toSeq
-      .toDF("bit", "plane")
-      .coalesce(1).write.mode("overwrite").parquet(path)
-  }
+                  spark: SparkSession): Unit =
+    savePlanes(model.planes, path, spark)
 
-  def loadWideLSH(path: String, spark: SparkSession): BinaryHash.WideLSHModel = {
-    import spark.implicits._
-    val rows = spark.read.parquet(path)
-      .select(col("bit"), col("plane"))
-      .as[(Int, Array[Float])].collect().sortBy(_._1)
-    BinaryHash.WideLSHModel(rows.map(_._2))
-  }
+  def loadWideLSH(path: String, spark: SparkSession): BinaryHash.WideLSHModel =
+    BinaryHash.WideLSHModel(loadPlanes(path, spark))
 
   // ---- linear transform: (row, arow, bias) ----
 

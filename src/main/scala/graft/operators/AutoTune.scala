@@ -24,10 +24,7 @@ object AutoTune {
   def sweep(ivfData: DataFrame, model: IVFModel, queries: DataFrame,
             k: Int): Seq[OperatingPoint] = {
     import ivfData.sparkSession.implicits._
-    val exact = FlatSearch.knn(
-      ivfData.select(col("id"), col("vec")), queries, k)
-      .select(col("qid"), col("id")).as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = exactIdSets(ivfData.select(col("id"), col("vec")), queries, k)
     val points = Iterator.iterate(1)(_ * 2).takeWhile(_ < model.nlist).toSeq :+ model.nlist
     points.map { np =>
       val got = IVFSearch.search(ivfData, model, queries, k, np)
@@ -41,11 +38,13 @@ object AutoTune {
     }
   }
 
-  /** Pareto front: drop points dominated in (cost ↓, recall ↑). */
+  /** Pareto front: drop points dominated in (cost ↓, recall ↑).
+    * Equal-cost points sort best-recall first so a dominated twin at
+    * the same cost can never enter the front. */
   def paretoFront(points: Seq[OperatingPoint],
                   byMin: Boolean = true): Seq[OperatingPoint] = {
     def r(p: OperatingPoint) = if (byMin) p.minRecall else p.meanRecall
-    points.sortBy(_.cost).foldLeft(Vector.empty[OperatingPoint]) { (acc, p) =>
+    points.sortBy(p => (p.cost, -r(p))).foldLeft(Vector.empty[OperatingPoint]) { (acc, p) =>
       if (acc.isEmpty || r(p) > r(acc.last) + 1e-12) acc :+ p else acc
     }
   }
@@ -63,6 +62,17 @@ object AutoTune {
 
   final case class MultiPoint(params: Map[String, Int], meanRecall: Double,
                               minRecall: Double, cost: Double)
+
+  /** Exact ground-truth id set per query — the yardstick every sweep
+    * scores recall against, computed once per sweep the same way. */
+  def exactIdSets(baseVecs: DataFrame, queries: DataFrame,
+                  k: Int): Map[Long, Set[Long]] = {
+    import baseVecs.sparkSession.implicits._
+    FlatSearch.knn(baseVecs, queries, k)
+      .select(col("qid").cast("long"), col("id").cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  }
 
   /** Generic grid sweep: run each configuration, score recall vs the
     * exact ids, attach the model cost. */
@@ -91,11 +101,7 @@ object AutoTune {
                        queries: DataFrame, k: Int,
                        nprobes: Seq[Int], kFactors: Seq[Int],
                        nTotal: Long): Seq[MultiPoint] = {
-    import encData.sparkSession.implicits._
-    val exact = graft.search.FlatSearch.knn(baseVecs, queries, k)
-      .select(col("qid").cast("long"), col("id").cast("long"))
-      .as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = exactIdSets(baseVecs, queries, k)
     val grid = for (np <- nprobes; kf <- kFactors)
       yield Map("nprobe" -> np, "k_factor" -> kf)
     sweepGrid(grid,
@@ -110,11 +116,7 @@ object AutoTune {
     * a fraction of the block size (∝ nodes visited). */
   def sweepHnswEf(graph: DataFrame, baseVecs: DataFrame, queries: DataFrame,
                   k: Int, efs: Seq[Int], blockSize: Double): Seq[MultiPoint] = {
-    import graph.sparkSession.implicits._
-    val exact = graft.search.FlatSearch.knn(baseVecs, queries, k)
-      .select(col("qid").cast("long"), col("id").cast("long"))
-      .as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = exactIdSets(baseVecs, queries, k)
     sweepGrid(efs.map(e => Map("efSearch" -> e)),
       cfg => graft.index.HNSW.searchGraph(graph, queries, k, cfg("efSearch")),
       exact, k,
@@ -131,11 +133,7 @@ object AutoTune {
   def sweepPolysemousHt(codes: DataFrame, baseVecs: DataFrame,
                         pq: graft.quantize.PQModel, queries: DataFrame,
                         k: Int, hts: Seq[Int]): Seq[MultiPoint] = {
-    import codes.sparkSession.implicits._
-    val exact = graft.search.FlatSearch.knn(baseVecs, queries, k)
-      .select(col("qid").cast("long"), col("id").cast("long"))
-      .as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = exactIdSets(baseVecs, queries, k)
     val hist = graft.quantize.Polysemous.hammingHistogram(codes, pq, queries)
     val total = hist.sum.toDouble
     val cdf = hist.scanLeft(0L)(_ + _).tail // cdf(d) = pairs at distance ≤ d
@@ -152,7 +150,7 @@ object AutoTune {
   def paretoFrontMulti(points: Seq[MultiPoint],
                        byMin: Boolean = true): Seq[MultiPoint] = {
     def r(p: MultiPoint) = if (byMin) p.minRecall else p.meanRecall
-    points.sortBy(_.cost).foldLeft(Vector.empty[MultiPoint]) { (acc, p) =>
+    points.sortBy(p => (p.cost, -r(p))).foldLeft(Vector.empty[MultiPoint]) { (acc, p) =>
       if (acc.isEmpty || r(p) > r(acc.last) + 1e-12) acc :+ p else acc
     }
   }

@@ -119,7 +119,8 @@ object Documents {
       .lshCandidateStream(stream, numHashes = 16, bands = 4)(s)
       .writeStream.outputMode("append").format("memory").queryName(sink)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
+    require(q.awaitTermination(300000),
+      "s02 streaming query did not finish within 300s — partial sink")
     s.table(sink).select(col("bucket"), col("a"), col("b"))
       .orderBy(col("bucket"), col("a"), col("b"))
   }

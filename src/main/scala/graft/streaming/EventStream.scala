@@ -89,7 +89,18 @@ object EventStream {
               .getOrElse((arrivals.head.docId, arrivals.head.ts.getTime))
             val out = scala.collection.mutable.LinkedHashSet.empty[(String, Long, Long)]
             arrivals.foreach { r =>
-              if (r.docId != anchor) out += ((key, anchor, r.docId))
+              if (r.docId != anchor) {
+                if (r.ts.getTime < anchorTs ||
+                    (r.ts.getTime == anchorTs && r.docId < anchor)) {
+                  // a later batch delivered an EARLIER event (within the
+                  // watermark): it becomes the bucket's anchor going
+                  // forward, and the old anchor is now one of its dups —
+                  // already-emitted pairs stand (append-only sink), but
+                  // the anchor converges to the event-time minimum
+                  out += ((key, r.docId, anchor))
+                  anchor = r.docId; anchorTs = r.ts.getTime
+                } else out += ((key, anchor, r.docId))
+              }
             }
             state.update((anchor, anchorTs))
             state.setTimeoutTimestamp(arrivals.map(_.ts.getTime).max + delayMs)

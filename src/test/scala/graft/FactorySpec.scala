@@ -107,6 +107,15 @@ class FactorySpec extends SparkSpec {
     assert(r8 >= r4 - 0.05, s"8-bit ($r8) should not trail 4-bit ($r4)")
   }
 
+  test("HNSW over PQ storage (HNSW16,PQ8): decoded-space graph, searchable") {
+    // IndexHNSWPQ parity — previously this spec built no graph and
+    // crashed at search time on the vec-less code table
+    val idx = IndexFactory.build("HNSW16,PQ8", baseDF)
+    assert(idx.graph.isDefined && idx.pq.isDefined)
+    val r = recallVsExact(idx.search(qDF, k = 10), 10)
+    assert(r > 0.3, s"HNSW,PQ8 recall $r")
+  }
+
   test("random rotation preserves distances; L2norm makes unit vectors") {
     val rot = LinearTransform.randomRotation(32, seed = 5L)
     val a = base(0); val b = base(1)
