@@ -106,56 +106,24 @@ object BinaryHash {
   def encodeIvf(assigned: DataFrame, model: WideLSHModel): DataFrame =
     encodeWide(assigned, model).select(col("id"), col("list_no"), col("sig"))
 
-  /** Hamming k-NN over the probed lists — the partial-heap scan of
-    * [[knnHammingWide]] restricted to each query's nprobe coarse
-    * buckets. At nprobe = nlist this equals the flat wide scan
-    * exactly (same distances, same id tie-break). */
+  /** Hamming k-NN over the probed lists — the shared probed-list scan
+    * ([[graft.search.IVFSearch.probedTopK]]: metric-correct rankTop
+    * coarse ranking, partition pruning, per-partition bounded heaps)
+    * scored by wide Hamming against the broadcast query signatures.
+    * At nprobe = nlist this equals the flat wide scan exactly (same
+    * distances, same id tie-break). */
   def knnHammingIvf(encoded: DataFrame, ivf: IVFModel, model: WideLSHModel,
                     queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val spark = encoded.sparkSession
     import spark.implicits._
     val q = queries.select(col("qid").cast("long"), col("vec"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val np = math.min(nprobe, ivf.nlist)
-    // coarse ranking on the metric-correct query (ip models rank by
-    // angle over NORMALIZED vectors, like every other IVF search path),
-    // fanned out past ~1M query×centroid pairs via rankTop
-    val qRank = q.map { case (qid, v) =>
-      (qid, if (ivf.metric == "ip") Kernels.l2Normalize(v) else v)
-    }
-    val ranks = graft.search.IVFSearch.rankTop(spark, ivf, qRank, np)
-    val probesByList: Map[Int, Array[Int]] = q.indices.flatMap { qi =>
-      ranks(qi).map { case (l, _) => (l, qi) }
-    }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }
-    val qSigs = q.map { case (qid, v) => (qid, model.signature(v)) }
-    val bq = spark.sparkContext.broadcast(qSigs)
-    val bp = spark.sparkContext.broadcast(probesByList)
-    val partials = encoded
-      .filter(col("list_no").isin(probesByList.keys.toSeq.sorted: _*))
-      .select(col("list_no").cast("int"), col("id").cast("long"), col("sig"))
-      .as[(Int, Long, Array[Long])]
-      .mapPartitions { it =>
-        val qs = bq.value
-        val pm = bp.value
-        val heaps = scala.collection.mutable.HashMap.empty[Int, graft.operators.TopK]
-        it.foreach { case (listNo, id, sig) =>
-          pm.get(listNo) match {
-            case Some(qis) =>
-              var i = 0
-              while (i < qis.length) {
-                val qi = qis(i)
-                heaps.getOrElseUpdate(qi, new graft.operators.TopK(k))
-                  .add(hammingWide(sig, qs(qi)._2).toDouble, id)
-                i += 1
-              }
-            case None =>
-          }
-        }
-        heaps.iterator.flatMap { case (qi, h) =>
-          h.sorted.iterator.map { case (d, id) => (qs(qi)._1, id, d) }
-        }
-      }.toDF("qid", "id", "dist")
-    graft.search.FlatSearch.mergeTopK(partials, k)
+    val bq = spark.sparkContext.broadcast(q.map { case (_, v) => model.signature(v) })
+    graft.search.IVFSearch.probedTopK[Array[Long]](encoded,
+      df => df.select(col("list_no").cast("int"), col("id").cast("long"),
+        col("sig")).as[(Int, Long, Array[Long])],
+      ivf, q, k, nprobe,
+      () => (qi, _, sig) => hammingWide(sig, bq.value(qi)).toDouble)
   }
 
   def encode(df: DataFrame, model: LSHModel, vecCol: String = "vec"): DataFrame = {

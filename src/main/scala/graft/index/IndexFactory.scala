@@ -183,12 +183,15 @@ object IndexFactory {
       * decoded space — distances at build and search time go through
       * the quantizer, exactly like the reference's storage-backed
       * distance computers. */
-    def codecGraph(codec: ScalarCodec): Option[DataFrame] = s.hnswM.map { mm =>
-      val bc = assigned.sparkSession.sparkContext.broadcast(codec)
-      val decU = udf { v: Seq[Float] => bc.value.decode(bc.value.encode(v.toArray)) }
-      val dec = assigned.select(col("id"), decU(col("vec")).as("vec"))
-      val g = HNSW.buildGraph(dec, m = mm).cache(); g.count(); g
-    }
+    def codecGraphF(roundTrip: Array[Float] => Array[Float]): Option[DataFrame] =
+      s.hnswM.map { mm =>
+        val bc = assigned.sparkSession.sparkContext.broadcast(roundTrip)
+        val decU = udf { v: Seq[Float] => bc.value(v.toArray) }
+        val dec = assigned.select(col("id"), decU(col("vec")).as("vec"))
+        val g = HNSW.buildGraph(dec, m = mm).cache(); g.count(); g
+      }
+    def codecGraph(codec: ScalarCodec): Option[DataFrame] =
+      codecGraphF(v => codec.decode(codec.encode(v)))
 
     s.enc match {
       case FlatEnc =>
@@ -204,20 +207,13 @@ object IndexFactory {
               IVFPQ.encode(assigned, im, pq).drop("vec").cache(), raw = rawKeep)
           case None =>
             // IndexHNSWPQ (`Auncel/IndexHNSW.h:131-140`): the graph
-            // lives in the PQ-decoded space, like codecGraph does for
-            // the SQ family — without it, HNSW×PQ specs crashed at
-            // search time on the vec-less code table
+            // lives in the PQ-decoded space, like the SQ family —
+            // without it, HNSW×PQ specs crashed at search time on the
+            // vec-less code table
             val pq = ProductQuantizer.train(assigned, m, seed = seed)
-            val g = s.hnswM.map { mm =>
-              val bp = assigned.sparkSession.sparkContext.broadcast(pq)
-              val decU = udf { v: Seq[Float] =>
-                bp.value.decode(bp.value.encode(v.toArray))
-              }
-              val dec = assigned.select(col("id"), decU(col("vec")).as("vec"))
-              val gr = HNSW.buildGraph(dec, m = mm).cache(); gr.count(); gr
-            }
             GraftIndex(s, chain, None, Some(pq), None,
-              ProductQuantizer.encode(assigned, pq).drop("vec").cache(), g, rawKeep)
+              ProductQuantizer.encode(assigned, pq).drop("vec").cache(),
+              codecGraphF(v => pq.decode(pq.encode(v))), rawKeep)
         }
       case SQ8Enc | SQ8UEnc =>
         val sq = ScalarQuantizer.train(assigned, uniform = s.enc == SQ8UEnc)

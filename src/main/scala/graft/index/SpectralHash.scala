@@ -3,7 +3,6 @@ package graft.index
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.Kernels
-import graft.operators.TopK
 import graft.transforms.LinearTransform
 
 /** IVF + spectral hash codes (`Auncel/IndexIVFSpectralHash.h:30-75`,
@@ -105,59 +104,29 @@ object SpectralHash {
       u(col("vec"), col("list_no")).as("sig"))
   }
 
-  /** Hamming k-NN over the probed lists; the query is binarized
-    * lazily PER (query, probed list) with that list's thresholds —
-    * same partial-heap scan shape as [[BinaryHash.knnHammingIvf]]. */
+  /** Hamming k-NN over the probed lists via the shared probed-list
+    * scan ([[graft.search.IVFSearch.probedTopK]]); the query is
+    * binarized lazily PER (query, probed list) with that list's own
+    * thresholds — the score factory keeps that cache per partition. */
   def search(encoded: DataFrame, ivf: IVFModel, sh: SHModel,
              queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val spark = encoded.sparkSession
     import spark.implicits._
     val q = queries.select(col("qid").cast("long"), col("vec"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val np = math.min(nprobe, ivf.nlist)
-    // metric-correct, executor-fanned coarse ranking (see knnHammingIvf)
-    val qRank = q.map { case (qid, v) =>
-      (qid, if (ivf.metric == "ip") Kernels.l2Normalize(v) else v)
-    }
-    val ranks = graft.search.IVFSearch.rankTop(spark, ivf, qRank, np)
-    val probesByList: Map[Int, Array[Int]] = q.indices.flatMap { qi =>
-      ranks(qi).map { case (l, _) => (l, qi) }
-    }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }
-    val bq = spark.sparkContext.broadcast(q.map { case (qid, v) =>
-      (qid, sh.transform(v))
-    })
-    val bp = spark.sparkContext.broadcast(probesByList)
+    val bq = spark.sparkContext.broadcast(q.map { case (_, v) => sh.transform(v) })
     val bm = spark.sparkContext.broadcast(sh)
-    val partials = encoded
-      .filter(col("list_no").isin(probesByList.keys.toSeq.sorted: _*))
-      .select(col("list_no").cast("int"), col("id").cast("long"), col("sig"))
-      .as[(Int, Long, Array[Long])]
-      .mapPartitions { it =>
-        val qs = bq.value
-        val pm = bp.value
-        val m = bm.value
-        val heaps = scala.collection.mutable.HashMap.empty[Int, TopK]
-        // per (query, list) binarized query codes, built lazily
+    graft.search.IVFSearch.probedTopK[Array[Long]](encoded,
+      df => df.select(col("list_no").cast("int"), col("id").cast("long"),
+        col("sig")).as[(Int, Long, Array[Long])],
+      ivf, q, k, nprobe,
+      () => {
         val qSigs = scala.collection.mutable.HashMap.empty[(Int, Int), Array[Long]]
-        it.foreach { case (listNo, id, sig) =>
-          pm.get(listNo) match {
-            case Some(qis) =>
-              var i = 0
-              while (i < qis.length) {
-                val qi = qis(i)
-                val qsig = qSigs.getOrElseUpdate((qi, listNo),
-                  m.binarize(qs(qi)._2, listNo))
-                heaps.getOrElseUpdate(qi, new TopK(k))
-                  .add(BinaryHash.hammingWide(sig, qsig).toDouble, id)
-                i += 1
-              }
-            case None =>
-          }
+        (qi, listNo, sig) => {
+          val qsig = qSigs.getOrElseUpdate((qi, listNo),
+            bm.value.binarize(bq.value(qi), listNo))
+          BinaryHash.hammingWide(sig, qsig).toDouble
         }
-        heaps.iterator.flatMap { case (qi, h) =>
-          h.sorted.iterator.map { case (d, id) => (qs(qi)._1, id, d) }
-        }
-      }.toDF("qid", "id", "dist")
-    graft.search.FlatSearch.mergeTopK(partials, k)
+      })
   }
 }

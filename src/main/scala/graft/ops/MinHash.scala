@@ -51,7 +51,9 @@ object MinHash {
               numHashes: Int): org.apache.spark.sql.Column = {
     val n = numHashes
     val u = udf { text: String =>
-      val ws = text.split(" ", -1)
+      // null text → null signature (filtered like short docs) rather
+      // than an NPE that would kill a long-running streaming query
+      val ws = if (text == null) Array.empty[String] else text.split(" ", -1)
       val mins = Array.fill[String](n)(null)
       if (ws.length >= 3) {
         val md = java.security.MessageDigest.getInstance("MD5")

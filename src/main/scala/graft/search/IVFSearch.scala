@@ -100,6 +100,58 @@ object IVFSearch {
     FlatSearch.mergeTopK(partials.toDF("qid", "id", "dist"), k)
   }
 
+  /** Shared probed-list partial-heap scan scaffold for code-based
+    * indexes (binary Hamming, spectral hash — the float path above
+    * keeps its specialized qvec-broadcast shape): metric-correct
+    * coarse ranking (rankTop fan-out), probed-list partition pruning,
+    * per-partition bounded heaps scored by `mkScore()(qi, listNo,
+    * payload)`, global top-k merge. `mkScore` is invoked once per
+    * partition so a scorer can keep lazy per-(query, list) state (e.g.
+    * per-list query binarization) without cross-partition sharing. */
+  def probedTopK[R](encoded: DataFrame,
+                    toRows: DataFrame => Dataset[(Int, Long, R)],
+                    model: IVFModel, q: Array[(Long, Array[Float])],
+                    k: Int, nprobe: Int,
+                    mkScore: () => (Int, Int, R) => Double): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val np = math.min(nprobe, model.nlist)
+    val qRank = q.map { case (qid, v) =>
+      (qid, if (model.metric == "ip") Kernels.l2Normalize(v) else v)
+    }
+    val ranks = rankTop(spark, model, qRank, np)
+    val probesByList: Map[Int, Array[Int]] = q.indices.flatMap { qi =>
+      ranks(qi).map { case (l, _) => (l, qi) }
+    }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }
+    val bp = spark.sparkContext.broadcast(probesByList)
+    val bqids = spark.sparkContext.broadcast(q.map(_._1))
+    val partials = toRows(
+      encoded.filter(col("list_no").isin(probesByList.keys.toSeq.sorted: _*)))
+      .mapPartitions { it =>
+        val pm = bp.value
+        val qids = bqids.value
+        val score = mkScore()
+        val heaps = scala.collection.mutable.HashMap.empty[Int, TopK]
+        it.foreach { case (listNo, id, payload) =>
+          pm.get(listNo) match {
+            case Some(qis) =>
+              var i = 0
+              while (i < qis.length) {
+                val qi = qis(i)
+                heaps.getOrElseUpdate(qi, new TopK(k))
+                  .add(score(qi, listNo, payload), id)
+                i += 1
+              }
+            case None =>
+          }
+        }
+        heaps.iterator.flatMap { case (qi, h) =>
+          h.sorted.iterator.map { case (d, id) => (qids(qi), id, d) }
+        }
+      }.toDF("qid", "id", "dist")
+    FlatSearch.mergeTopK(partials, k)
+  }
+
   /** IVF range search (`IndexIVF::range_search` semantics over probed
     * lists): all ids within `radius` among the nprobe nearest lists —
     * same partition-pruned scan, no heap (variable-size result). */

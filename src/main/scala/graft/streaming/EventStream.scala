@@ -109,16 +109,22 @@ object EventStream {
       }.toDF("bucket", "a", "b")
   }
 
+  /** Parse any interval string withWatermark itself accepts for the
+    * units below — multi-part ("1 hour 30 minutes") and compact
+    * ("90min") forms included. */
   private def parseDelayMs(delay: String): Long = {
-    val Array(n, unit) = delay.trim.split("\\s+")
-    val base = unit.toLowerCase match {
-      case u if u.startsWith("day")  => 86400000L
-      case u if u.startsWith("hour") => 3600000L
-      case u if u.startsWith("min")  => 60000L
-      case u if u.startsWith("sec")  => 1000L
-      case u => throw new IllegalArgumentException(s"unsupported delay unit $u")
-    }
-    n.toLong * base
+    val parts = "(\\d+)\\s*([a-zA-Z]+)".r.findAllMatchIn(delay).toSeq
+    require(parts.nonEmpty, s"cannot parse delay '$delay'")
+    parts.map { m =>
+      val base = m.group(2).toLowerCase match {
+        case u if u.startsWith("day")  => 86400000L
+        case u if u.startsWith("hour") => 3600000L
+        case u if u.startsWith("min")  => 60000L
+        case u if u.startsWith("sec")  => 1000L
+        case u => throw new IllegalArgumentException(s"unsupported delay unit $u")
+      }
+      m.group(1).toLong * base
+    }.sum
   }
 
   final case class Session(userId: Long, nEvents: Long, totalValue: Double)

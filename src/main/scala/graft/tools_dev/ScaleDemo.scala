@@ -123,12 +123,17 @@ object ScaleDemo {
     val pq = IVFPQ.trainResidualPQ(assignedSample, model, m = 8, nbits = 8, seed = 42L)
     println(f"residual PQ train (10%% sample): ${(System.nanoTime() - t) / 1e9}%.1fs")
     t = System.nanoTime()
-    val enc = IVFPQ.encode(IVFIndex.assign(baseDF, model), model, pq)
+    // reuse the ALREADY-PERSISTED assigned table (written above) and
+    // cache the level-1 encode — refine training and refine encoding
+    // both read it, so the full-corpus assign+encode runs once
+    val enc = IVFPQ.encode(ivf, model, pq).cache()
+    enc.count()
     val rpq = IVFPQ.trainRefinePQ(
       enc.sample(0.1, 44L), model, pq, m = 8, nbits = 8, seed = 43L)
     val encR = IVFPQ.encodeRefine(enc, model, pq, rpq)
       .drop("vec").cache()
     encR.count()
+    enc.unpersist()
     println(f"PQ+refine encode 2×8 B/vec: ${(System.nanoTime() - t) / 1e9}%.1fs")
     t = System.nanoTime()
     val adc = IVFPQ.search(encR, model, pq, queries, k, nprobe = 32); adc.count()
@@ -162,7 +167,7 @@ object ScaleDemo {
 
     t = System.nanoTime()
     val wide = BinaryHash.trainWide(d, nbits = 128, seed = 13L)
-    val encB = BinaryHash.encodeIvf(IVFIndex.assign(baseDF, model), wide).cache()
+    val encB = BinaryHash.encodeIvf(ivf, wide).cache()
     encB.count()
     println(f"binary 128-bit encode (16 B/vec): ${(System.nanoTime() - t) / 1e9}%.1fs")
     t = System.nanoTime()

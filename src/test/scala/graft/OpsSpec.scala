@@ -170,7 +170,7 @@ class OpsSpec extends SparkSpec {
       .writeStream.outputMode("append")
       .format("memory").queryName("slsh")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "streaming LSH query timed out")
     val got = spark.sql("SELECT a, b FROM slsh").as[(Long, Long)].collect()
       .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
     assert(got == expected, s"stream $got vs batch $expected")
