@@ -7,6 +7,30 @@ import graft.ops.{EmbeddingDedup, MinHash}
 
 class DedupSpec extends SparkSpec {
 
+  test("d04 shingle-df cap engages: hot-shingle-only pairs vanish, rare overlap survives") {
+    import spark.implicits._
+    import graft.queries.Documents
+    val dir = java.nio.file.Files.createTempDirectory("capdocs").toString
+    // 200 docs all sharing ONE hot shingle ("hot one two", df=200 > τ=128)
+    // plus unique filler; docs 1 and 2 are identical with only rare shingles
+    val filler = (10 until 210).map { id =>
+      (id.toLong, s"hot one two u${id}a u${id}b u${id}c")
+    }
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"))
+    (planted ++ filler).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Documents.d04JaccardTop(spark, dir)
+      .select(col("a"), col("b"), col("jaccard"))
+      .as[(Long, Long, Double)].collect()
+    // without the cap every filler pair shares the hot shingle →
+    // ~20k candidate pairs and a full top-20; with it, only the
+    // planted rare-shingle pair remains, at exact Jaccard 1.0
+    assert(got.length == 1, s"expected only the planted pair, got ${got.toSeq}")
+    assert(got.head == ((1L, 2L, 1.0)), s"got ${got.head}")
+  }
+
   test("MinHash estimate tracks exact Jaccard") {
     import spark.implicits._
     val words = (1 to 60).map(i => s"w$i")
