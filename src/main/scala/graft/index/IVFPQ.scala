@@ -3,7 +3,6 @@ package graft.index
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.Kernels
-import graft.operators.TopK
 import graft.quantize.PQModel
 import graft.search.FlatSearch
 
@@ -51,51 +50,27 @@ object IVFPQ {
     import spark.implicits._
     val q = queries.select(col("qid").cast("long"), col("vec"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val np = math.min(nprobe, model.nlist)
-    val probesByList: Map[Int, Array[Int]] = q.indices.flatMap { qi =>
-      model.rankCentroids(q(qi)._2).take(np).map { case (l, _) => (l, qi) }
-    }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }
-
-    val bq = spark.sparkContext.broadcast(q)
-    val bp = spark.sparkContext.broadcast(probesByList)
+    val bq = spark.sparkContext.broadcast(q.map(_._2))
     val bm = spark.sparkContext.broadcast(model)
     val bpq = spark.sparkContext.broadcast(pq)
-
-    val partials = encoded
-      .filter(col("list_no").isin(probesByList.keys.toSeq.sorted: _*))
-      .select(col("list_no").cast("int"), col("id").cast("long"), col("code"))
-      .as[(Int, Long, Array[Byte])]
-      .mapPartitions { it =>
-        val qs = bq.value
-        val pm = bp.value
-        val ivf = bm.value
-        val codec = bpq.value
-        val heaps = scala.collection.mutable.HashMap.empty[Int, TopK]
-        // per (query, list) residual ADC tables, built lazily per partition
+    // shared probed-list scan; the score factory keeps the lazy
+    // per-(query, list) residual ADC tables per partition
+    graft.search.IVFSearch.probedTopK[Array[Byte]](encoded,
+      df => df.select(col("list_no").cast("int"), col("id").cast("long"),
+        col("code")).as[(Int, Long, Array[Byte])],
+      model, q, k, nprobe,
+      () => {
         val tables = scala.collection.mutable.HashMap.empty[(Int, Int), Array[Array[Float]]]
-        it.foreach { case (listNo, id, code) =>
-          pm.get(listNo) match {
-            case Some(qis) =>
-              var i = 0
-              while (i < qis.length) {
-                val qi = qis(i)
-                val table = tables.getOrElseUpdate((qi, listNo), {
-                  val c = ivf.centroids(listNo)
-                  val qv = qs(qi)._2
-                  codec.adcTable(Array.tabulate(qv.length)(j => qv(j) - c(j)))
-                })
-                heaps.getOrElseUpdate(qi, new TopK(k))
-                  .add(codec.adcDistance(table, code), id)
-                i += 1
-              }
-            case None =>
-          }
+        (qi, listNo, code) => {
+          val codec = bpq.value
+          val table = tables.getOrElseUpdate((qi, listNo), {
+            val c = bm.value.centroids(listNo)
+            val qv = bq.value(qi)
+            codec.adcTable(Array.tabulate(qv.length)(j => qv(j) - c(j)))
+          })
+          codec.adcDistance(table, code)
         }
-        heaps.iterator.flatMap { case (qi, h) =>
-          h.sorted.iterator.map { case (d, id) => (qs(qi)._1, id, d) }
-        }
-      }.toDF("qid", "id", "dist")
-    FlatSearch.mergeTopK(partials, k)
+      })
   }
 
   /** Train the second-level refine PQ (`Auncel/IndexIVFPQR.cpp:30-45`

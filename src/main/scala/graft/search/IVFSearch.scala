@@ -55,49 +55,17 @@ object IVFSearch {
     val q: Array[(Long, Array[Float])] = queries
       .select(col("qid").cast("long"), col("vec"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val np = math.min(nprobe, model.nlist)
-
-    // per-list → probing queries (qid, qvec); ranking fans out past ~1M
-    // query×centroid computations (see rankTop)
-    val qNorm = if (model.metric == "ip")
+    // the scan distance uses the SAME normalized vector the ranking
+    // does for ip (scores are -dot of unit vectors there)
+    val qScan = if (model.metric == "ip")
       q.map { case (qid, v) => (qid, Kernels.l2Normalize(v)) } else q
-    val ranks = rankTop(spark, model, qNorm, np)
-    val probesByList: Map[Int, Array[(Long, Array[Float])]] = qNorm.indices
-      .flatMap { i =>
-        ranks(i).map { case (l, _) => (l, qNorm(i)) }
-      }
-      .groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }
-
-    val allLists = probesByList.keys.toSeq.sorted
-    val bq = spark.sparkContext.broadcast(probesByList)
+    val bqv = spark.sparkContext.broadcast(qScan.map(_._2))
     val m = model.metric
-
-    val partials: Dataset[(Long, Long, Double)] = ivfData
-      .filter(col("list_no").isin(allLists: _*)) // partition pruning
-      .select(col("list_no").cast("int"), col("id").cast("long"), col("vec"))
-      .as[(Int, Long, Array[Float])]
-      .mapPartitions { it =>
-        val byList = bq.value
-        val heaps = scala.collection.mutable.HashMap.empty[Long, TopK]
-        it.foreach { case (listNo, id, vec) =>
-          byList.get(listNo) match {
-            case Some(qs) =>
-              var i = 0
-              while (i < qs.length) {
-                val (qid, qv) = qs(i)
-                heaps.getOrElseUpdate(qid, new TopK(k))
-                  .add(Kernels.distance(m, qv, vec), id)
-                i += 1
-              }
-            case None =>
-          }
-        }
-        heaps.iterator.flatMap { case (qid, h) =>
-          h.sorted.iterator.map { case (d, id) => (qid, id, d) }
-        }
-      }
-
-    FlatSearch.mergeTopK(partials.toDF("qid", "id", "dist"), k)
+    probedTopK[Array[Float]](ivfData,
+      df => df.select(col("list_no").cast("int"), col("id").cast("long"),
+        col("vec")).as[(Int, Long, Array[Float])],
+      model, q, k, nprobe,
+      () => (qi, _, vec) => Kernels.distance(m, bqv.value(qi), vec))
   }
 
   /** Shared probed-list partial-heap scan scaffold for code-based
