@@ -22,7 +22,13 @@ object SparkEntry {
     Relational.queries ++ Vector.queries ++ Documents.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    Relational.oracles ++ Vector.oracles ++ Documents.oracles
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * The dir-parametrized form points side-table oracles
+    * (v06/v17/v18/v19) at the tables the queries persisted for that
+    * same dataset dir; the no-arg form keeps the driver contract and
+    * defaults to the driver's verify scale factor. */
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    Relational.oracles ++ Vector.oracles(sfDir) ++ Documents.oracles
 }

@@ -111,6 +111,11 @@ object LAET {
     * baseline of the LAET comparison family. */
   def searchHeuristic(ivfData: DataFrame, model: IVFModel, queries: DataFrame,
                       k: Int, multiplierPct: Double): (DataFrame, Map[Long, Int]) = {
+    // The reference path is L2-only: with ip, coarse distances are
+    // negative, so multiplierPct > 100 would TIGHTEN the threshold and
+    // collapse nprobe to 1 — refuse rather than silently degrade.
+    require(model.metric == "l2",
+      s"searchHeuristic supports metric=l2 only (got ${model.metric})")
     val spark = ivfData.sparkSession
     import spark.implicits._
     val q = queries.select(col("qid").cast("long"), col("vec"))

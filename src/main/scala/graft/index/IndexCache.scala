@@ -22,8 +22,14 @@ object IndexCache {
   private def diskRoot: String =
     sys.env.getOrElse("GRAFT_MODEL_DIR", "/tmp/graft_models")
 
-  private def diskPath(key: String): String =
-    s"$diskRoot/${key.replaceAll("[^A-Za-z0-9._-]", "_")}"
+  /** Sanitizing alone can collide ('a|b' vs 'a_b'); the raw-key hash
+    * suffix keeps distinct cache keys on distinct disk directories. */
+  private def diskPath(key: String): String = {
+    val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
+    val h = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(key))
+    s"$diskRoot/$safe-$h"
+  }
 
   private def onDisk(path: String): Boolean =
     new java.io.File(path, "_SUCCESS").exists()

@@ -198,7 +198,9 @@ object ProductQuantizer {
 
 /** Scalar quantizer, 8-bit per dimension
   * (`Auncel/IndexScalarQuantizer.cpp` QT_8bit): per-dim [min, max] from
-  * the collection, code = round(255·(x−min)/(max−min)). */
+  * the collection, code = ⌊255·clamp((x−min)/(max−min), 0, 1)⌋ — the
+  * reference Codec8bit truncates on encode (`encode_component:75-77`),
+  * which makes the (c+0.5)/255 decode the bin midpoint. */
 final case class SQModel(vmin: Array[Float], vmax: Array[Float]) extends ScalarCodec {
   def dim: Int = vmin.length
   def codeSize: Int = dim
@@ -207,8 +209,8 @@ final case class SQModel(vmin: Array[Float], vmax: Array[Float]) extends ScalarC
   def encode(v: Array[Float]): Array[Byte] =
     Array.tabulate(dim) { i =>
       val x = if (vdiff(i) == 0f) 0.0
-        else (v(i) - vmin(i)) / vdiff(i) * 255.0
-      math.max(0, math.min(255, math.round(x))).toByte
+        else (v(i) - vmin(i)) / vdiff(i)
+      (math.max(0.0, math.min(1.0, x)) * 255.0).toInt.toByte
     }
   /** (code + 0.5)/255: same grid as the encoder's 255 steps — matches
     * the reference Codec8bit (`IndexScalarQuantizer.cpp:73-81`). */

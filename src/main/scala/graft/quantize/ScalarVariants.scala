@@ -25,8 +25,10 @@ final case class SQ4Model(vmin: Array[Float], vmax: Array[Float])
   val vdiff: Array[Float] = Array.tabulate(dim)(i => vmax(i) - vmin(i))
 
   private def codeOf(v: Float, i: Int): Int = {
-    val x = if (vdiff(i) == 0f) 0.0 else (v - vmin(i)) / vdiff(i) * 15.0
-    math.max(0, math.min(15, math.round(x))).toInt
+    // truncate like the reference Codec4bit (`(int)(x*15.0)`,
+    // IndexScalarQuantizer.cpp:103-105); (c+0.5)/15 decode = bin midpoint
+    val x = if (vdiff(i) == 0f) 0.0 else (v - vmin(i)) / vdiff(i)
+    (math.max(0.0, math.min(1.0, x)) * 15.0).toInt
   }
 
   def encode(v: Array[Float]): Array[Byte] = {
@@ -79,8 +81,10 @@ final case class SQ6Model(vmin: Array[Float], vmax: Array[Float])
     val out = new Array[Byte](codeSize)
     var i = 0
     while (i < dim) {
-      val x = if (vdiff(i) == 0f) 0.0 else (v(i) - vmin(i)) / vdiff(i) * 63.0
-      val c = math.max(0, math.min(63, math.round(x))).toInt
+      // truncate like the reference Codec6bit (`(int)(x*63.0)`,
+      // IndexScalarQuantizer.cpp:137-139)
+      val x = if (vdiff(i) == 0f) 0.0 else (v(i) - vmin(i)) / vdiff(i)
+      val c = (math.max(0.0, math.min(1.0, x)) * 63.0).toInt
       val bitpos = 6 * i
       val byteIdx = bitpos >> 3
       val shift = bitpos & 7

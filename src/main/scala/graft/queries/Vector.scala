@@ -174,8 +174,8 @@ object Vector {
 
   /** Probe ranking mirrors rankCentroids: float-cast coarse distance,
     * tie-break by list id; scan+top-k over the probed lists only. */
-  val v06Sql: String = {
-    val odir = "/tmp/graft_oracle/sf0.01"
+  def v06Sql(dir: String): String = {
+    val odir = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
        |cent AS (SELECT list_no, centroid FROM read_parquet('$odir/v06_centroids.parquet/*.parquet')),
        |cd AS (SELECT q.qid, c.list_no,
@@ -290,7 +290,7 @@ object Vector {
         val x = element_at(col("vec"), i + 1).cast("double")
         val mn = element_at(lit(mins), i + 1)
         val df = element_at(lit(diffs), i + 1)
-        val code = least(lit(255.0), greatest(lit(0.0), round((x - mn) / df * 255)))
+        val code = least(lit(255.0), greatest(lit(0.0), floor((x - mn) / df * 255)))
         val dec = (mn + (code + 0.5) / 255.0 * df).cast("float").cast("double")
         (x - dec) * (x - dec)
       }),
@@ -307,7 +307,7 @@ object Vector {
       |SELECT e.vec_id, list_sum(list_transform(list_transform(range(1, 65), i ->
       |  CAST(e.embedding[i] AS DOUBLE) -
       |    CAST(CAST(d.mns[i] + (LEAST(255.0, GREATEST(0.0,
-      |      round((CAST(e.embedding[i] AS DOUBLE) - d.mns[i]) / (d.mxs[i] - d.mns[i]) * 255, 0)))
+      |      floor((CAST(e.embedding[i] AS DOUBLE) - d.mns[i]) / (d.mxs[i] - d.mns[i]) * 255)))
       |      + 0.5) / 255.0 * (d.mxs[i] - d.mns[i]) AS FLOAT) AS DOUBLE)
       |), y -> y * y)) AS sq_err
       |FROM embeddings e CROSS JOIN dims d ORDER BY e.vec_id""".stripMargin
@@ -329,7 +329,7 @@ object Vector {
     def sqErr(steps: Int)(mn: org.apache.spark.sql.Column,
               df: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) = {
       val st = steps.toDouble
-      val code = least(lit(st), greatest(lit(0.0), round((x - mn) / df * st)))
+      val code = least(lit(st), greatest(lit(0.0), floor((x - mn) / df * st)))
       val dec = (mn + (code + 0.5) / st * df).cast("float").cast("double")
       (x - dec) * (x - dec)
     }
@@ -364,14 +364,14 @@ object Vector {
       s"""  list_sum(list_transform(list_transform(range(1, 65), i ->
          |    CAST(e.embedding[i] AS DOUBLE) -
          |      CAST(CAST(d.mns[i] + (LEAST($steps.0, GREATEST(0.0,
-         |        round((CAST(e.embedding[i] AS DOUBLE) - d.mns[i]) / (d.mxs[i] - d.mns[i]) * $steps, 0)))
+         |        floor((CAST(e.embedding[i] AS DOUBLE) - d.mns[i]) / (d.mxs[i] - d.mns[i]) * $steps)))
          |        + 0.5) / $steps.0 * (d.mxs[i] - d.mns[i]) AS FLOAT) AS DOUBLE)
          |  ), y -> y * y)) AS $alias""".stripMargin
     def global(steps: Int, alias: String) =
       s"""  list_sum(list_transform(list_transform(range(1, 65), i ->
          |    CAST(e.embedding[i] AS DOUBLE) -
          |      CAST(CAST(d.gmn + (LEAST($steps.0, GREATEST(0.0,
-         |        round((CAST(e.embedding[i] AS DOUBLE) - d.gmn) / (d.gmx - d.gmn) * $steps, 0)))
+         |        floor((CAST(e.embedding[i] AS DOUBLE) - d.gmn) / (d.gmx - d.gmn) * $steps)))
          |        + 0.5) / $steps.0 * (d.gmx - d.gmn) AS FLOAT) AS DOUBLE)
          |  ), y -> y * y)) AS $alias""".stripMargin
     s"""WITH dims AS (
@@ -415,8 +415,8 @@ object Vector {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val v17Sql: String = {
-    val odir = "/tmp/graft_oracle/sf0.01"
+  def v17Sql(dir: String): String = {
+    val odir = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
     s"""WITH s AS (SELECT id, sig FROM read_parquet('$odir/v17_sigs.parquet/*.parquet')),
        |q AS (SELECT qid, sig AS qsig FROM read_parquet('$odir/v17_qsigs.parquet/*.parquet')),
        |d AS (SELECT q.qid, s.id,
@@ -463,8 +463,8 @@ object Vector {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val v18Sql: String = {
-    val odir = "/tmp/graft_oracle/sf0.01"
+  def v18Sql(dir: String): String = {
+    val odir = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
        |c AS (SELECT id, sub, code FROM read_parquet('$odir/v18_codes.parquet/*.parquet')),
        |qc AS (SELECT qid, sub, qcode FROM read_parquet('$odir/v18_qcodes.parquet/*.parquet')),
@@ -516,8 +516,8 @@ object Vector {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val v19Sql: String = {
-    val odir = "/tmp/graft_oracle/sf0.01"
+  def v19Sql(dir: String): String = {
+    val odir = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
        |           WHERE vec_id >= 32 AND vec_id < 40),
        |r AS (SELECT id, rvec FROM read_parquet('$odir/v19_recon.parquet/*.parquet')),
@@ -747,10 +747,14 @@ object Vector {
     "v18_polysemous" -> v18Polysemous _,
     "v19_ivfpqr" -> v19IvfpqrKnn _)
 
-  val oracles: Map[String, String] = Map(
+  /** Side-table oracles (v06/v17/v18/v19) read
+    * /tmp/graft_oracle/<basename(dir)> — derived from the SAME dir the
+    * query ran with, so verifying at any scale factor reads that run's
+    * tables, never a stale sf0.01 copy. */
+  def oracles(dir: String): Map[String, String] = Map(
     "a03_bounded_exact" -> a03Sql,
     "a04_latency_exact" -> a04Sql,
-    "v06_ivf_probe" -> v06Sql,
+    "v06_ivf_probe" -> v06Sql(dir),
     "v14_hnsw_knn" -> v14Sql,
     "v08_ivfpq_refine" -> v08Sql,
     "v13_ivf_range" -> v13Sql,
@@ -766,7 +770,7 @@ object Vector {
     "v07_neardup_pairs" -> v07Sql,
     "v15_neardup_lsh" -> v15Sql,
     "v16_scalar_codecs" -> v16Sql,
-    "v17_hamming_wide" -> v17Sql,
-    "v18_polysemous" -> v18Sql,
-    "v19_ivfpqr" -> v19Sql)
+    "v17_hamming_wide" -> v17Sql(dir),
+    "v18_polysemous" -> v18Sql(dir),
+    "v19_ivfpqr" -> v19Sql(dir))
 }
