@@ -22,12 +22,14 @@ object SparkEntry {
     Relational.queries ++ Vector.queries ++ Documents.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops.
-    * The dir-parametrized form points side-table oracles
-    * (v06/v17/v18/v19) at the tables the queries persisted for that
-    * same dataset dir; the no-arg form keeps the driver contract and
-    * defaults to the driver's verify scale factor. */
-  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+    * the same parquet tables. The dir-parametrized form points
+    * side-table oracles (a01/a02/v06/v17/v18/v19) at the tables the
+    * queries persisted for that same dataset dir; the no-arg form keeps
+    * the driver contract, deriving its dir from the same env var the
+    * driver passes to Bench (so it can never silently diverge from the
+    * verified scale factor). Verify itself uses oracleSqlFor(sfDir). */
+  def oracleSql: Map[String, String] =
+    oracleSqlFor(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
 
   def oracleSqlFor(sfDir: String): Map[String, String] =
     Relational.oracles ++ Vector.oracles(sfDir) ++ Documents.oracles

@@ -20,6 +20,16 @@ object Vector {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Oracle side-table directory for a dataset dir: leaf name for
+    * readability plus a full-path hash so two dataset dirs sharing a
+    * leaf (e.g. /a/sf0.01 and /b/sf0.01) can never read each other's
+    * tables (same collision class IndexCache.diskPath guards against).
+    * Used by BOTH the query-side writers and the SQL builders. */
+  private[queries] def odir(dir: String): String = {
+    val h = f"${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x"
+    s"/tmp/graft_oracle/${new java.io.File(dir).getName}_$h"
+  }
+
   private def base(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"),
       col("label"))
@@ -162,7 +172,7 @@ object Vector {
   def v06IvfProbe(s: SparkSession, dir: String): DataFrame = {
     val (model, assigned) = graft.index.IndexCache.ivf(dir, base(s, dir), nlist = 16)
     import s.implicits._
-    val oracleDir = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+    val oracleDir = odir(dir)
     model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("list_no", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$oracleDir/v06_centroids.parquet")
@@ -175,9 +185,9 @@ object Vector {
   /** Probe ranking mirrors rankCentroids: float-cast coarse distance,
     * tie-break by list id; scan+top-k over the probed lists only. */
   def v06Sql(dir: String): String = {
-    val odir = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+    val od = odir(dir)
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
-       |cent AS (SELECT list_no, centroid FROM read_parquet('$odir/v06_centroids.parquet/*.parquet')),
+       |cent AS (SELECT list_no, centroid FROM read_parquet('$od/v06_centroids.parquet/*.parquet')),
        |cd AS (SELECT q.qid, c.list_no,
        |  CAST(list_sum(list_transform(range(1, 65), i ->
        |    (CAST(q.qv[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) *
@@ -186,7 +196,7 @@ object Vector {
        |probes AS (SELECT qid, list_no FROM (
        |  SELECT qid, list_no, row_number() OVER (PARTITION BY qid ORDER BY cdist, list_no) AS rn FROM cd)
        |  WHERE rn <= 4),
-       |asg AS (SELECT id, list_no FROM read_parquet('$odir/v06_assign.parquet/*.parquet')),
+       |asg AS (SELECT id, list_no FROM read_parquet('$od/v06_assign.parquet/*.parquet')),
        |cand AS (SELECT p.qid, a.id FROM probes p JOIN asg a ON p.list_no = a.list_no),
        |d AS (SELECT cand.qid, b.vec_id AS id, $l2SqlFrag AS dist
        |      FROM cand JOIN q ON cand.qid = q.qid JOIN embeddings b ON b.vec_id = cand.id)
@@ -408,7 +418,7 @@ object Vector {
     val qsigs = BinaryHash.encodeWide(
       qs(s, dir, "vec_id >= 80 AND vec_id < 88"), model)
       .select(col("qid"), col("sig"))
-    val oracleDir = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+    val oracleDir = odir(dir)
     sigs.coalesce(1).write.mode("overwrite").parquet(s"$oracleDir/v17_sigs.parquet")
     qsigs.coalesce(1).write.mode("overwrite").parquet(s"$oracleDir/v17_qsigs.parquet")
     BinaryHash.knnHammingWide(sigs, qsigs, k = 10)
@@ -416,9 +426,9 @@ object Vector {
   }
 
   def v17Sql(dir: String): String = {
-    val odir = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
-    s"""WITH s AS (SELECT id, sig FROM read_parquet('$odir/v17_sigs.parquet/*.parquet')),
-       |q AS (SELECT qid, sig AS qsig FROM read_parquet('$odir/v17_qsigs.parquet/*.parquet')),
+    val od = odir(dir)
+    s"""WITH s AS (SELECT id, sig FROM read_parquet('$od/v17_sigs.parquet/*.parquet')),
+       |q AS (SELECT qid, sig AS qsig FROM read_parquet('$od/v17_qsigs.parquet/*.parquet')),
        |d AS (SELECT q.qid, s.id,
        |  CAST(list_sum(list_transform(range(1, 3), w ->
        |    bit_count(xor(s.sig[w], q.qsig[w])))) AS DOUBLE) AS dist
@@ -445,7 +455,7 @@ object Vector {
       Polysemous.train(ProductQuantizer.train(b, m = 8, seed = 42L)))
     val enc = graft.index.IndexCache.frame(s"$dir|poly_enc",
       ProductQuantizer.encode(b, pq).select(col("id"), col("code")))
-    val oracleDir = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+    val oracleDir = odir(dir)
     val toInts = udf { c: Array[Byte] => c.map(_ & 0xff) }
     enc.select(col("id"), posexplode(toInts(col("code"))).as(Seq("sub", "code")))
       .coalesce(1).write.mode("overwrite").parquet(s"$oracleDir/v18_codes.parquet")
@@ -464,11 +474,11 @@ object Vector {
   }
 
   def v18Sql(dir: String): String = {
-    val odir = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+    val od = odir(dir)
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
-       |c AS (SELECT id, sub, code FROM read_parquet('$odir/v18_codes.parquet/*.parquet')),
-       |qc AS (SELECT qid, sub, qcode FROM read_parquet('$odir/v18_qcodes.parquet/*.parquet')),
-       |bk AS (SELECT sub, code, centroid FROM read_parquet('$odir/v18_books.parquet/*.parquet')),
+       |c AS (SELECT id, sub, code FROM read_parquet('$od/v18_codes.parquet/*.parquet')),
+       |qc AS (SELECT qid, sub, qcode FROM read_parquet('$od/v18_qcodes.parquet/*.parquet')),
+       |bk AS (SELECT sub, code, centroid FROM read_parquet('$od/v18_books.parquet/*.parquet')),
        |ham AS (SELECT qc.qid, c.id,
        |  SUM(bit_count(xor(CAST(c.code AS BIGINT), CAST(qc.qcode AS BIGINT)))) AS h
        |  FROM c JOIN qc ON c.sub = qc.sub GROUP BY 1, 2),
@@ -504,7 +514,7 @@ object Vector {
         m = 8, nbits = 4, seed = 43L))
     val encR = graft.index.IndexCache.frame(s"$dir|pqr_encR",
       IVFPQ.encodeRefine(IVFPQ.encode(assigned, model, pq), model, pq, rpq))
-    val oracleDir = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+    val oracleDir = odir(dir)
     encR.select(col("id"), col("list_no").cast("int"), col("code"), col("rcode"))
       .as[(Long, Int, Array[Byte], Array[Byte])]
       .map { case (id, l, c, rc) =>
@@ -517,10 +527,10 @@ object Vector {
   }
 
   def v19Sql(dir: String): String = {
-    val odir = s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+    val od = odir(dir)
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
        |           WHERE vec_id >= 32 AND vec_id < 40),
-       |r AS (SELECT id, rvec FROM read_parquet('$odir/v19_recon.parquet/*.parquet')),
+       |r AS (SELECT id, rvec FROM read_parquet('$od/v19_recon.parquet/*.parquet')),
        |d AS (SELECT q.qid, r.id,
        |  list_sum(list_transform(range(1, 65), i ->
        |    (CAST(q.qv[i] AS DOUBLE) - CAST(r.rvec[i] AS DOUBLE)) *
@@ -594,9 +604,11 @@ object Vector {
 
   /** Auncel's flagship operator end-to-end: train the error profile on
     * the collection, then run bounded-error adaptive search
-    * (required recall 0.9). Output includes per-query nprobe_used —
-    * inherently not SQL-expressible (rows-only check; the bound
-    * guarantee is asserted in BoundedSearchSpec). */
+    * (required recall 0.9). Output includes per-query nprobe_used.
+    * The adaptive DECISION isn't SQL-replayable, but the result given
+    * the decision is: the persisted per-query probe counts drive a
+    * DuckDB decision-replay oracle (hash-exact); the bound guarantee
+    * itself is asserted in BoundedSearchSpec. */
   /** Trained traces are cached beside the IVF model — searches pay
     * trace lookup, not profile training (the reference likewise
     * persists index + profile between phases, `eval/bound.cpp:265-268`). */
@@ -622,10 +634,69 @@ object Vector {
       multiplier = 4.0f, stdM = 1.0f)
     val statsDF = s.createDataFrame(res.stats)
       .select(col("qid").as("s_qid"), col("nprobeUsed").as("nprobe_used"))
+    // Decision-replay oracle (`Auncel/eval/bound.cpp:391-414` per-query
+    // search then global verify): the adaptive DECISION isn't SQL, but
+    // the result GIVEN the decision provably is — rounds cover centroid
+    // ranks 0..decidedStage and the finishing pass decidedStage..
+    // nprobe_used, so the output ≡ exact top-k over each query's top
+    // nprobe_used ranked lists. Persist (centroids, assignment,
+    // per-query nprobe_used) and let DuckDB replay rank → scan → top-k.
+    writeProbeReplayTables(s, "a01", dir, model, assigned,
+      statsDF.select(col("s_qid").as("qid"), col("nprobe_used")))
     res.results.join(broadcast(statsDF), col("qid") === col("s_qid"))
       .select(col("qid"), col("id"), col("dist"), col("rank"), col("nprobe_used"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** Shared writer for decision-replay oracles: the IVF geometry
+    * ((list_no, centroid), (id, list_no)) plus each query's decided
+    * probe count. */
+  private def writeProbeReplayTables(s: SparkSession, tag: String,
+      dir: String, model: graft.index.IVFModel, assigned: DataFrame,
+      stats: DataFrame): Unit = {
+    import s.implicits._
+    val oracleDir = odir(dir)
+    model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("list_no", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$oracleDir/${tag}_centroids.parquet")
+    assigned.select(col("id"), col("list_no")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$oracleDir/${tag}_assign.parquet")
+    stats.coalesce(1)
+      .write.mode("overwrite").parquet(s"$oracleDir/${tag}_stats.parquet")
+  }
+
+  /** Probe-replay SQL: rank centroids exactly as rankCentroids does
+    * (float-cast coarse L2, tie-break by list id), probe each query's
+    * first `nprobe_used` lists, exact scan + top-k over those lists.
+    * `extraCols` carries decision columns (e.g. nprobe_used) into the
+    * output when the Spark result includes them. */
+  private def probeReplaySql(tag: String, dir: String, qPred: String,
+      k: Int, extraCols: String = ""): String = {
+    val od = odir(dir)
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE $qPred),
+       |st AS (SELECT qid, nprobe_used FROM read_parquet('$od/${tag}_stats.parquet/*.parquet')),
+       |cent AS (SELECT list_no, centroid FROM read_parquet('$od/${tag}_centroids.parquet/*.parquet')),
+       |cd AS (SELECT q.qid, c.list_no,
+       |  CAST(list_sum(list_transform(range(1, 65), i ->
+       |    (CAST(q.qv[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) *
+       |    (CAST(q.qv[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)))) AS FLOAT) AS cdist
+       |  FROM q CROSS JOIN cent c),
+       |probes AS (SELECT r.qid, r.list_no FROM (
+       |  SELECT qid, list_no, row_number() OVER (PARTITION BY qid ORDER BY cdist, list_no) AS rn FROM cd) r
+       |  JOIN st ON r.qid = st.qid WHERE r.rn <= st.nprobe_used),
+       |asg AS (SELECT id, list_no FROM read_parquet('$od/${tag}_assign.parquet/*.parquet')),
+       |cand AS (SELECT p.qid, a.id FROM probes p JOIN asg a ON p.list_no = a.list_no),
+       |d AS (SELECT cand.qid, b.vec_id AS id, $l2SqlFrag AS dist
+       |      FROM cand JOIN q ON cand.qid = q.qid JOIN embeddings b ON b.vec_id = cand.id)
+       |SELECT t.qid, t.id, t.dist, t.rank$extraCols FROM (
+       |  SELECT qid, id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d) t
+       |${if (extraCols.nonEmpty) "JOIN st ON t.qid = st.qid " else ""}WHERE t.rank <= $k ORDER BY t.qid, t.rank""".stripMargin
+  }
+
+  def a01Sql(dir: String): String =
+    probeReplaySql("a01", dir, "vec_id < 32", k = 10,
+      extraCols = ", st.nprobe_used")
 
   /** Bounded search in an exact-by-construction configuration (the
     * `eval/bound.cpp:400-414` acceptance trick): multiplier = nlist, so
@@ -719,8 +790,17 @@ object Vector {
       .withColumn("budget_ms", (col("qid") % 4 + 1) * lit(2.0)) // 2..8 ms
     val res = BoundedSearch.timeSearch(assigned, model, q, k = 10,
       costPerProbeMs = 1.0)
+    // Decision-replay oracle: the budget→probe-count mapping is the
+    // decision; given each query's nprobe_used the result is exactly
+    // top-k over its top-ranked lists (same replay as a01).
+    val statsDF = s.createDataFrame(res.stats)
+      .select(col("qid"), col("nprobeUsed").as("nprobe_used"))
+    writeProbeReplayTables(s, "a02", dir, model, assigned, statsDF)
     res.results.orderBy(col("qid"), col("rank"))
   }
+
+  def a02Sql(dir: String): String =
+    probeReplaySql("a02", dir, "vec_id < 16", k = 10)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_bounded_search" -> a01BoundedSearch _,
@@ -747,11 +827,14 @@ object Vector {
     "v18_polysemous" -> v18Polysemous _,
     "v19_ivfpqr" -> v19IvfpqrKnn _)
 
-  /** Side-table oracles (v06/v17/v18/v19) read
-    * /tmp/graft_oracle/<basename(dir)> — derived from the SAME dir the
-    * query ran with, so verifying at any scale factor reads that run's
-    * tables, never a stale sf0.01 copy. */
+  /** Side-table oracles (a01/a02/v06/v17/v18/v19) read
+    * /tmp/graft_oracle/<basename(dir)>_<fullPathHash> — derived from the
+    * SAME dir the query ran with, so verifying at any scale factor (or
+    * either of two dirs sharing a leaf name) reads that run's tables,
+    * never a stale copy. */
   def oracles(dir: String): Map[String, String] = Map(
+    "a01_bounded_search" -> a01Sql(dir),
+    "a02_latency_search" -> a02Sql(dir),
     "a03_bounded_exact" -> a03Sql,
     "a04_latency_exact" -> a04Sql,
     "v06_ivf_probe" -> v06Sql(dir),
