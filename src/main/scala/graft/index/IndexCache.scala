@@ -52,6 +52,26 @@ object IndexCache {
       (model, assigned)
     })
 
+  /** IMI coarse model (composite table form — a plain [[IVFModel]], so
+    * the persistence and assignment layers are shared with [[ivf]]). */
+  def imi(key: String, df: => DataFrame, nbits: Int,
+          seed: Long = 42L): (IVFModel, DataFrame) =
+    models.computeIfAbsent(s"$key|imi2x$nbits|$seed", { _ =>
+      val data = df
+      val spark = data.sparkSession
+      val path = diskPath(s"$key|imi2x$nbits|$seed|ivf")
+      val model =
+        if (onDisk(path)) IVFIndex.loadModel(path, spark)
+        else {
+          val m = IMI.train(data, nbits, seed).toIVFModel
+          IVFIndex.saveModel(m, path, spark)
+          m
+        }
+      val assigned = IVFIndex.assign(data, model).cache()
+      assigned.count()
+      (model, assigned)
+    })
+
   /** Built-once HNSW adjacency (see [[HNSW.buildGraph]]) — search jobs
     * pay beam search, never graph construction; disk-backed like the
     * IVF model. */

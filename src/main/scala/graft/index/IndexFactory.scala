@@ -14,7 +14,8 @@ import graft.transforms._
   *
   * Supported tokens: `PCA<d>` / `PCAW<d>` (whitened), `RR<d>` (random
   * rotation), `L2norm`, `Remap<d>`, `IDMap` (no-op — ids are explicit
-  * columns here), coarse `IVF<nlist>` or flat, encodings `Flat`,
+  * columns here), coarse `IVF<nlist>` or `IMI2x<nbits>` (multi-index
+  * quantizer) or flat, encodings `Flat`,
   * `PQ<M>`, `SQ8`; `HNSW<M>` as the graph-index alternative to IVF
   * (partitioned build-at-search, `index.HNSW`); `RFlat` (exact-rerank
   * refinement over stored raw vectors, `IndexRefineFlat`).
@@ -32,7 +33,8 @@ object IndexFactory {
   case object FP16Enc extends Encoding
 
   final case class Spec(pre: Seq[PreTok], nlist: Option[Int], enc: Encoding,
-                        hnswM: Option[Int] = None, refine: Boolean = false)
+                        hnswM: Option[Int] = None, refine: Boolean = false,
+                        imiBits: Option[Int] = None)
   sealed trait PreTok
   final case class OpqTok(m: Int) extends PreTok
   final case class PcaTok(d: Int, whiten: Boolean) extends PreTok
@@ -46,9 +48,11 @@ object IndexFactory {
     var enc: Option[Encoding] = None
     var hnswM: Option[Int] = None
     var refine = false
+    var imiBits: Option[Int] = None
     val pcaW = "PCAW(\\d+)".r; val pca = "PCA(\\d+)".r; val rr = "RR(\\d+)".r
     val opq = "OPQ(\\d+)".r; val hnsw = "HNSW(\\d+)".r
     val ivf = "IVF(\\d+)".r; val pqp = "PQ(\\d+)".r; val remap = "Remap(\\d+)".r
+    val imi = "IMI2x(\\d+)".r
     spec.split(",").map(_.trim).filter(_.nonEmpty).foreach {
       case pcaW(d)   => pre :+= PcaTok(d.toInt, whiten = true)
       case pca(d)    => pre :+= PcaTok(d.toInt, whiten = false)
@@ -58,6 +62,7 @@ object IndexFactory {
       case remap(d)  => pre :+= RemapTok(d.toInt)
       case "IDMap" | "IDMap2" => // ids are explicit columns; nothing to do
       case ivf(n)    => nlist = Some(n.toInt)
+      case imi(nb)   => imiBits = Some(nb.toInt) // MIQ coarse (IMI2x<nbits>)
       case hnsw(mm)  => hnswM = Some(mm.toInt)
       case "Flat"    => enc = Some(FlatEnc)
       case pqp(m)    => enc = Some(PQEnc(m.toInt))
@@ -71,8 +76,11 @@ object IndexFactory {
       case tok => throw new IllegalArgumentException(
         s"index_factory: unsupported token '$tok' in '$spec'")
     }
-    require(hnswM.isEmpty || nlist.isEmpty, "HNSW and IVF are alternative coarse structures")
-    Spec(pre, nlist, enc.getOrElse(FlatEnc), hnswM, refine)
+    require(hnswM.isEmpty || (nlist.isEmpty && imiBits.isEmpty),
+      "HNSW and IVF/IMI are alternative coarse structures")
+    require(nlist.isEmpty || imiBits.isEmpty,
+      "IVF<n> and IMI2x<b> are alternative coarse quantizers")
+    Spec(pre, nlist, enc.getOrElse(FlatEnc), hnswM, refine, imiBits)
   }
 
   /** A trained index: transform chain + optional IVF coarse model +
@@ -170,7 +178,15 @@ object IndexFactory {
     }
     val chain = TransformChain(fitted)
 
-    val ivfModel = s.nlist.map(n => IVFIndex.train(cur, n, metric, seed))
+    // IMI2x<b>: the MIQ composite table is a plain IVFModel, so every
+    // downstream pairing (Flat scan, residual PQ, SQ decode-scan) and
+    // the persistence layer work unchanged.
+    val ivfModel = s.imiBits
+      .map { nb =>
+        require(metric == "l2", "IMI coarse quantization is L2-only")
+        IMI.train(cur, nb, seed).toIVFModel
+      }
+      .orElse(s.nlist.map(n => IVFIndex.train(cur, n, metric, seed)))
     val assigned = ivfModel.map(m => IVFIndex.assign(cur, m)).getOrElse(cur)
     // RFlat keeps the chain-transformed raw vectors beside the codes —
     // the reference's IndexRefineFlat stores the same flat copy

@@ -802,6 +802,29 @@ object Vector {
   def a02Sql(dir: String): String =
     probeReplaySql("a02", dir, "vec_id < 16", k = 10)
 
+  /** §2.5 IMI coarse quantizer (`MultiIndexQuantizer`,
+    * `Auncel/IndexPQ.cpp:868-937`) at full probe: nlist = 2^(2·3) = 64
+    * lists from two 8-centroid sub-quantizers; probing all of them makes
+    * the search provably exact (brute-force oracle), while the probe
+    * ranking, composite-label partitioning, and per-list scans are the
+    * same machinery an approximate IMI run uses. */
+  def v20ImiKnn(s: SparkSession, dir: String): DataFrame = {
+    val (model, assigned) = graft.index.IndexCache.imi(dir, base(s, dir), nbits = 3)
+    IVFSearch.search(assigned, model, qs(s, dir, "vec_id >= 88 AND vec_id < 96"),
+      k = 10, nprobe = model.nlist)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v20Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id >= 88 AND vec_id < 96),
+       |d AS (SELECT q.qid, b.vec_id AS id, $l2SqlFrag AS dist
+       |      FROM q CROSS JOIN embeddings b)
+       |SELECT qid, id, dist, rank FROM (
+       |  SELECT qid, id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_bounded_search" -> a01BoundedSearch _,
     "a02_latency_search" -> a02LatencySearch _,
@@ -825,7 +848,8 @@ object Vector {
     "v16_scalar_codecs" -> v16ScalarCodecs _,
     "v17_hamming_wide" -> v17HammingWide _,
     "v18_polysemous" -> v18Polysemous _,
-    "v19_ivfpqr" -> v19IvfpqrKnn _)
+    "v19_ivfpqr" -> v19IvfpqrKnn _,
+    "v20_imi_knn" -> v20ImiKnn _)
 
   /** Side-table oracles (a01/a02/v06/v17/v18/v19) read
     * /tmp/graft_oracle/<basename(dir)>_<fullPathHash> — derived from the
@@ -855,5 +879,6 @@ object Vector {
     "v16_scalar_codecs" -> v16Sql,
     "v17_hamming_wide" -> v17Sql(dir),
     "v18_polysemous" -> v18Sql(dir),
-    "v19_ivfpqr" -> v19Sql(dir))
+    "v19_ivfpqr" -> v19Sql(dir),
+    "v20_imi_knn" -> v20Sql)
 }
