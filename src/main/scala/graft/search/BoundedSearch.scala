@@ -41,6 +41,42 @@ object BoundedSearch {
 
   final case class Result(results: DataFrame, stats: Seq[QueryStats])
 
+  /** Per-query control state for the staged rounds — lives in a
+    * DataFrame on the lazy path (one row per query, executor-side;
+    * SURVEY §7.4's state-size watch item) and in the [[Decider]]'s
+    * O(nq) arrays on the small-batch eager path. */
+  final case class Ctrl(qid: Long, require: Float, myNprobe: Int,
+                        stoped: Int, preVal: Double, predicted: Float,
+                        decidedStage: Int)
+
+  /** The pure one-round termination transition (`IndexIVF.cpp:504-637`
+    * tune block: stagnation bookkeeping + stop decision), shared
+    * verbatim by the driver-side Decider and the distributed control
+    * DataFrame so both paths produce identical decisions. Callers
+    * invoke it only for still-active queries (myNprobe == 0). */
+  def decideStep(st: Ctrl, j: Int, levels: Int, k: Int, multiplier: Float,
+                 recallRaw: Float, nDists: Int, maxVal: Double): Ctrl = {
+    val lo = if (j == 0) 0 else 1 << (j - 1)
+    val hi = 1 << j
+    var recall = recallRaw
+    var stoped = st.stoped
+    // stagnation heuristic on the worst kept distance
+    if (j > 0 && maxVal == st.preVal) stoped += (hi - lo)
+    else if (j > 0) stoped = 0
+    if (stoped >= (st.require * 12).toInt && nDists >= k) recall = 1f
+    val capped = j == levels - 1
+    if (recall >= st.require || capped)
+      st.copy(myNprobe = math.max(hi, (hi * multiplier).toInt),
+        stoped = stoped, preVal = maxVal, predicted = recall,
+        decidedStage = hi)
+    else st.copy(stoped = stoped, preVal = maxVal)
+  }
+
+  /** Above this query-batch size the eager path's driver collect
+    * (≤ nq × nlist/8 × k partial rows) stops being "small"; the lazy
+    * path keeps everything distributed. */
+  private val EagerMaxQueries = 4096
+
   /** @param queries (qid, vec, required_recall) — driver-collectable
     *                (batch dimension; base data is the scale dimension)
     * @param multiplier calibration multiplier (`hyperparameter.txt`)
@@ -74,26 +110,33 @@ object BoundedSearch {
       ErrorProfile.boundaryDistances(r.map(_._2), r.map(_._1), model.interdisAt, nlist)
     }
 
-    // driver-side control state lives in the Decider (O(nq), never O(data));
     // per-query boundary distances broadcast once for executor-side recall
-    val decider = new Decider(nq, k, model.metric, traces,
-      dBs, qVecs.map(_._3), multiplier, stdM, levels)
-    import decider.{myNprobe, predicted, decidedStage}
     val bDBs = spark.sparkContext.broadcast(
       qVecs.indices.map(i => (qVecs(i)._1, dBs(i))).toMap)
 
-    if (levels <= 3 && !forceLazy)
-      return searchEagerStaged(ivfData, model, qVecs, ranks, decider, k)
+    if (levels <= 3 && nq <= EagerMaxQueries && !forceLazy)
+      return searchEagerStaged(ivfData, model, qVecs,
+        ranks, new Decider(nq, k, model.metric, traces, dBs,
+          qVecs.map(_._3), multiplier, stdM, levels), k)
 
     var state: DataFrame = spark.emptyDataset[(Long, Long, Double)]
       .toDF("qid", "id", "dist")
+    // distributed control state: one Ctrl row per query. The driver
+    // never holds per-query decision state on the lazy path — it
+    // collects only the shrinking active-qid list per round (to build
+    // the pruned probe map) and the final O(nq) stats.
+    var ctrl: org.apache.spark.sql.Dataset[Ctrl] =
+      qVecs.map { case (qid, _, r) => Ctrl(qid, r, 0, 0, Double.NaN, 0f, 0) }
+        .toSeq.toDS().cache()
+    ctrl.count()
 
     var j = 0
     while (j < levels) {
       val lo = if (j == 0) 0 else 1 << (j - 1) // probe ranks (lo, hi]
       val hi = 1 << j
-      val active = (0 until nq).filter(myNprobe(_) == 0)
-      if (active.nonEmpty) {
+      val activeQids = ctrl.filter(_.myNprobe == 0).map(_.qid).collect().toSet
+      if (activeQids.nonEmpty) {
+        val active = (0 until nq).filter(qi => activeQids(qVecs(qi)._1))
         val probeMap: Map[Int, Array[Int]] = active.flatMap { qi =>
           ranks(qi).slice(lo, hi).map { case (l, _) => (l, qi) }
         }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }
@@ -104,26 +147,28 @@ object BoundedSearch {
         val merged = FlatSearch
           .mergeTopK(state.unionByName(newPartials), k)
           .select(col("qid"), col("id"), col("dist"))
-        // cache: the decision collect below materializes this round once;
+        // cache: the ctrl materialization below computes this round once;
         // without it the next round's merge recomputes every prior scan.
         // localCheckpoint additionally truncates lineage once rounds
         // stack up (a full materialization — skip for shallow schedules).
         state = if (j >= 3) merged.localCheckpoint(eager = true)
                 else merged.cache()
 
-        // decision: the geometric recall prediction (sumAngle over the
-        // boundary window + trace lookup + rank binary search) runs on
-        // executors WHERE THE TOP-K ROWS ARE; the driver receives three
-        // scalars per query — (predicted recall, #dists, worst dist) —
-        // and applies only the stagnation/decision bookkeeping. This
-        // collect also materializes the (lazy) cache — only THEN is it
-        // safe to drop the previous round's cached state.
+        // decision, fully executor-side: the geometric recall
+        // prediction (sumAngle over the boundary window + trace lookup
+        // + rank binary search) runs WHERE THE TOP-K ROWS ARE, and the
+        // resulting three scalars per query join straight into the
+        // control rows — the stagnation/termination transition
+        // (decideStep) runs in the same executor map. Nothing O(nq·k)
+        // or even O(nq) reaches the driver during the rounds.
         val bTrace = spark.sparkContext.broadcast(traces(j))
         val jj = j
         val kk = k
         val met = model.metric
         val sm = stdM
-        val summaries: Array[(Long, Float, Int, Double)] = state
+        val mult = multiplier
+        val lv = levels
+        val summaries = state
           .groupBy(col("qid")).agg(sort_array(collect_list(col("dist"))).as("d"))
           .as[(Long, Array[Double])]
           .mapPartitions { it =>
@@ -135,26 +180,43 @@ object BoundedSearch {
               val maxVal = if (dRaw.isEmpty) Double.NaN else dRaw.max
               (qid, recall, dRaw.length, maxVal)
             }
-          }.collect()
-        prev.unpersist()
+          }.toDF("qid", "recall", "n_dists", "max_val")
 
-        val byQid = summaries.map(s => (s._1, s)).toMap
-        active.foreach { qi =>
-          byQid.get(qVecs(qi)._1).foreach { case (_, recall, nDists, maxVal) =>
-            decider.decide(qi, j, recall, nDists, maxVal)
-          }
-        }
+        val prevCtrl = ctrl
+        ctrl = ctrl.toDF().join(summaries, Seq("qid"), "left")
+          .select(col("qid"), col("require"), col("myNprobe"), col("stoped"),
+            col("preVal"), col("predicted"), col("decidedStage"),
+            col("recall"), col("n_dists"), col("max_val"))
+          .as[(Long, Float, Int, Int, Double, Float, Int,
+               Option[Float], Option[Int], Option[Double])]
+          .map { case (qid, req, np, stp, pv, pred, ds, rOpt, nOpt, mOpt) =>
+            val st = Ctrl(qid, req, np, stp, pv, pred, ds)
+            // only still-active queries with a scanned summary advance
+            if (np != 0 || rOpt.isEmpty) st
+            else BoundedSearch.decideStep(st, jj, lv, kk, mult,
+              rOpt.get, nOpt.get, mOpt.get)
+          }.cache()
+        // materializing ctrl also materializes this round's state cache
+        // — only then is it safe to drop the previous round's copies
+        ctrl.count()
+        prevCtrl.unpersist()
+        prev.unpersist()
       }
       j += 1
     }
+
+    // the one per-query collect: final stats (O(nq) scalars), which
+    // also drive the finishing-pass probe map
+    val fin: Array[Ctrl] = ctrl.collect().sortBy(_.qid)
+    ctrl.unpersist()
 
     // finishing pass: each query probes on from its decision stage out to
     // stage × multiplier lists (the reference keeps probing until
     // stage ≥ my_nprobe, `IndexIVF.cpp:612-618`)
     val extraMap: Map[Int, Array[Int]] = (0 until nq).flatMap { qi =>
-      val upto = math.min(myNprobe(qi), nlist)
-      if (upto > decidedStage(qi))
-        ranks(qi).slice(decidedStage(qi), upto).map { case (l, _) => (l, qi) }
+      val upto = math.min(fin(qi).myNprobe, nlist)
+      if (upto > fin(qi).decidedStage)
+        ranks(qi).slice(fin(qi).decidedStage, upto).map { case (l, _) => (l, qi) }
       else Nil
     }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }
 
@@ -166,8 +228,8 @@ object BoundedSearch {
     val results = FlatSearch.mergeTopK(state, k)
 
     val stats = (0 until nq).map { qi =>
-      QueryStats(qVecs(qi)._1, math.min(myNprobe(qi), nlist), predicted(qi),
-        decidedStage(qi))
+      QueryStats(qVecs(qi)._1, math.min(fin(qi).myNprobe, nlist),
+        fin(qi).predicted, fin(qi).decidedStage)
     }
     Result(results, stats)
   }
@@ -197,24 +259,20 @@ object BoundedSearch {
     }
 
     /** Stagnation bookkeeping + termination decision from the three
-      * per-query scalars (O(1) driver work per query per round). */
+      * per-query scalars — delegates to the shared [[decideStep]]
+      * transition so eager and lazy decisions are identical by
+      * construction. Callers only invoke this for active queries. */
     def decide(qi: Int, j: Int, recallRaw: Float, nDists: Int,
                maxVal: Double): Unit = {
-      val lo = if (j == 0) 0 else 1 << (j - 1)
-      val hi = 1 << j
-      val require = requires(qi)
-      var recall = recallRaw
-      // stagnation heuristic on the worst kept distance
-      if (j > 0 && maxVal == preVal(qi)) stoped(qi) += (hi - lo)
-      else if (j > 0) stoped(qi) = 0
-      preVal(qi) = maxVal
-      if (stoped(qi) >= (require * 12).toInt && nDists >= k) recall = 1f
-      val capped = j == levels - 1
-      if ((recall >= require || capped) && myNprobe(qi) == 0) {
-        myNprobe(qi) = math.max(hi, (hi * multiplier).toInt)
-        predicted(qi) = recall
-        decidedStage(qi) = hi
-      }
+      val next = BoundedSearch.decideStep(
+        Ctrl(0L, requires(qi), myNprobe(qi), stoped(qi), preVal(qi),
+          predicted(qi), decidedStage(qi)),
+        j, levels, k, multiplier, recallRaw, nDists, maxVal)
+      myNprobe(qi) = next.myNprobe
+      stoped(qi) = next.stoped
+      preVal(qi) = next.preVal
+      predicted(qi) = next.predicted
+      decidedStage(qi) = next.decidedStage
     }
   }
 

@@ -229,6 +229,47 @@ class BoundedSearchSpec extends SparkSpec {
     assert(eager.stats == lazyR.stats)
   }
 
+  test("large query batches route to the distributed-state path and match chunked eager") {
+    import spark.implicits._
+    // nq > EagerMaxQueries forces the lazy path even at levels ≤ 3;
+    // per-query decisions are independent, so running the same queries
+    // through the eager path in small chunks must give identical rows
+    // and stats — proving the distributed control state changes nothing.
+    val b = clusteredVecs(1500, d, nClusters = 24, seed = 77)
+    val bDF = vecDF(b)
+    val m32 = IVFIndex.train(bDF, nlist = 32, seed = 42L)
+    val a32 = IVFIndex.assign(bDF, m32).cache()
+    val tq = vecDF(clusteredVecs(1600, d, nClusters = 24, seed = 77).drop(1500), "qid")
+    val gt32 = FlatSearch.knn(bDF, tq, k = 10)
+    val tr32 = ProfileTrainer.train(a32, m32, tq, gt32, maxTopk = 10, bs = 50)
+    val nq = 4400
+    val qvecs = clusteredVecs(nq, d, nClusters = 24, seed = 78)
+    val qdf = qvecs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0.8f) }
+      .toSeq.toDF("qid", "vec", "required_recall")
+    val lazyR = BoundedSearch.search(a32, m32, tr32, qdf, k = 10,
+      multiplier = 4.0f, stdM = 1.0f)
+    val lazyRows = lazyR.results
+      .select(col("qid"), col("rank"), col("id"), col("dist"))
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(lazyR.stats.size == nq)
+    assert(lazyRows.map(_._1).distinct.length == nq, "some query lost its rows")
+
+    val chunks = qvecs.zipWithIndex.grouped(2200).toSeq
+    val eager = chunks.map { ch =>
+      val cdf = ch.map { case (v, i) => (i.toLong, v, 0.8f) }
+        .toSeq.toDF("qid", "vec", "required_recall")
+      val r = BoundedSearch.search(a32, m32, tr32, cdf, k = 10,
+        multiplier = 4.0f, stdM = 1.0f)
+      val rows = r.results.select(col("qid"), col("rank"), col("id"), col("dist"))
+        .as[(Long, Int, Long, Double)].collect()
+      (rows, r.stats)
+    }
+    val eagerRows = eager.flatMap(_._1.toSeq).toArray.sortBy(r => (r._1, r._2))
+    val eagerStats = eager.flatMap(_._2).sortBy(_.qid)
+    assert(lazyRows.sameElements(eagerRows))
+    assert(lazyR.stats.sortBy(_.qid) == eagerStats)
+  }
+
   test("latency-bounded search respects the probe budget") {
     import spark.implicits._
     val qdf = evalQ.take(10).zipWithIndex
