@@ -41,11 +41,51 @@ object IVFPQ {
     assigned.withColumn("code", u(col("vec"), col("list_no")))
   }
 
+  /** The list-independent term of the L2 ADC decomposition
+    * (`Auncel/IndexIVFPQ.cpp:340-463` `precompute_table`, type 1):
+    * ‖x − C − R‖² = ‖x − C‖² + (‖R‖² + 2⟨C, R⟩) − 2⟨x, R⟩, so
+    * term2(list)(sub)(code) = ‖r‖² + 2⟨C_sub, r⟩ depends only on the
+    * trained models. nlist × M × ksub floats — a model artifact,
+    * computed once and broadcast; at search time the per-(query, list)
+    * work drops from the residual table's M·ksub·dsub multiplies to an
+    * M·ksub add of term2 with the per-QUERY term-3 table. */
+  def precomputeTable(model: IVFModel, pq: PQModel): Array[Array[Array[Float]]] =
+    Array.tabulate(model.nlist) { l =>
+      val c = model.centroids(l)
+      Array.tabulate(pq.m) { sub =>
+        val off = sub * pq.dsub
+        Array.tabulate(pq.ksub) { j =>
+          val r = pq.codebooks(sub)(j)
+          var rn = 0.0; var cr = 0.0; var i = 0
+          while (i < pq.dsub) {
+            rn += r(i).toDouble * r(i)
+            cr += c(off + i).toDouble * r(i)
+            i += 1
+          }
+          (rn + 2.0 * cr).toFloat
+        }
+      }
+    }
+
   /** ADC search over the probed lists. Reads only (list_no, id, code) —
     * for d=64/M=8 that is ~32× fewer bytes than raw vectors, which is
-    * the point at 100 TB. */
+    * the point at 100 TB.
+    *
+    * @param precomputed the [[precomputeTable]] output: per probed list
+    *        the ADC table becomes term1 (coarse distance) + an M·ksub
+    *        float add instead of an M·ksub·dsub residual-table build —
+    *        the `use_precomputed_table` fast path. Distances agree with
+    *        the default path up to float-summation rounding (the same
+    *        contract as the reference's two table types).
+    * @param polysemousHt Hamming threshold > 0 enables the polysemous
+    *        filter INSIDE the IVF scan (`IndexIVFPQ.cpp` polysemous
+    *        list scan): the query's own residual code per probed list
+    *        Hamming-gates every stored code before any ADC work; ht ≥
+    *        M·nbits keeps everything (≡ unfiltered). */
   def search(encoded: DataFrame, model: IVFModel, pq: PQModel,
-             queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+             queries: DataFrame, k: Int, nprobe: Int,
+             precomputed: Option[Array[Array[Array[Float]]]] = None,
+             polysemousHt: Int = 0): DataFrame = {
     val spark = encoded.sparkSession
     import spark.implicits._
     val q = queries.select(col("qid").cast("long"), col("vec"))
@@ -53,22 +93,52 @@ object IVFPQ {
     val bq = spark.sparkContext.broadcast(q.map(_._2))
     val bm = spark.sparkContext.broadcast(model)
     val bpq = spark.sparkContext.broadcast(pq)
+    val bpt = precomputed.map(spark.sparkContext.broadcast(_))
     // shared probed-list scan; the score factory keeps the lazy
-    // per-(query, list) residual ADC tables per partition
+    // per-(query, list) tables per partition
     graft.search.IVFSearch.probedTopK[Array[Byte]](encoded,
       df => df.select(col("list_no").cast("int"), col("id").cast("long"),
         col("code")).as[(Int, Long, Array[Byte])],
       model, q, k, nprobe,
       () => {
         val tables = scala.collection.mutable.HashMap.empty[(Int, Int), Array[Array[Float]]]
+        val term1s = scala.collection.mutable.HashMap.empty[(Int, Int), Double]
+        val qdots = scala.collection.mutable.HashMap.empty[Int, Array[Array[Float]]]
+        val qcodes = scala.collection.mutable.HashMap.empty[(Int, Int), Array[Byte]]
         (qi, listNo, code) => {
           val codec = bpq.value
-          val table = tables.getOrElseUpdate((qi, listNo), {
-            val c = bm.value.centroids(listNo)
-            val qv = bq.value(qi)
-            codec.adcTable(Array.tabulate(qv.length)(j => qv(j) - c(j)))
-          })
-          codec.adcDistance(table, code)
+          val ok = polysemousHt <= 0 || {
+            val qc = qcodes.getOrElseUpdate((qi, listNo), {
+              val c = bm.value.centroids(listNo)
+              val qv = bq.value(qi)
+              codec.encode(Array.tabulate(qv.length)(j => qv(j) - c(j)))
+            })
+            graft.quantize.Polysemous.hamming(qc, code) <= polysemousHt
+          }
+          if (!ok) Double.NaN
+          else bpt match {
+            case Some(bt) =>
+              val term1 = term1s.getOrElseUpdate((qi, listNo),
+                graft.functions.Kernels.l2Sqr(bq.value(qi), bm.value.centroids(listNo)))
+              val tab = tables.getOrElseUpdate((qi, listNo), {
+                val qt = qdots.getOrElseUpdate(qi, codec.ipTable(bq.value(qi)))
+                val t2 = bt.value(listNo)
+                Array.tabulate(codec.m) { sub =>
+                  val t2s = t2(sub); val qts = qt(sub)
+                  Array.tabulate(codec.ksub) { j =>
+                    (t2s(j).toDouble - 2.0 * qts(j)).toFloat
+                  }
+                }
+              })
+              term1 + codec.adcDistance(tab, code)
+            case None =>
+              val table = tables.getOrElseUpdate((qi, listNo), {
+                val c = bm.value.centroids(listNo)
+                val qv = bq.value(qi)
+                codec.adcTable(Array.tabulate(qv.length)(j => qv(j) - c(j)))
+              })
+              codec.adcDistance(table, code)
+          }
         }
       })
   }
@@ -128,10 +198,12 @@ object IVFPQ {
     * through a broadcast hash join — no shuffle of the big side. */
   def searchPQR(encodedR: DataFrame, model: IVFModel, pq: PQModel,
                 rpq: PQModel, queries: DataFrame, k: Int, nprobe: Int,
-                kFactor: Int = 4): DataFrame = {
+                kFactor: Int = 4,
+                precomputed: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
     val spark = encodedR.sparkSession
     import spark.implicits._
-    val cand = search(encodedR, model, pq, queries, k * kFactor, nprobe)
+    val cand = search(encodedR, model, pq, queries, k * kFactor, nprobe,
+      precomputed)
       .select(col("qid"), col("id"))
     val q = queries.select(col("qid").cast("long"), col("vec"))
       .as[(Long, Array[Float])].collect().toMap
@@ -155,10 +227,12 @@ object IVFPQ {
     * with exact distances (join back to raw vectors). */
   def searchRefine(encoded: DataFrame, raw: DataFrame, model: IVFModel,
                    pq: PQModel, queries: DataFrame, k: Int, nprobe: Int,
-                   kFactor: Int = 4): DataFrame = {
+                   kFactor: Int = 4,
+                   precomputed: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
     val spark = encoded.sparkSession
     import spark.implicits._
-    val cand = search(encoded, model, pq, queries, k * kFactor, nprobe)
+    val cand = search(encoded, model, pq, queries, k * kFactor, nprobe,
+      precomputed)
       .select(col("qid"), col("id"))
     val q = queries.select(col("qid").cast("long"), col("vec"))
       .as[(Long, Array[Float])].collect().toMap

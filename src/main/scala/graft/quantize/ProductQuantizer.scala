@@ -74,6 +74,21 @@ final case class PQModel(m: Int, nbits: Int, codebooks: Array[Array[Array[Float]
     while (sub < m) { s += table(sub)(code(sub) & 0xff); sub += 1 }
     s
   }
+
+  /** Per-subspace inner products ⟨q_sub, centroid⟩ — the query-side
+    * ("term 3") table of the precomputed-table ADC decomposition
+    * (`Auncel/IndexIVFPQ.cpp:340-353`): built ONCE per query, not once
+    * per (query, probed list) like the residual table. */
+  def ipTable(q: Array[Float]): Array[Array[Float]] =
+    Array.tabulate(m) { sub =>
+      val off = sub * dsub
+      Array.tabulate(ksub) { c =>
+        val cb = codebooks(sub)(c)
+        var d = 0.0; var j = 0
+        while (j < dsub) { d += q(off + j).toDouble * cb(j); j += 1 }
+        d.toFloat
+      }
+    }
 }
 
 object ProductQuantizer {

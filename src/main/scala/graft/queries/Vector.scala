@@ -270,8 +270,13 @@ object Vector {
     val (model, assigned) = graft.index.IndexCache.ivf(dir, b, nlist = 16)
     val pq = IVFPQ.trainResidualPQ(assigned, model, m = 8, nbits = 4, seed = 42L) // small codebooks: refine restores exactness; training cost stays low
     val enc = IVFPQ.encode(assigned, model, pq)
+    // use_precomputed_table fast path: the candidate stage pays an
+    // M·ksub add per (query, probed list) instead of a residual-table
+    // build; the exact rerank makes the final result identical either
+    // way (and the oracle-checked config is exact by construction)
     IVFPQ.searchRefine(enc.drop("vec"), b, model, pq,
-      qs(s, dir, "vec_id >= 24 AND vec_id < 32"), k = 10, nprobe = 16, kFactor = 50)
+      qs(s, dir, "vec_id >= 24 AND vec_id < 32"), k = 10, nprobe = 16, kFactor = 50,
+      precomputed = Some(IVFPQ.precomputeTable(model, pq)))
       .orderBy(col("qid"), col("rank"))
   }
 

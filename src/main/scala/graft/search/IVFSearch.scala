@@ -75,7 +75,10 @@ object IVFSearch {
     * per-partition bounded heaps scored by `mkScore()(qi, listNo,
     * payload)`, global top-k merge. `mkScore` is invoked once per
     * partition so a scorer can keep lazy per-(query, list) state (e.g.
-    * per-list query binarization) without cross-partition sharing. */
+    * per-list query binarization) without cross-partition sharing.
+    * A scorer may return NaN to REJECT a row (the polysemous Hamming
+    * filter inside the IVFPQ scan) — rejected rows never enter the
+    * heaps, matching the reference's filtered list scan. */
   def probedTopK[R](encoded: DataFrame,
                     toRows: DataFrame => Dataset[(Int, Long, R)],
                     model: IVFModel, q: Array[(Long, Array[Float])],
@@ -106,8 +109,9 @@ object IVFSearch {
               var i = 0
               while (i < qis.length) {
                 val qi = qis(i)
-                heaps.getOrElseUpdate(qi, new TopK(k))
-                  .add(score(qi, listNo, payload), id)
+                val s = score(qi, listNo, payload)
+                if (!java.lang.Double.isNaN(s))
+                  heaps.getOrElseUpdate(qi, new TopK(k)).add(s, id)
                 i += 1
               }
             case None =>

@@ -57,6 +57,69 @@ class QuantizerSpec extends SparkSpec {
     assert(rr > 0.9, s"refined recall $rr")
   }
 
+  test("precomputed-table ADC returns the same neighbors as the residual-table path") {
+    import spark.implicits._
+    val model = IVFIndex.train(baseDF, nlist = 16, seed = 42L)
+    val assigned = IVFIndex.assign(baseDF, model).cache()
+    val pq = IVFPQ.trainResidualPQ(assigned, model, m = 8, nbits = 8)
+    val enc = IVFPQ.encode(assigned, model, pq).drop("vec").cache()
+    val pt = IVFPQ.precomputeTable(model, pq)
+    def run(p: Option[Array[Array[Array[Float]]]]) =
+      IVFPQ.search(enc, model, pq, qDF, k = 10, nprobe = 8, precomputed = p)
+        .select(col("qid"), col("rank"), col("id"), col("dist"))
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val off = run(None)
+    val on = run(Some(pt))
+    // identical neighbor sets and ranks; distances agree to float-sum
+    // rounding (the decomposition reassociates the same terms)
+    assert(off.map(r => (r._1, r._2, r._3)).sameElements(
+      on.map(r => (r._1, r._2, r._3))))
+    off.zip(on).foreach { case (a, b) =>
+      assert(math.abs(a._4 - b._4) <= 1e-3 * (1.0 + math.abs(a._4)),
+        s"dist drift ${a._4} vs ${b._4}")
+    }
+    // term2 values match a direct evaluation of ||r||^2 + 2<C,r>
+    val c0 = model.centroids(3)
+    val r0 = pq.codebooks(2)(17)
+    val off2 = 2 * pq.dsub
+    var rn = 0.0; var cr = 0.0
+    r0.indices.foreach { i =>
+      rn += r0(i).toDouble * r0(i); cr += c0(off2 + i).toDouble * r0(i)
+    }
+    assert(pt(3)(2)(17) == (rn + 2 * cr).toFloat)
+  }
+
+  test("polysemous ht inside the IVFPQ scan filters without losing wide-ht results") {
+    import spark.implicits._
+    val model = IVFIndex.train(baseDF, nlist = 16, seed = 42L)
+    val assigned = IVFIndex.assign(baseDF, model).cache()
+    val pq = graft.quantize.Polysemous.train(
+      IVFPQ.trainResidualPQ(assigned, model, m = 8, nbits = 8), nIter = 20000)
+    val enc = IVFPQ.encode(assigned, model, pq).drop("vec").cache()
+    def run(ht: Int) =
+      IVFPQ.search(enc, model, pq, qDF, k = 10, nprobe = 16, polysemousHt = ht)
+    // ht = full code width keeps every candidate — identical to unfiltered
+    val unfiltered = run(0).select(col("qid"), col("rank"), col("id"))
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    val wide = run(pq.m * pq.nbits).select(col("qid"), col("rank"), col("id"))
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(unfiltered.sameElements(wide))
+    // a practical ht prunes work but keeps most true neighbors, and
+    // every surviving result is a subset of some query's candidates
+    val rWide = recallOf(run(pq.m * pq.nbits))
+    val rHt = recallOf(run(30))
+    assert(rHt <= rWide + 1e-9)
+    assert(rHt > 0.4, s"ht=30 recall collapsed: $rHt")
+    // precomputed table composes with the filter
+    val pt = IVFPQ.precomputeTable(model, pq)
+    val both = IVFPQ.search(enc, model, pq, qDF, k = 10, nprobe = 16,
+      precomputed = Some(pt), polysemousHt = 30)
+      .select(col("qid"), col("id")).as[(Long, Long)].collect().toSet
+    val filtOnly = run(30).select(col("qid"), col("id"))
+      .as[(Long, Long)].collect().toSet
+    assert(both == filtOnly)
+  }
+
   test("IVFPQR two-level refine: smaller residuals, better recall, code-only rerank") {
     val model = IVFIndex.train(baseDF, nlist = 16, seed = 42L)
     val assigned = IVFIndex.assign(baseDF, model).cache()
