@@ -23,8 +23,15 @@ import graft.search.FlatSearch
   */
 object LAET {
 
-  final case class Model(gbt: GBTRegressionModel, levels: Int, nCoarse: Int)
+  /** @param cpStages 0 = the coarse feature set (coarse distances +
+    *   ratios + stage-0 top-k); > 0 = the reference-parity rich set
+    *   ([[richFeatures]]) with intermediate-result blocks at power-of-2
+    *   checkpoints 2^0 .. 2^cpStages. */
+  final case class Model(gbt: GBTRegressionModel, levels: Int, nCoarse: Int,
+                         cpStages: Int = 0)
       extends Serializable
+
+  private val Eps = 1e-10 // LAET/IndexIVF.cpp:570 `eps`, div-by-zero guard
 
   private def features(coarse: Array[Float], stage1: Array[Double],
                        nCoarse: Int, k: Int): Array[Double] = {
@@ -37,11 +44,41 @@ object LAET {
     cd ++ ratios ++ inter
   }
 
+  /** The checkpoint-feature extension of the learned-termination input
+    * (`LAET/IndexIVF.cpp:644-673` search_mode=2): the coarse feature
+    * set plus, per power-of-2 checkpoint j ≤ cpStages, the reference's
+    * four intermediate-result features — top1, top-k'th, top1/top-k'th,
+    * top1/cd0 (`IndexIVF.cpp:665-669`) — computed from the staged
+    * top-k AFTER probing 2^j lists (exactly the trace stages), plus
+    * its ten evenly-spaced coarse-distance ratios cd(x·n/10)/cd(0)
+    * (`j*10-1`, rescaled from its fixed 100 candidate clusters to
+    * nlist). The reference also feeds the raw query vector; that term
+    * only pays off in its million-query training regime and is noise
+    * at profile-sized training sets, so it is deliberately omitted. */
+  private def richFeatures(qv: Array[Float], coarseAll: Array[Float],
+                           stages: Map[Int, Array[Double]], nCoarse: Int,
+                           k: Int, cpStages: Int): Array[Double] = {
+    val n = coarseAll.length
+    val cd0 = coarseAll(0).toDouble
+    val ratios10 = Array.tabulate(10) { x =>
+      val r = math.max(0, math.min(n - 1, (x + 1) * n / 10 - 1))
+      coarseAll(r).toDouble / (cd0 + Eps)
+    }
+    val blocks = (0 to cpStages).flatMap { j =>
+      val d = stages.getOrElse(j, Array.empty[Double])
+      val top1 = if (d.nonEmpty) d.head else 0.0
+      val topK = if (d.length >= k) d(k - 1) else if (d.nonEmpty) d.last else 0.0
+      Array(top1, topK, top1 / (topK + Eps), top1 / (cd0 + Eps))
+    }
+    features(coarseAll.take(nCoarse), stages.getOrElse(0, Array.empty),
+      nCoarse, k) ++ ratios10 ++ blocks
+  }
+
   /** Train on (query, GT) pairs: label = log2 of the minimal stage whose
     * staged top-k reaches `targetRecall` (distance-threshold recall). */
   def train(ivfData: DataFrame, model: IVFModel, trainQueries: DataFrame,
             gt: DataFrame, k: Int, targetRecall: Double,
-            seed: Long = 42L, nCoarse: Int = 10): Model = {
+            seed: Long = 42L, nCoarse: Int = 10, cpStages: Int = 0): Model = {
     val spark = ivfData.sparkSession
     import spark.implicits._
     val levels = ProfileTrainer.numLevels(model.nlist)
@@ -65,21 +102,29 @@ object LAET {
             dists.count(_ <= kth * 1.0005) >= targetRecall * k
           }
         }.getOrElse(levels).toDouble
-        val coarse = model.rankCentroids(v).take(nCoarse).map(_._2)
-        val f = features(coarse, stages.getOrElse(0, Array.empty), nCoarse, k)
+        val f =
+          if (cpStages > 0)
+            richFeatures(v, model.rankCentroids(v).map(_._2), stages, nCoarse, k, cpStages)
+          else {
+            val coarse = model.rankCentroids(v).take(nCoarse).map(_._2)
+            features(coarse, stages.getOrElse(0, Array.empty), nCoarse, k)
+          }
         (Vectors.dense(f), label)
       }
     }.toSeq.toDF("features", "label")
 
     val gbt = new GBTRegressor().setMaxIter(30).setMaxDepth(5).setSeed(seed)
       .setFeaturesCol("features").setLabelCol("label")
-    Model(gbt.fit(rows), levels, nCoarse)
+    Model(gbt.fit(rows), levels, nCoarse, cpStages)
   }
 
   /** Predict per-query nprobe (2^ceil(pred), clamped to [1, nlist]):
-    * probe one list for the intermediate-distance features, predict,
-    * then search with the per-query budget — the LAET
-    * `search_mode=2` flow. */
+    * probe the checkpoint lists for the intermediate-distance features,
+    * predict, then search with the per-query budget — the LAET
+    * `search_mode=2` flow. A rich model (cpStages > 0) has already
+    * probed 2^cpStages lists for its features, so its budget never
+    * drops below that (the reference likewise continues from the
+    * checkpoint it predicted at, `IndexIVF.cpp:655-690`). */
   def search(ivfData: DataFrame, model: IVFModel, laet: Model,
              queries: DataFrame, k: Int): (DataFrame, Map[Long, Int]) = {
     val spark = ivfData.sparkSession
@@ -87,20 +132,39 @@ object LAET {
     val q = queries.select(col("qid").cast("long"), col("vec"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
 
-    val stage1 = ProfileTrainer.stagedTopK(ivfData, model, queries, k)
-      .filter(col("stage") === 0)
-      .select(col("qid").cast("long"), col("dists"))
-      .as[(Long, Array[Double])].collect().toMap
+    val stagesByQ: Map[Long, Map[Int, Array[Double]]] =
+      ProfileTrainer.stagedTopK(ivfData, model, queries, k)
+        .filter(col("stage") <= laet.cpStages)
+        .select(col("qid").cast("long"), col("stage"), col("dists"))
+        .as[(Long, Int, Array[Double])].collect()
+        .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).toMap).toMap
 
+    val floor = if (laet.cpStages > 0) laet.cpStages else 0
     val nprobes: Map[Long, Int] = q.map { case (qid, v) =>
-      val coarse = model.rankCentroids(v).take(laet.nCoarse).map(_._2)
-      val f = features(coarse, stage1.getOrElse(qid, Array.empty), laet.nCoarse, k)
-      val pred = laet.gbt.predict(Vectors.dense(f))
-      val np = 1 << math.min(laet.levels, math.max(0, math.ceil(pred).toInt))
-      (qid, math.min(model.nlist, np))
+      val stages = stagesByQ.getOrElse(qid, Map.empty[Int, Array[Double]])
+      val lvl = math.max(floor, predictLevel(laet, model, v, stages, k))
+      (qid, math.min(model.nlist, 1 << lvl))
     }.toMap
 
     (searchPerQueryNprobe(ivfData, model, queries, k, nprobes), nprobes)
+  }
+
+  /** The raw predicted stage (ceil of the GBT output, clamped to
+    * [0, levels]) BEFORE the execution floor [[search]] applies for
+    * already-probed checkpoint lists — the quantity to compare across
+    * feature sets. */
+  def predictLevel(laet: Model, model: IVFModel, v: Array[Float],
+                   stages: Map[Int, Array[Double]], k: Int): Int = {
+    val f =
+      if (laet.cpStages > 0)
+        richFeatures(v, model.rankCentroids(v).map(_._2), stages,
+          laet.nCoarse, k, laet.cpStages)
+      else {
+        val coarse = model.rankCentroids(v).take(laet.nCoarse).map(_._2)
+        features(coarse, stages.getOrElse(0, Array.empty), laet.nCoarse, k)
+      }
+    math.min(laet.levels,
+      math.max(0, math.ceil(laet.gbt.predict(Vectors.dense(f))).toInt))
   }
 
   /** LAET `search_mode=3` heuristic (`LAET/IndexIVF.cpp:696-710`): no

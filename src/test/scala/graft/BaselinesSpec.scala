@@ -56,6 +56,58 @@ class BaselinesSpec extends SparkSpec {
     assert(nprobes.values.toSet.size > 1, "no per-query variation")
   }
 
+  test("rich checkpoint features predict nprobe better than coarse features (held-out)") {
+    import spark.implicits._
+    val k = 10
+    // a larger training batch than the other LAET test: checkpoint
+    // features carry more signal per query but also more variance
+    val bigTrainQ = clusteredVecs(600, 24, nClusters = 32, seed = 83)
+    val tq = vecDF(bigTrainQ, "qid")
+    val gt = FlatSearch.knn(baseDF, tq, k)
+    val coarseM = LAET.train(assigned, model, tq, gt, k, targetRecall = 0.9)
+    val richM = LAET.train(assigned, model, tq, gt, k, targetRecall = 0.9,
+      cpStages = 3)
+    assert(richM.cpStages == 3)
+
+    // held-out truth: minimal power-of-2 stage reaching the target
+    val eq = vecDF(evalQ, "qid")
+    val gtEval = FlatSearch.knn(baseDF, eq, k)
+    val gtKth = gtEval.filter(col("rank") === k)
+      .select(col("qid").cast("long"), col("dist"))
+      .as[(Long, Double)].collect().toMap
+    val staged = graft.profile.ProfileTrainer.stagedTopK(assigned, model, eq, k)
+      .as[(Long, Int, Array[Double])].collect()
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).toMap).toMap
+    val levels = graft.profile.ProfileTrainer.numLevels(model.nlist)
+    val truth: Map[Long, Int] = evalQ.indices.map { qi =>
+      val qid = qi.toLong
+      val label = (0 until levels).find { j =>
+        staged(qid).get(j).exists(_.count(_ <= gtKth(qid) * 1.0005) >= 0.9 * k)
+      }.getOrElse(levels)
+      (qid, 1 << label)
+    }.toMap
+
+    // mean |predicted stage − required stage| on held-out queries,
+    // comparing RAW predictions (predictLevel) so the rich model's
+    // already-probed-lists execution floor doesn't mask the model: the
+    // checkpoint features (the reference's search_mode=2 input) must
+    // predict the needed probe depth at least as well
+    def err(laet: LAET.Model): Double = evalQ.indices.map { qi =>
+      val lvl = LAET.predictLevel(laet, model, evalQ(qi),
+        staged(qi.toLong), k)
+      math.abs(lvl - (math.log(truth(qi.toLong).toDouble) /
+        math.log(2.0)).round.toInt).toDouble
+    }.sum / evalQ.length
+    val eCoarse = err(coarseM)
+    val eRich = err(richM)
+    assert(eRich < eCoarse,
+      s"rich features not better: rich $eRich vs coarse $eCoarse")
+    // and recall does not degrade
+    val recRich = recallVsExact(LAET.search(assigned, model, richM, eq, k)._1,
+      evalQ, k)
+    assert(recRich > 0.75, s"rich LAET recall $recRich")
+  }
+
   test("LSH hamming search + exact rerank recovers most true neighbors") {
     val lsh = BinaryHash.train(d = 24, nbits = 63, seed = 7L)
     val qDF = vecDF(evalQ.take(20), "qid")
