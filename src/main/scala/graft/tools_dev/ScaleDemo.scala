@@ -37,8 +37,11 @@ object ScaleDemo {
     baseDF.count()
 
     var t = System.nanoTime()
-    val model = IVFIndex.train(baseDF.sample(0.25, 42L), nlist)
-    println(f"kmeans train (${n / 4} sample): ${(System.nanoTime() - t) / 1e9}%.1fs")
+    // coarse k-means needs ~hundreds of points per centroid, not the
+    // corpus: cap the sample so 10M-row runs don't pay 2.5M-row Lloyd
+    val frac = math.min(0.25, math.max(0.05, 800.0 * nlist / n))
+    val model = IVFIndex.train(baseDF.sample(frac, 42L), nlist)
+    println(f"kmeans train (${(n * frac).toInt} sample): ${(System.nanoTime() - t) / 1e9}%.1fs")
 
     t = System.nanoTime()
     IVFIndex.write(IVFIndex.assign(baseDF, model), s"$dir/ivf")
@@ -180,6 +183,72 @@ object ScaleDemo {
       " cannot break float-level ties; the oracle-exact driver rows (v08/v18/v19)" +
       " and QuantizerSpec measure codec recall on spread data. Times & bytes are" +
       " the point here.")
+
+    // ---- 100k-query bounded batch: the distributed-control path ----
+    // nq > 4096 routes BoundedSearch to the lazy rounds with the Ctrl
+    // DataFrame; per-query decision state never sits on the driver.
+    if (n >= 1000000) {
+      val nHuge = 100000
+      val hugeQ = baseDF.filter(col("id") % (n / nHuge) === 0).limit(nHuge)
+        .select(col("id").as("qid"), col("vec"))
+        .withColumn("required_recall", lit(0.9f))
+      val nH = hugeQ.count()
+      t = System.nanoTime()
+      val resH = BoundedSearch.search(ivf, model, traces, hugeQ, k,
+        multiplier = 4.0f, stdM = 1.0f)
+      resH.results.count()
+      val tH = (System.nanoTime() - t) / 1e9
+      val pH = resH.stats.map(_.nprobeUsed)
+      println(f"bounded search 100k-query batch ($nH queries, distributed" +
+        f" control state): ${tH}%.1fs = ${tH * 1000 / nH}%.2f ms/query" +
+        f" amortized, mean nprobe ${pH.sum.toDouble / pH.size}%.1f/$nlist")
+    }
+
+    // ---- HNSW at scale: built-once partitioned graph ----
+    // graph build is the one inherently block-local stage (documented
+    // contract); size nParts so a block is ~150k nodes regardless of n
+    val nH2 = math.min(n, 2000000)
+    val hnswBase = if (nH2 < n) baseDF.filter(col("id") < nH2) else baseDF
+    val hnswParts = math.max(8, nH2 / 150000)
+    t = System.nanoTime()
+    val graph = graft.index.HNSW.buildGraph(hnswBase, nParts = hnswParts,
+      m = 16, efConstruction = 64).cache()
+    graph.count()
+    println(f"HNSW build ($nH2 nodes, $hnswParts blocks): ${(System.nanoTime() - t) / 1e9}%.1fs")
+    t = System.nanoTime()
+    val hres = graft.index.HNSW.searchGraph(graph, queries, k, efSearch = 128)
+    hres.count()
+    val tHnsw = (System.nanoTime() - t) / 1e9
+    val hExact = FlatSearch.knn(hnswBase, queries, k)
+      .select(col("qid"), col("id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hGot = hres.select(col("qid"), col("id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hRecs = hExact.map { case (q, ids) =>
+      (hGot.getOrElse(q, Set.empty) & ids).size.toDouble / k }.toSeq
+    println(f"HNSW search efSearch=128 ($nq queries): ${tHnsw}%.2fs, " +
+      f"recall mean ${hRecs.sum / hRecs.size}%.3f min ${hRecs.min}%.3f")
+    graph.unpersist()
+
+    // ---- banded LSH near-dup at scale: planted-duplicate recall ----
+    // every 100th vector gets an identical twin at id+n: the banded
+    // plan (signatures → band equi-join → id-distinct → rerank) must
+    // find every planted pair; candidate volume stays id-only.
+    val planted = baseDF.filter(col("id") % 100 === 0)
+      .select((col("id") + n).as("id"), col("vec"))
+    val dedupIn = baseDF.select(col("id"), col("vec")).unionByName(planted)
+    val nPlanted = planted.count()
+    val lshModel = BinaryHash.train(d, nbits = 63, seed = 7L)
+    t = System.nanoTime()
+    val pairs = graft.ops.EmbeddingDedup.lshPairs(dedupIn, lshModel,
+      threshold = 0.999).cache()
+    val nPairs = pairs.count()
+    val tLsh = (System.nanoTime() - t) / 1e9
+    val foundPlanted = pairs.filter(col("b") === col("a") + n).count()
+    println(f"LSH near-dup (${n + nPlanted} rows, $nPlanted planted twins): " +
+      f"${tLsh}%.1fs, $nPairs pairs ≥0.999, planted recall " +
+      f"${foundPlanted.toDouble / nPlanted}%.3f")
+    pairs.unpersist()
     spark.stop()
   }
 }
