@@ -99,13 +99,17 @@ object BoundedSearch {
     val qVecs = qRows.map { case (qid, v, r) =>
       (qid, if (model.metric == "ip") Kernels.l2Normalize(v) else v, r)
     }
-    // deepest rank any query can need: the decision cap is nlist/8, the
-    // finishing pass probes out to stage × multiplier, and the boundary
-    // geometry reads nlist/8 + 20 — never the full nlist ranking
-    val maxRankNeeded = math.min(nlist, math.max(nlist / 8 + 20,
-      math.ceil(nlist / 8.0 * multiplier).toInt))
+    // rank only as deep as the ROUNDS need (decision cap nlist/8 plus
+    // the boundary geometry's nlist/8 + 20 window). The finishing pass
+    // can probe out to stage × multiplier — but only for the few
+    // queries that cap out, so those re-rank deeper individually below
+    // instead of paying nq × full-depth rankings up front (at 100k
+    // queries × nlist=1024 the eager form shipped >1 GiB of rankings
+    // to the driver; the shallow form is ~4× smaller and the deep
+    // re-rank touches only the capped tail)
+    val shallowDepth = math.min(nlist, nlist / 8 + 20)
     val ranks = IVFSearch.rankTop(spark, model,
-      qVecs.map(v => (v._1, v._2)), maxRankNeeded)
+      qVecs.map(v => (v._1, v._2)), shallowDepth)
     val dBs = ranks.map { r =>
       ErrorProfile.boundaryDistances(r.map(_._2), r.map(_._1), model.interdisAt, nlist)
     }
@@ -213,12 +217,9 @@ object BoundedSearch {
     // finishing pass: each query probes on from its decision stage out to
     // stage × multiplier lists (the reference keeps probing until
     // stage ≥ my_nprobe, `IndexIVF.cpp:612-618`)
-    val extraMap: Map[Int, Array[Int]] = (0 until nq).flatMap { qi =>
-      val upto = math.min(fin(qi).myNprobe, nlist)
-      if (upto > fin(qi).decidedStage)
-        ranks(qi).slice(fin(qi).decidedStage, upto).map { case (l, _) => (l, qi) }
-      else Nil
-    }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }
+    val extraMap = finishingProbeMap(spark, model, qVecs.map(v => (v._1, v._2)),
+      ranks, shallowDepth,
+      qi => (fin(qi).decidedStage, math.min(fin(qi).myNprobe, nlist)))
 
     if (extraMap.nonEmpty) {
       val extra = scanLists(ivfData, model.metric, extraMap,
@@ -379,12 +380,9 @@ object BoundedSearch {
     var state = finalRows.toSeq.toDF("qid", "id", "dist")
 
     // finishing pass: probe on from each query's decision stage
-    val extraMap: Map[Int, Array[Int]] = (0 until nq).flatMap { qi2 =>
-      val upto = math.min(decider.myNprobe(qi2), nlist)
-      if (upto > decider.decidedStage(qi2))
-        ranks(qi2).slice(decider.decidedStage(qi2), upto).map { case (l, _) => (l, qi2) }
-      else Nil
-    }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }
+    val extraMap = finishingProbeMap(spark, model, qVecs.map(v => (v._1, v._2)),
+      ranks, math.min(nlist, nlist / 8 + 20),
+      qi2 => (decider.decidedStage(qi2), math.min(decider.myNprobe(qi2), nlist)))
     if (extraMap.nonEmpty) {
       val extra = scanLists(ivfData, metric, extraMap,
         qVecs.map(v => (v._1, v._2)), k)
@@ -395,6 +393,36 @@ object BoundedSearch {
         decider.predicted(qi2), decider.decidedStage(qi2))
     }
     Result(FlatSearch.mergeTopK(state, k), stats)
+  }
+
+  /** Build the finishing-pass probe map from SHALLOW rankings: queries
+    * whose probe target exceeds the shallow depth (the capped tail —
+    * rare when the profile stops most queries early) re-rank deeper in
+    * one small second pass, so the up-front coarse ranking never ships
+    * nq × multiplier-depth rankings to the driver.
+    * @param bounds qi → (decidedStage, probe target) */
+  private def finishingProbeMap(spark: SparkSession, model: IVFModel,
+      qVecs: Array[(Long, Array[Float])], ranks: Array[Array[(Int, Float)]],
+      shallowDepth: Int, bounds: Int => (Int, Int)): Map[Int, Array[Int]] = {
+    val nq = qVecs.length
+    val deepIdx = (0 until nq).filter(qi => bounds(qi)._2 > shallowDepth)
+    val deepRanks: Map[Int, Array[(Int, Float)]] =
+      if (deepIdx.isEmpty) Map.empty
+      else {
+        val maxDeep = deepIdx.map(qi => bounds(qi)._2).max
+        // qVecs and deepIdx are qid-ascending, and rankTop returns
+        // qid-sorted rows, so the zip aligns
+        val dr = IVFSearch.rankTop(spark, model,
+          deepIdx.map(qi => qVecs(qi)).toArray, maxDeep)
+        deepIdx.zip(dr).toMap
+      }
+    (0 until nq).flatMap { qi =>
+      val (from, upto) = bounds(qi)
+      if (upto > from)
+        deepRanks.getOrElse(qi, ranks(qi)).slice(from, upto)
+          .map { case (l, _) => (l, qi) }
+      else Nil
+    }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }
   }
 
   /** Latency-bounded mode (`Auncel/IndexIVF.cpp:545-549`,
