@@ -16,9 +16,11 @@ import graft.transforms._
   * rotation), `L2norm`, `Remap<d>`, `IDMap` (no-op — ids are explicit
   * columns here), coarse `IVF<nlist>` or `IMI2x<nbits>` (multi-index
   * quantizer) or flat, encodings `Flat`,
-  * `PQ<M>`, `SQ8`; `HNSW<M>` as the graph-index alternative to IVF
-  * (partitioned build-at-search, `index.HNSW`); `RFlat` (exact-rerank
-  * refinement over stored raw vectors, `IndexRefineFlat`).
+  * `PQ<M>`, `SQ8`; `FlatDedup` (IVF-only add-time deduplication,
+  * `IndexIVFFlatDedup` via [[IVFDedup]]); `HNSW<M>` as the graph-index
+  * alternative to IVF (partitioned build-at-search, `index.HNSW`);
+  * `RFlat` (exact-rerank refinement over stored raw vectors,
+  * `IndexRefineFlat`).
   */
 object IndexFactory {
 
@@ -34,7 +36,7 @@ object IndexFactory {
 
   final case class Spec(pre: Seq[PreTok], nlist: Option[Int], enc: Encoding,
                         hnswM: Option[Int] = None, refine: Boolean = false,
-                        imiBits: Option[Int] = None)
+                        imiBits: Option[Int] = None, dedup: Boolean = false)
   sealed trait PreTok
   final case class OpqTok(m: Int) extends PreTok
   final case class PcaTok(d: Int, whiten: Boolean) extends PreTok
@@ -49,6 +51,7 @@ object IndexFactory {
     var hnswM: Option[Int] = None
     var refine = false
     var imiBits: Option[Int] = None
+    var dedup = false
     val pcaW = "PCAW(\\d+)".r; val pca = "PCA(\\d+)".r; val rr = "RR(\\d+)".r
     val opq = "OPQ(\\d+)".r; val hnsw = "HNSW(\\d+)".r
     val ivf = "IVF(\\d+)".r; val pqp = "PQ(\\d+)".r; val remap = "Remap(\\d+)".r
@@ -65,6 +68,7 @@ object IndexFactory {
       case imi(nb)   => imiBits = Some(nb.toInt) // MIQ coarse (IMI2x<nbits>)
       case hnsw(mm)  => hnswM = Some(mm.toInt)
       case "Flat"    => enc = Some(FlatEnc)
+      case "FlatDedup" => enc = Some(FlatEnc); dedup = true // IndexIVFFlatDedup
       case pqp(m)    => enc = Some(PQEnc(m.toInt))
       case "SQ8"     => enc = Some(SQ8Enc)
       case "SQ8U"    => enc = Some(SQ8UEnc)
@@ -80,7 +84,10 @@ object IndexFactory {
       "HNSW and IVF/IMI are alternative coarse structures")
     require(nlist.isEmpty || imiBits.isEmpty,
       "IVF<n> and IMI2x<b> are alternative coarse quantizers")
-    Spec(pre, nlist, enc.getOrElse(FlatEnc), hnswM, refine, imiBits)
+    // `AutoTune.cpp:831`: "Dedup supported only for IVFFlat"
+    require(!dedup || nlist.nonEmpty,
+      "FlatDedup requires an IVF<n> coarse quantizer")
+    Spec(pre, nlist, enc.getOrElse(FlatEnc), hnswM, refine, imiBits, dedup)
   }
 
   /** A trained index: transform chain + optional IVF coarse model +
@@ -90,7 +97,8 @@ object IndexFactory {
                               ivf: Option[IVFModel], pq: Option[PQModel],
                               sq: Option[ScalarCodec], data: DataFrame,
                               graph: Option[DataFrame] = None,
-                              raw: Option[DataFrame] = None) {
+                              raw: Option[DataFrame] = None,
+                              instances: Option[DataFrame] = None) {
 
     def search(queries: DataFrame, k: Int, nprobe: Int = 8,
                kFactor: Int = 4): DataFrame = {
@@ -114,6 +122,9 @@ object IndexFactory {
             case (Some(m), None, Some(s)) =>
               // SQ inside IVF: decode-scan the probed lists
               decodeScanIVF(m, s, tq, kCand, nprobe)
+            case (Some(m), None, None) if spec.dedup =>
+              IVFDedup.search(IVFDedup.DedupIndex(data, instances.get),
+                m, tq, kCand, nprobe)
             case (Some(m), None, None) => IVFSearch.search(data, m, tq, kCand, nprobe)
             case (None, Some(p), _)    => ProductQuantizer.knnADC(data, p, tq, kCand)
             case (None, None, Some(s)) => ScalarQuantizer.knn(data, s, tq, kCand)
@@ -186,7 +197,11 @@ object IndexFactory {
         require(metric == "l2", "IMI coarse quantization is L2-only")
         IMI.train(cur, nb, seed).toIVFModel
       }
-      .orElse(s.nlist.map(n => IVFIndex.train(cur, n, metric, seed)))
+      .orElse(s.nlist.map { n =>
+        // FlatDedup also dedups the training set (`IndexIVFFlat.cpp:258-275`)
+        val trainSet = if (s.dedup) cur.dropDuplicates("vec") else cur
+        IVFIndex.train(trainSet, n, metric, seed)
+      })
     val assigned = ivfModel.map(m => IVFIndex.assign(cur, m)).getOrElse(cur)
     // RFlat keeps the chain-transformed raw vectors beside the codes —
     // the reference's IndexRefineFlat stores the same flat copy
@@ -210,6 +225,10 @@ object IndexFactory {
       codecGraphF(v => codec.decode(codec.encode(v)))
 
     s.enc match {
+      case FlatEnc if s.dedup =>
+        val idx = IVFDedup.fromAssigned(assigned)
+        GraftIndex(s, chain, ivfModel, None, None, idx.unique.cache(),
+          raw = rawKeep, instances = Some(idx.instances.cache()))
       case FlatEnc =>
         val graph = s.hnswM.map { mm =>
           val g = HNSW.buildGraph(assigned, m = mm).cache(); g.count(); g

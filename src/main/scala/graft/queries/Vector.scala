@@ -830,6 +830,45 @@ object Vector {
        |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** §2.1 IndexIVFFlatDedup (`Auncel/IndexIVFFlat.cpp:233-410`): the
+    * corpus plants an identical twin at vec_id+1000000 for every
+    * vec_id % 7 == 0 row; the index stores each distinct vector once
+    * (unique count == base count) and search expands duplicates at the
+    * same distance. Full probe + the min-id representative invariant
+    * make unique-top-k → expand provably equal to flat top-k over the
+    * duplicated corpus (proof at [[graft.index.IVFDedup.search]]), so
+    * the oracle is brute force over the same UNION ALL construction.
+    * The coarse model is v05's cached one — FlatDedup trains on the
+    * deduplicated set, which IS the base table here. */
+  def v21IvfDedup(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir)
+    val (model, _) = graft.index.IndexCache.ivf(dir, b, nlist = 16)
+    val corpus = b.select(col("id"), col("vec")).unionByName(
+      b.filter(col("id") % 7 === 0)
+        .select((col("id") + 1000000L).as("id"), col("vec")))
+    val built = graft.index.IVFDedup.build(corpus, model)
+    val idx = graft.index.IVFDedup.DedupIndex(
+      graft.index.IndexCache.frame(s"$dir|dedup_unique", built.unique),
+      graft.index.IndexCache.frame(s"$dir|dedup_inst", built.instances))
+    graft.index.IVFDedup.search(idx, model,
+      qs(s, dir, "vec_id >= 96 AND vec_id < 104"), k = 10, nprobe = 16)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v21Sql: String =
+    s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
+       |           UNION ALL
+       |           SELECT vec_id + 1000000, embedding FROM embeddings
+       |           WHERE vec_id % 7 = 0),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |      WHERE vec_id >= 96 AND vec_id < 104),
+       |d AS (SELECT q.qid, b.vec_id AS id, $l2SqlFrag AS dist
+       |      FROM q CROSS JOIN c b)
+       |SELECT qid, id, dist, rank FROM (
+       |  SELECT qid, id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_bounded_search" -> a01BoundedSearch _,
     "a02_latency_search" -> a02LatencySearch _,
@@ -854,7 +893,8 @@ object Vector {
     "v17_hamming_wide" -> v17HammingWide _,
     "v18_polysemous" -> v18Polysemous _,
     "v19_ivfpqr" -> v19IvfpqrKnn _,
-    "v20_imi_knn" -> v20ImiKnn _)
+    "v20_imi_knn" -> v20ImiKnn _,
+    "v21_ivf_dedup" -> v21IvfDedup _)
 
   /** Side-table oracles (a01/a02/v06/v17/v18/v19) read
     * /tmp/graft_oracle/<basename(dir)>_<fullPathHash> — derived from the
@@ -885,5 +925,6 @@ object Vector {
     "v17_hamming_wide" -> v17Sql(dir),
     "v18_polysemous" -> v18Sql(dir),
     "v19_ivfpqr" -> v19Sql(dir),
-    "v20_imi_knn" -> v20Sql)
+    "v20_imi_knn" -> v20Sql,
+    "v21_ivf_dedup" -> v21Sql)
 }
