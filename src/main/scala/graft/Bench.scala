@@ -6,12 +6,14 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR at local[N] and prints ONE JSON line
   * {"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…}.
   *
-  * Two passes. The first (untimed, reported as "build_sec") runs every
+  * Four passes. The first (untimed, reported as "build_sec") runs every
   * query once: it trains and persists the model artifacts — k-means
   * centroids, error-profile traces, HNSW adjacency, PQ codebooks,
   * MinHash signature tables — and warms JVM/codegen/parquet-footer
-  * caches. The second pass is the timed one, so what's measured is
-  * steady-state query cost, matching the reference's methodology of
+  * caches. The next three are timed sweeps; each query reports its
+  * MEDIAN across the three, so what's measured is steady-state query
+  * cost and a single noisy host interval can't become the official
+  * number. This matches the reference's methodology of
   * building the index once and timing search only
   * (`Auncel/eval/bound.cpp:265-268` reloads the prebuilt index + profile
   * before the timed phase; the build is never billed to queries).
@@ -45,14 +47,24 @@ object Bench {
     }
     val buildSec = (System.nanoTime() - b0) / 1e9
 
-    // pass 2 — timed: steady-state query cost
-    val results = inventory.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).collect() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    // passes 2-4 — timed: steady-state query cost, median of 3 sweeps.
+    // A single timed measurement let one noisy host interval become the
+    // round's official number (r4: t02 read 4.32 s against a 0.62 s rerun);
+    // the per-query median across three full sweeps kills that class.
+    val timedPasses = 3
+    val samples = Array.fill(timedPasses) {
+      inventory.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).collect() }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    val results = inventory.map { case (name, _) =>
+      val xs = samples.map(_(name)).sorted
+      name -> xs(xs.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

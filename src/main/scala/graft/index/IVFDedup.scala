@@ -15,9 +15,12 @@ import graft.search.{FlatSearch, IVFSearch}
   *
   * Spark-first shape: the reference's per-add memcmp over the target
   * list (`IndexIVFFlat.cpp:295-305` — O(list length) per insert)
-  * becomes ONE `groupBy(list_no, vec)` over the assigned table — exact
-  * float equality, same as memcmp on the raw codes, but a single
-  * shuffle at build time instead of a quadratic insertion loop. The
+  * becomes ONE shuffle keyed on `(list_no, xxhash64(vec))` — an 8-byte
+  * key instead of the raw d×4-byte vector — followed by a bit-exact
+  * recheck (float raw bits, ≡ memcmp on the stored codes) inside each
+  * hash bucket. Bit-level equality matches the reference exactly:
+  * +0.0 and -0.0 stay SEPARATE (a plain `groupBy(vec)` would merge
+  * them — Spark normalizes signed zeros/NaNs in grouping keys). The
   * instances map is a DataFrame (never driver-side); search expansion
   * joins it against the tiny unique top-k result broadcast.
   *
@@ -57,14 +60,39 @@ object IVFDedup {
       .select(col("list_no"), col("id").cast("long"), col(vecCol).as("vec")))
 
   /** Dedup an already-assigned (list_no, id, vec) table — the factory's
-    * `IVF<n>,FlatDedup` path reuses its assigned frame directly. */
+    * `IVF<n>,FlatDedup` path reuses its assigned frame directly.
+    *
+    * Shuffle shape at scale: the grouping key is `(list_no,
+    * xxhash64(vec))` — 8 bytes per row instead of the raw d×4-byte
+    * vector, so at 100 TB the build shuffle sorts/compares short keys
+    * (the payload still carries the vector once; the output needs it).
+    * Inside each hash bucket a bit-level recheck (`floatToRawIntBits`)
+    * splits genuine collisions, giving exactly the reference's memcmp
+    * semantics (`IndexIVFFlat.cpp:295-305`). flatMapGroups is
+    * deserializing (non-codegen) but this is the one-time build path;
+    * a bucket holds only the instances of one vector (plus ~0 hash
+    * collisions), so per-group memory is the duplicate multiplicity. */
   def fromAssigned(assigned: DataFrame): DedupIndex = {
-    val grouped = assigned
-      .select(col("list_no"), col("id").cast("long"), col("vec"))
-      .groupBy(col("list_no"), col("vec"))
-      .agg(min(col("id")).as("id"), collect_list(col("id")).as("all_ids"))
-    val unique = grouped.select(col("list_no"), col("id"), col("vec"))
-    val instances = grouped
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val collapsed = assigned
+      .select(col("list_no").cast("int"), col("id").cast("long"), col("vec"))
+      .withColumn("vh", xxhash64(col("vec")))
+      .as[(Int, Long, Array[Float], Long)]
+      .groupByKey { case (listNo, _, _, vh) => (listNo, vh) }
+      .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Array[Float], Long)]) =>
+        val listNo = key._1
+        it.toSeq
+          .groupBy(_._3.map(java.lang.Float.floatToRawIntBits).toSeq)
+          .valuesIterator
+          .map { grp =>
+            val ids = grp.map(_._2)
+            (listNo, ids.min, grp.head._3, ids)
+          }
+      }
+      .toDF("list_no", "id", "vec", "all_ids")
+    val unique = collapsed.select(col("list_no"), col("id"), col("vec"))
+    val instances = collapsed
       .select(col("id").as("rep_id"), explode(col("all_ids")).as("dup_id"))
       .filter(col("dup_id") =!= col("rep_id"))
     DedupIndex(unique, instances)

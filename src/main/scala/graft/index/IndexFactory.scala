@@ -84,9 +84,11 @@ object IndexFactory {
       "HNSW and IVF/IMI are alternative coarse structures")
     require(nlist.isEmpty || imiBits.isEmpty,
       "IVF<n> and IMI2x<b> are alternative coarse quantizers")
-    // `AutoTune.cpp:831`: "Dedup supported only for IVFFlat"
-    require(!dedup || nlist.nonEmpty,
-      "FlatDedup requires an IVF<n> coarse quantizer")
+    // `AutoTune.cpp:831`: "Dedup supported only for IVFFlat" — reject
+    // both a missing coarse quantizer and a later PQ/SQ token silently
+    // overwriting the Flat encoding while dedup stays set
+    require(!dedup || (nlist.nonEmpty && enc.contains(FlatEnc)),
+      "Dedup supported only for IVFFlat (IVF<n>,FlatDedup)")
     Spec(pre, nlist, enc.getOrElse(FlatEnc), hnswM, refine, imiBits, dedup)
   }
 

@@ -192,8 +192,10 @@ object IndexIO {
     import spark.implicits._
     Seq((spec, gi.ivf.isDefined, gi.pq.isDefined,
         gi.sq.map(sqKind).getOrElse("none"),
-        gi.sq.map(_.dim).getOrElse(0), gi.graph.isDefined, gi.raw.isDefined))
-      .toDF("spec", "has_ivf", "has_pq", "sq_kind", "sq_dim", "has_graph", "has_raw")
+        gi.sq.map(_.dim).getOrElse(0), gi.graph.isDefined, gi.raw.isDefined,
+        gi.instances.isDefined))
+      .toDF("spec", "has_ivf", "has_pq", "sq_kind", "sq_dim", "has_graph",
+        "has_raw", "has_instances")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
     saveChain(gi.chain, s"$path/chain", spark)
     gi.ivf.foreach(m => IVFIndex.saveModel(m, s"$path/ivf", spark))
@@ -201,6 +203,9 @@ object IndexIO {
     gi.sq.foreach(q => saveCodec(q, s"$path/sq", spark))
     gi.graph.foreach(g => HNSW.writeGraph(g, s"$path/graph"))
     gi.raw.foreach(r => r.write.mode("overwrite").parquet(s"$path/raw"))
+    // FlatDedup's rep_id -> dup_id side table: without it a reloaded
+    // dedup index crashes at search time on instances.get
+    gi.instances.foreach(i => i.write.mode("overwrite").parquet(s"$path/instances"))
     if (gi.data.columns.contains("list_no"))
       IVFIndex.write(gi.data, s"$path/data")
     else gi.data.write.mode("overwrite").parquet(s"$path/data")
@@ -208,8 +213,12 @@ object IndexIO {
 
   def loadIndex(path: String, spark: SparkSession): IndexFactory.GraftIndex = {
     import spark.implicits._
+    val manifest = spark.read.parquet(s"$path/manifest")
+    // manifests written before the dedup column existed lack it
+    val hasInst = manifest.columns.contains("has_instances") &&
+      manifest.select(col("has_instances")).as[Boolean].head()
     val (spec, hasIvf, hasPq, sqKindS, sqDim, hasGraph, hasRaw) =
-      spark.read.parquet(s"$path/manifest")
+      manifest
         .select(col("spec"), col("has_ivf"), col("has_pq"), col("sq_kind"),
           col("sq_dim"), col("has_graph"), col("has_raw"))
         .as[(String, Boolean, Boolean, String, Int, Boolean, Boolean)].head()
@@ -221,6 +230,7 @@ object IndexIO {
       if (sqKindS != "none") Some(loadCodec(sqKindS, sqDim, s"$path/sq", spark)) else None,
       spark.read.parquet(s"$path/data"),
       if (hasGraph) Some(HNSW.readGraph(spark, s"$path/graph")) else None,
-      if (hasRaw) Some(spark.read.parquet(s"$path/raw")) else None)
+      if (hasRaw) Some(spark.read.parquet(s"$path/raw")) else None,
+      if (hasInst) Some(spark.read.parquet(s"$path/instances")) else None)
   }
 }

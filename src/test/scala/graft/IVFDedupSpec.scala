@@ -126,5 +126,29 @@ class IVFDedupSpec extends SparkSpec {
       .collect().sortBy(r => (r._1, r._2))
     assert(got.sameElements(want))
     intercept[IllegalArgumentException](IndexFactory.parse("FlatDedup"))
+    // the reference rejects dedup over any non-Flat storage
+    // ("Dedup supported only for IVFFlat", AutoTune.cpp:831); a later
+    // encoding token must not silently win while dedup stays set
+    intercept[IllegalArgumentException](IndexFactory.parse("IVF8,FlatDedup,PQ4"))
+    intercept[IllegalArgumentException](IndexFactory.parse("IVF8,FlatDedup,SQ8"))
+  }
+
+  test("dedup equality is bit-exact: +0.0 and -0.0 stay separate (memcmp parity)") {
+    // IndexIVFFlat.cpp:295-305 compares raw codes with memcmp, so a
+    // vector differing only in zero sign is NOT a duplicate there; a
+    // plain groupBy(vec) would merge them (Spark normalizes -0.0)
+    val v = Array.fill(16)(1.0f); v(3) = 0.0f
+    val vNeg = v.clone(); vNeg(3) = -0.0f
+    val filler = randVecs(20, 16, seed = 53).zipWithIndex
+      .map { case (x, i) => (100L + i, x) }
+    val rows = Seq((0L, v), (1L, vNeg), (2L, v)) ++ filler
+    val df = rows.toDF("id", "vec")
+    val m = IVFDedup.train(df, nlist = 2, seed = 7L)
+    val idx = IVFDedup.build(df, m)
+    assert(idx.unique.count() == rows.length - 1,
+      "-0.0 variant must keep its own row; only the exact twin collapses")
+    val inst = idx.instances.select(col("rep_id"), col("dup_id"))
+      .as[(Long, Long)].collect()
+    assert(inst.sameElements(Array((0L, 2L))))
   }
 }

@@ -144,6 +144,28 @@ class IndexIOSpec extends SparkSpec {
     assert(run(gi).sameElements(run(gi2)))
   }
 
+  test("FlatDedup factory index persists its instances table and searches identically") {
+    import spark.implicits._
+    // planted duplicates so the instances side table is non-empty
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      base.zipWithIndex.collect { case (v, i) if i % 7 == 0 => (i + 5000L, v) }
+    val dupDF = rows.toSeq.toDF("id", "vec").cache()
+    val spec = "IVF8,FlatDedup"
+    val idx = IndexFactory.build(spec, dupDF)
+    assert(idx.instances.nonEmpty && idx.instances.get.count() > 0)
+    val path = tmp("dedup")
+    IndexIO.saveIndex(idx, spec, path)
+    val back = IndexIO.loadIndex(path, spark)
+    assert(back.instances.nonEmpty,
+      "reloaded dedup index must restore the instances side table")
+    assert(back.instances.get.count() == idx.instances.get.count())
+    def run(g: IndexFactory.GraftIndex) =
+      g.search(qDF, k = 5, nprobe = 8)
+        .select(col("qid"), col("rank"), col("id"), col("dist"))
+        .as[(Long, Int, Long, Double)].collect().sorted
+    assert(run(idx).sameElements(run(back)))
+  }
+
   test("frameDisk builds once, then reloads from parquet across sessions") {
     import spark.implicits._
     val key = s"frameDiskSpec_${System.nanoTime()}"
