@@ -752,6 +752,93 @@ object Vector {
        |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** a01 routed through the LAZY distributed-control path
+    * (`forceLazy = true`): per-round decisions run in the `Ctrl`
+    * DataFrame on executors — the configuration that matters at 100 TB,
+    * where the eager small-batch collect would not. Same query set and
+    * decision-replay oracle as a01 (the two paths share `decideStep`,
+    * so decisions — and therefore the replayed probe counts — are
+    * identical by construction; this row proves it driver-side).
+    * Ref: `Auncel/IndexIVF.cpp:504-637`. */
+  def a05BoundedLazy(s: SparkSession, dir: String): DataFrame = {
+    import graft.search.BoundedSearch
+    val (model, assigned, traces) = cachedTraces(s, dir)
+    val evalQ = qs(s, dir, "vec_id < 32").withColumn("required_recall", lit(0.9f))
+    val res = BoundedSearch.search(assigned, model, traces, evalQ, k = 10,
+      multiplier = 4.0f, stdM = 1.0f, forceLazy = true)
+    val statsDF = s.createDataFrame(res.stats)
+      .select(col("qid").as("s_qid"), col("nprobeUsed").as("nprobe_used"))
+    writeProbeReplayTables(s, "a05", dir, model, assigned,
+      statsDF.select(col("s_qid").as("qid"), col("nprobe_used")))
+    res.results.join(broadcast(statsDF), col("qid") === col("s_qid"))
+      .select(col("qid"), col("id"), col("dist"), col("rank"), col("nprobe_used"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def a05Sql(dir: String): String =
+    probeReplaySql("a05", dir, "vec_id < 32", k = 10,
+      extraCols = ", st.nprobe_used")
+
+  /** Bounded search under the INNER-PRODUCT metric in the exact-by-
+    * construction configuration (a03's trick, multiplier = nlist): the
+    * subtlest reference path — queries L2-normalized, profile in
+    * arccos/angle space (`Auncel/IndexIVF.cpp:101-110`,
+    * `IVF_pro.cpp:208-211`, the TEXT dataset config) — driver-verified
+    * against a brute-force IP oracle. Base vectors are normalized too
+    * (IP ≡ cosine, the reference's TEXT setup), so the oracle
+    * reproduces both normalizations in float then ranks by −dot. */
+  def a06BoundedIpExact(s: SparkSession, dir: String): DataFrame = {
+    import graft.search.{BoundedSearch, FlatSearch}
+    import graft.profile.ProfileTrainer
+    import graft.functions.Kernels
+    val normU = udf { v: Seq[Float] => Kernels.l2Normalize(v.toArray) }
+    val bNorm = base(s, dir).select(col("id"), normU(col("vec")).as("vec"))
+    val (model, assigned) =
+      graft.index.IndexCache.ivf(s"$dir|ipnorm", bNorm, nlist = 16, metric = "ip")
+    val traces = graft.index.IndexCache.profileTraces(s"$dir|16|ip|profile", s, {
+      val trainQ = qs(s, dir, "vec_id >= 100 AND vec_id < 200")
+      // gt over externally-normalized copies of the same queries — the
+      // trainer normalizes its own staged scans internally, so both
+      // sides of the (φ, U) points live in the same normalized space
+      val gt = FlatSearch.knn(bNorm,
+        trainQ.select(col("qid"), normU(col("vec")).as("vec")), k = 10,
+        metric = "ip")
+      ProfileTrainer.train(assigned, model, trainQ, gt, maxTopk = 10, bs = 50)
+    })
+    val evalQ = qs(s, dir, "vec_id >= 80 AND vec_id < 88")
+      .withColumn("required_recall", lit(0.9f))
+    val res = BoundedSearch.search(assigned, model, traces, evalQ, k = 10,
+      multiplier = 16.0f, stdM = 1.0f)
+    res.results.orderBy(col("qid"), col("rank"))
+  }
+
+  /** Brute-force IP oracle with both sides L2-normalized exactly as
+    * [[graft.functions.Kernels.l2Normalize]] does it: norm accumulated
+    * left-to-right in double, each component divided in double then
+    * cast to float — bit-identical, so the hash compare holds. */
+  val a06Sql: String = {
+    val normFrag = (e: String) =>
+      s"sqrt(list_sum(list_transform(range(1, 65), i -> " +
+        s"CAST($e[i] AS DOUBLE) * CAST($e[i] AS DOUBLE))))"
+    s"""WITH qr AS (SELECT vec_id AS qid, embedding AS e,
+       |  ${normFrag("embedding")} AS nrm
+       |  FROM embeddings WHERE vec_id >= 80 AND vec_id < 88),
+       |q AS (SELECT qid,
+       |  list_transform(e, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT)) AS qv
+       |  FROM qr),
+       |br AS (SELECT vec_id, embedding AS e,
+       |  ${normFrag("embedding")} AS nrm FROM embeddings),
+       |bn AS (SELECT vec_id,
+       |  list_transform(e, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT)) AS embedding
+       |  FROM br),
+       |d AS (SELECT q.qid, b.vec_id AS id, -$dotSqlFrag AS dist
+       |      FROM q CROSS JOIN bn b)
+       |SELECT qid, id, dist, rank FROM (
+       |  SELECT qid, id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
   /** O3 over the IVF table at full probe — partition-pruned range scan,
     * provably equal to the flat range (brute-force SQL oracle). */
   def v13IvfRange(s: SparkSession, dir: String): DataFrame = {
@@ -874,6 +961,8 @@ object Vector {
     "a02_latency_search" -> a02LatencySearch _,
     "a03_bounded_exact" -> a03BoundedExact _,
     "a04_latency_exact" -> a04LatencyExact _,
+    "a05_bounded_lazy" -> a05BoundedLazy _,
+    "a06_bounded_ip_exact" -> a06BoundedIpExact _,
     "v13_ivf_range" -> v13IvfRange _,
     "v14_hnsw_knn" -> v14HnswKnn _,
     "v08_ivfpq_refine" -> v08IvfpqRefine _,
@@ -906,6 +995,8 @@ object Vector {
     "a02_latency_search" -> a02Sql(dir),
     "a03_bounded_exact" -> a03Sql,
     "a04_latency_exact" -> a04Sql,
+    "a05_bounded_lazy" -> a05Sql(dir),
+    "a06_bounded_ip_exact" -> a06Sql,
     "v06_ivf_probe" -> v06Sql(dir),
     "v14_hnsw_knn" -> v14Sql,
     "v08_ivfpq_refine" -> v08Sql,
