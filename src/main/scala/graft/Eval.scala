@@ -19,8 +19,22 @@ import graft.search.{BoundedSearch, FlatSearch, IVFSearch}
   *              achieved vs required per bucket (`effect_error.cpp`)
   *   overhead — profile-enabled search time vs fixed-nprobe scan of
   *              the same probe budget (`overhead.cpp`)
+  *   time     — latency-bounded search, budgets {5,10,…,50} ms assigned
+  *              round-robin (`effect_time.cpp:274-281`); calibrates the
+  *              per-probe cost, runs one batch per budget bucket, and
+  *              prints the budget-vs-achieved table; writes
+  *              `graft_effective_time_<k>.log` lines
+  *              `<budget_ms> <achieved_ms>` mirroring
+  *              `Effective_time_<p>.log` (`effect_time.cpp:300-311`)
   *
-  * Usage: runMain graft.Eval [bound|effect|overhead] [outDir]
+  * Latency logs: `bound` additionally writes `graft_latency_<k>_<eps>
+  * .log`, one latency (seconds) per line per eval query, mirroring
+  * `Auncel_Latency_<p1>_<k>_<eps·100>.log` (`eval/bound.cpp:417-424`).
+  * The reference times a per-query C++ loop; Spark executes batches, so
+  * per-query latency is amortized within timed micro-batches of 10
+  * queries — same file shape, honest batch semantics.
+  *
+  * Usage: runMain graft.Eval [bound|effect|overhead|time] [outDir]
   */
 object Eval {
   val D = 32; val K = 20; val NLIST = 64
@@ -85,6 +99,21 @@ object Eval {
           s"${s.qid} ${s.nprobeUsed} ${s.predictedRecall}").mkString("\n")
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$outDir/graft_probes_k${K}_e$eps.log"), log)
+        // per-query latency log (`Auncel_Latency_*.log`,
+        // `eval/bound.cpp:417-424`): one latency per line, amortized
+        // within timed 10-query micro-batches
+        val latencies = evalQ.zipWithIndex.grouped(10).flatMap { chunk =>
+          val cdf = chunk.map { case (v, i) => (i.toLong, v, (1 - eps).toFloat) }
+            .toSeq.toDF("qid", "vec", "required_recall")
+          val tc = now()
+          BoundedSearch.search(assigned, model, traces, cdf, K, MULT, STDM)
+            .results.count()
+          val per = (now() - tc) / chunk.size
+          chunk.map(_ => per)
+        }.toSeq
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/graft_latency_${K}_${(eps * 100).toInt}.log"),
+          latencies.map(l => f"$l%.6f").mkString("", "\n", "\n"))
         println(f"build=${tBuild}%.1fs profile=${tProfile}%.1fs search=${tSearch}%.1fs")
         println(f"worst-case recall = $worst%.3f vs bound ${1 - eps}")
         println(f"mean nprobe = ${probes.sum.toDouble / probes.size}%.1f of $NLIST")
@@ -110,6 +139,46 @@ object Eval {
         }
         val ok = rows.count { case (r, a) => a >= r }
         println(s"met requirement: $ok/${rows.size}")
+
+      case "time" =>
+        // `effect_time.cpp:274-281`: budgets {5,10,…,50} ms round-robin
+        val budgets = Array(5.0, 10.0, 15.0, 20.0, 25.0, 30.0, 35.0, 40.0, 45.0, 50.0)
+        val perQBudget = evalQ.indices.map(i => budgets(i % budgets.length))
+        // calibrate the per-probe cost the way the reference's profile
+        // does (`profile.cpp:229-244`): a fixed-nprobe scan over the
+        // eval batch, warmed once, gives amortized ms per (query, probe)
+        val calQ = df(evalQ, "qid")
+        val calNp = NLIST / 4
+        IVFSearch.search(assigned, model, calQ, K, calNp).count() // warm
+        val tc = now()
+        IVFSearch.search(assigned, model, calQ, K, calNp).count()
+        val costPerProbeMs = (now() - tc) * 1000.0 / (NEVAL.toLong * calNp)
+        println(f"calibrated cost/probe = $costPerProbeMs%.4f ms (nprobe=$calNp scan)")
+
+        // one timed batch per budget bucket: achieved per-query latency
+        // is the bucket's amortized wall time (batch execution — the
+        // per-query loop of the reference maps to micro-batches here)
+        val byBudget = evalQ.indices.groupBy(i => perQBudget(i)).toSeq.sortBy(_._1)
+        val lines = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+        println("budget_ms  achieved_ms  mean_nprobe  queries")
+        byBudget.foreach { case (b, idxs) =>
+          val qdf = idxs.map(i => (i.toLong, evalQ(i), b))
+            .toSeq.toDF("qid", "vec", "budget_ms")
+          val t2 = now()
+          val res = BoundedSearch.timeSearch(assigned, model, qdf, K, costPerProbeMs)
+          res.results.count()
+          val achieved = (now() - t2) * 1000.0 / idxs.size
+          val meanNp = res.stats.map(_.nprobeUsed).sum.toDouble / res.stats.size
+          println(f"$b%9.0f  $achieved%11.2f  $meanNp%11.1f  ${idxs.size}%7d")
+          idxs.foreach(i => lines += ((i, b, achieved)))
+        }
+        // `Effective_time_<p>.log` parity (`effect_time.cpp:300-311`):
+        // one line per query, "<budget_ms> <achieved_ms>", query order
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/graft_effective_time_$K.log"),
+          lines.sortBy(_._1).map { case (_, b, a) => f"$b%.0f $a%.3f" }
+            .mkString("", "\n", "\n"))
+        println(s"wrote $outDir/graft_effective_time_$K.log")
 
       case "overhead" =>
         val qdf = evalQ.zipWithIndex

@@ -239,6 +239,16 @@ object ScaleDemo {
       .select((col("id") + n).as("id"), col("vec"))
     val dedupIn = baseDF.select(col("id"), col("vec")).unionByName(planted)
     val nPlanted = planted.count()
+    // dedup index build over the same planted-twin corpus: the build
+    // shuffle is keyed on (list_no, xxhash64(vec)) — 8 B — not the raw
+    // 256 B vector; timing documents the shuffle-shrink at scale
+    t = System.nanoTime()
+    val dedupIdx = graft.index.IVFDedup.build(dedupIn, model)
+    val nUnique = dedupIdx.unique.count()
+    val nInst = dedupIdx.instances.count()
+    println(f"IVFDedup build (${n + nPlanted} rows, 8B hash shuffle key): " +
+      f"${(System.nanoTime() - t) / 1e9}%.1fs, $nUnique unique + $nInst instances")
+
     val lshModel = BinaryHash.train(d, nbits = 63, seed = 7L)
     t = System.nanoTime()
     val pairs = graft.ops.EmbeddingDedup.lshPairs(dedupIn, lshModel,
