@@ -96,15 +96,53 @@ object EmbeddingDedup {
     partials.orderBy(col("cos").desc, col("a"), col("b")).limit(k)
   }
 
+  /** Exact-duplicate pairs — bit-identical vectors — via ONE shuffle
+    * keyed on `xxhash64(vec)` (8 bytes) with a bit-exact in-bucket
+    * recheck, the [[graft.index.IVFDedup]] build trick. This is the
+    * production pre-pass in front of [[lshPairs]]: it guarantees
+    * recall 1.0 on identical vectors REGARDLESS of local density, so
+    * the banded join is free to cap its degenerate buckets (see the
+    * `maxBucket` contract there). Emits every unordered pair inside an
+    * exact-duplicate group with cos = 1.0, `a < b`. */
+  def exactDupPairs(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("vec"))
+      .withColumn("vh", xxhash64(col("vec")))
+      .as[(Long, Array[Float], Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Array[Float], Long)]) =>
+        it.toSeq
+          .groupBy(_._2.map(java.lang.Float.floatToRawIntBits).toSeq)
+          .valuesIterator.flatMap { grp =>
+            val ids = grp.map(_._1).sorted
+            for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
+              yield (ids(i), ids(j), 1.0)
+          }
+      }.toDF("a", "b", "cos")
+  }
+
   /** @param nBands bands over the 63-bit signature; a candidate pair
     *               must agree exactly on ≥1 band (9 bits for 7 bands).
     *               More bands → higher recall at lower thresholds.
+    * @param maxBucket band buckets larger than this are DROPPED from
+    *               candidate generation. A bucket of size B costs B²
+    *               join rows, so one degenerate key (all of a tight
+    *               cluster sharing a band value) turns the banded plan
+    *               into all-pairs — at 10M rows that is billions of
+    *               candidates and a filled disk (observed, r5 scale
+    *               rehearsal). An oversized bucket means the band
+    *               carries no selectivity there anyway; pairs whose
+    *               EVERY agreeing band is oversized lose their LSH
+    *               candidacy — run [[exactDupPairs]] first for the
+    *               identical-vector guarantee (the standard
+    *               exact-pass-then-LSH pipeline).
     *
     * Only (band, key, id) rows travel through the candidate shuffle and
     * the distinct; vectors are re-joined once per surviving pair and
     * scored with the codegen'd cosine. */
   def lshPairs(df: DataFrame, model: BinaryHash.LSHModel, threshold: Double,
-               nBands: Int = 7): DataFrame = {
+               nBands: Int = 7, maxBucket: Int = 8192): DataFrame = {
     val sigs = BinaryHash.encode(df, model).select(col("id"), col("sig"))
     val width = 63 / nBands
     val mask = (1L << width) - 1
@@ -112,8 +150,13 @@ object EmbeddingDedup {
       sigs.select(col("id"), lit(b).as("band"),
         shiftright(col("sig"), b * width).bitwiseAND(mask).as("key"))
     }.reduce(_ unionByName _)
-    val x = bands.select(col("band"), col("key"), col("id").as("a"))
-    val y = bands.select(col("band"), col("key"), col("id").as("b"))
+    val small = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") <= maxBucket)
+      .select(col("band"), col("key"))
+    val kept = bands.join(small, Seq("band", "key"))
+    val x = kept.select(col("band"), col("key"), col("id").as("a"))
+    val y = kept.select(col("band"), col("key"), col("id").as("b"))
     val cand = x.join(y, Seq("band", "key")).filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     val va = df.select(col("id").as("a"), col("vec").as("va"))

@@ -77,19 +77,42 @@ object BoundedSearch {
     * path keeps everything distributed. */
   private val EagerMaxQueries = 4096
 
-  /** @param queries (qid, vec, required_recall) — driver-collectable
-    *                (batch dimension; base data is the scale dimension)
+  /** Above this batch size even the lazy path's driver-held structures
+    * (query vectors, centroid rankings, per-round broadcast probe maps
+    * — all O(nq)) stop being "collectable"; the fully-distributed path
+    * keeps the queries themselves in a DataFrame. */
+  private val DistributedMinQueries = 131072
+
+  /** Control row for the fully-distributed path: the query vector, its
+    * full centroid ranking and boundary-distance window ride WITH the
+    * per-query decision state, so no per-query structure ever exists on
+    * the driver. */
+  final case class CtrlD(qid: Long, vec: Array[Float], require: Float,
+                         lists: Array[Int], dB: Array[Float], myNprobe: Int,
+                         stoped: Int, preVal: Double, predicted: Float,
+                         decidedStage: Int)
+
+  /** @param queries (qid, vec, required_recall); batches up to
+    *                [[DistributedMinQueries]] are collected to the
+    *                driver (the reference's own contract — its driver
+    *                holds all queries in RAM), larger ones stay in a
+    *                DataFrame end-to-end ([[searchDistributed]])
     * @param multiplier calibration multiplier (`hyperparameter.txt`)
     * @param stdM       σ-margin multiplier
     */
   def search(ivfData: DataFrame, model: IVFModel, traces: Array[Trace],
              queries: DataFrame, k: Int, multiplier: Float = 1.0f,
-             stdM: Float = 1.0f, forceLazy: Boolean = false): Result = {
+             stdM: Float = 1.0f, forceLazy: Boolean = false,
+             forceDistributed: Boolean = false): Result = {
     val spark = ivfData.sparkSession
     import spark.implicits._
 
     val nlist = model.nlist
     val levels = traces.length
+
+    if (forceDistributed || queries.count() > DistributedMinQueries)
+      return searchDistributed(ivfData, model, traces, queries, k,
+        multiplier, stdM)
 
     val qRows: Array[(Long, Array[Float], Float)] = queries
       .select(col("qid").cast("long"), col("vec"),
@@ -233,6 +256,164 @@ object BoundedSearch {
         fin(qi).predicted, fin(qi).decidedStage)
     }
     Result(results, stats)
+  }
+
+  /** Fully-distributed staged rounds for query batches past the
+    * driver-collectable contract (> [[DistributedMinQueries]]): the
+    * query vectors, centroid rankings, boundary windows and decision
+    * state all live in one [[CtrlD]] Dataset; each round's probe set
+    * is a flatMap over the active control rows, and the probed-list
+    * scan is a LIST-KEYED COGROUP between the IVF table and the probe
+    * rows (both shuffle on the 4-byte list_no key) with per-query
+    * bounded heaps inside each list group. The driver's only per-query
+    * moment is the final O(nq) stats collect, matching the reference's
+    * own per-query result arrays.
+    *
+    * Decisions are identical to the lazy/eager paths by construction:
+    * same [[IVFModel.rankCentroids]] coarse ranking, same
+    * [[ErrorProfile.boundaryDistances]] window, same [[predictedRecall]]
+    * and [[decideStep]] transition on the same sorted state distances.
+    *
+    * Scale shape: per round the big side of the cogroup carries only
+    * the PROBED lists' rows (partition-pruned before the shuffle), and
+    * the probe side carries active × (hi−lo) rows of ~(d·4+16) bytes.
+    * On a bucketed (list_no-bucketed) table the data-side shuffle
+    * drops out entirely; unbucketed it is nprobed/nlist of the corpus
+    * per round — the price of not holding nq-sized maps anywhere. */
+  private def searchDistributed(ivfData: DataFrame, model: IVFModel,
+      traces: Array[Trace], queries: DataFrame, k: Int,
+      multiplier: Float, stdM: Float): Result = {
+    val spark = ivfData.sparkSession
+    import spark.implicits._
+    val nlist = model.nlist
+    val levels = traces.length
+    val met = model.metric
+    val bm = spark.sparkContext.broadcast(model)
+
+    var ctrl: org.apache.spark.sql.Dataset[CtrlD] = queries
+      .select(col("qid").cast("long"), col("vec"),
+        col("required_recall").cast("float"))
+      .as[(Long, Array[Float], Float)]
+      .map { case (qid, v0, req) =>
+        val m = bm.value
+        val v = if (m.metric == "ip") Kernels.l2Normalize(v0) else v0
+        val r = m.rankCentroids(v)
+        val dB = ErrorProfile.boundaryDistances(
+          r.map(_._2), r.map(_._1), m.interdisAt, m.nlist)
+        CtrlD(qid, v, req, r.map(_._1), dB, 0, 0, Double.NaN, 0f, 0)
+      }.cache()
+    ctrl.count()
+
+    var state: DataFrame = spark.emptyDataset[(Long, Long, Double)]
+      .toDF("qid", "id", "dist")
+
+    var j = 0
+    while (j < levels) {
+      val lo = if (j == 0) 0 else 1 << (j - 1)
+      val hi = 1 << j
+      val probes = ctrl.filter(_.myNprobe == 0).flatMap { c =>
+        c.lists.slice(lo, hi).iterator.map(l => (l, c.qid, c.vec))
+      }
+      if (!probes.isEmpty) {
+        val newPartials = scanListsCogroup(ivfData, met, probes, k)
+        val prev = state
+        val merged = FlatSearch
+          .mergeTopK(state.unionByName(newPartials), k)
+          .select(col("qid"), col("id"), col("dist"))
+        state = if (j >= 3) merged.localCheckpoint(eager = true)
+                else merged.cache()
+
+        val summaries = state
+          .groupBy(col("qid")).agg(sort_array(collect_list(col("dist"))).as("d"))
+        val bTrace = spark.sparkContext.broadcast(traces(j))
+        val jj = j; val kk = k; val sm = stdM; val mult = multiplier
+        val lv = levels
+        val prevCtrl = ctrl
+        ctrl = ctrl.toDF().join(summaries, Seq("qid"), "left")
+          .as[(Long, Array[Float], Float, Array[Int], Array[Float], Int, Int,
+               Double, Float, Int, Option[Array[Double]])]
+          .map { case (qid, vec, req, lists, dB, np, stp, pv, pred, ds0, dOpt) =>
+            if (np != 0 || dOpt.isEmpty)
+              CtrlD(qid, vec, req, lists, dB, np, stp, pv, pred, ds0)
+            else {
+              val dArr = dOpt.get
+              val recall = BoundedSearch.predictedRecall(
+                dArr, dB, bTrace.value, jj, kk, sm, met)
+              val maxVal = if (dArr.isEmpty) Double.NaN else dArr.last
+              val next = BoundedSearch.decideStep(
+                Ctrl(qid, req, np, stp, pv, pred, ds0),
+                jj, lv, kk, mult, recall, dArr.length, maxVal)
+              CtrlD(qid, vec, req, lists, dB, next.myNprobe, next.stoped,
+                next.preVal, next.predicted, next.decidedStage)
+            }
+          }.cache()
+        ctrl.count()
+        prevCtrl.unpersist()
+        prev.unpersist()
+      }
+      j += 1
+    }
+
+    // finishing pass: decisionStage → stage × multiplier, probe lists
+    // straight out of each control row's own ranking
+    val nl = nlist
+    val finProbes = ctrl.flatMap { c =>
+      val upto = math.min(c.myNprobe, nl)
+      if (upto > c.decidedStage)
+        c.lists.slice(c.decidedStage, upto).iterator.map(l => (l, c.qid, c.vec))
+      else Iterator.empty
+    }
+    if (!finProbes.isEmpty)
+      state = state.unionByName(scanListsCogroup(ivfData, met, finProbes, k))
+    // materialize through the checkpoint so the result no longer
+    // depends on the cached control rows we are about to release
+    val results = FlatSearch.mergeTopK(state, k).localCheckpoint(eager = true)
+
+    val stats = ctrl
+      .map(c => (c.qid, math.min(c.myNprobe, nl), c.predicted, c.decidedStage))
+      .collect().sortBy(_._1)
+      .map { case (qid, np, pred, ds0) => QueryStats(qid, np, pred, ds0) }
+      .toSeq
+    ctrl.unpersist()
+    Result(results, stats)
+  }
+
+  /** List-keyed cogroup scan: for each probed list, stream its vectors
+    * against the (qid, qvec) probe rows for that list with per-query
+    * bounded heaps — the distributed twin of [[scanLists]] (which
+    * broadcasts a driver-built probe map instead). Emits ≤ k rows per
+    * (list, query). */
+  private def scanListsCogroup(ivfData: DataFrame, metric: String,
+      probes: org.apache.spark.sql.Dataset[(Int, Long, Array[Float])],
+      k: Int): DataFrame = {
+    val spark = ivfData.sparkSession
+    import spark.implicits._
+    // the distinct probed-list set is ≤ nlist — collect it for Parquet
+    // partition pruning before the shuffle
+    val probedLists = probes.map(_._1).distinct().collect()
+    val dataG = ivfData
+      .filter(col("list_no").isin(probedLists.toSeq.sorted: _*))
+      .select(col("list_no").cast("int"), col("id").cast("long"), col("vec"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+    val probeG = probes.groupByKey(_._1)
+    dataG.cogroup(probeG) { (_, dataIt, probeIt) =>
+      val ps = probeIt.toArray
+      if (ps.isEmpty) Iterator.empty
+      else {
+        val heaps = ps.map(_ => new TopK(k))
+        dataIt.foreach { case (_, id, vec) =>
+          var i = 0
+          while (i < ps.length) {
+            heaps(i).add(Kernels.distance(metric, ps(i)._3, vec), id)
+            i += 1
+          }
+        }
+        ps.iterator.zip(heaps.iterator).flatMap { case (p, h) =>
+          h.sorted.iterator.map { case (d, id) => (p._2, id, d) }
+        }
+      }
+    }.toDF("qid", "id", "dist")
   }
 
   /** The per-stage termination decision (`IndexIVF.cpp:504-637`):

@@ -17,6 +17,11 @@ object ScaleDemo {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.driver.maxResultSize", "4g")
+      // a 30-min single-app pipeline accumulates shuffle files from
+      // hundreds of dead stages; aggressive periodic GC lets the
+      // ContextCleaner delete them before /tmp fills (the r5 10M run
+      // died on disk at the last stage without this)
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -185,11 +190,14 @@ object ScaleDemo {
       " and QuantizerSpec measure codec recall on spread data. Times & bytes are" +
       " the point here.")
 
-    // ---- 100k-query bounded batch: the distributed-control path ----
-    // nq > 4096 routes BoundedSearch to the lazy rounds with the Ctrl
-    // DataFrame; per-query decision state never sits on the driver.
+    // ---- huge-query bounded batch ----
+    // nq > 4096 routes BoundedSearch to the lazy rounds (distributed
+    // Ctrl DataFrame); nq > 131072 routes to the fully-distributed
+    // cogroup path where even the query vectors and centroid rankings
+    // never sit on the driver. Third arg overrides the batch size
+    // (e.g. 1000000 exercises the cogroup path).
     if (n >= 1000000) {
-      val nHuge = 100000
+      val nHuge = if (args.length > 2) args(2).toInt else 100000
       val hugeQ = baseDF.filter(col("id") % (n / nHuge) === 0).limit(nHuge)
         .select(col("id").as("qid"), col("vec"))
         .withColumn("required_recall", lit(0.9f))
@@ -231,10 +239,10 @@ object ScaleDemo {
       f"recall mean ${hRecs.sum / hRecs.size}%.3f min ${hRecs.min}%.3f")
     graph.unpersist()
 
-    // ---- banded LSH near-dup at scale: planted-duplicate recall ----
-    // every 100th vector gets an identical twin at id+n: the banded
-    // plan (signatures → band equi-join → id-distinct → rerank) must
-    // find every planted pair; candidate volume stays id-only.
+    // ---- dedup build at scale (near-dup LSH lives in LshScale: this
+    // tight-cluster corpus is the banded join's degenerate case, and
+    // the multi-section pipeline's shuffle residue crowds its disk) ----
+    // every 100th vector gets an identical twin at id+n
     val planted = baseDF.filter(col("id") % 100 === 0)
       .select((col("id") + n).as("id"), col("vec"))
     val dedupIn = baseDF.select(col("id"), col("vec")).unionByName(planted)
@@ -249,17 +257,6 @@ object ScaleDemo {
     println(f"IVFDedup build (${n + nPlanted} rows, 8B hash shuffle key): " +
       f"${(System.nanoTime() - t) / 1e9}%.1fs, $nUnique unique + $nInst instances")
 
-    val lshModel = BinaryHash.train(d, nbits = 63, seed = 7L)
-    t = System.nanoTime()
-    val pairs = graft.ops.EmbeddingDedup.lshPairs(dedupIn, lshModel,
-      threshold = 0.999).cache()
-    val nPairs = pairs.count()
-    val tLsh = (System.nanoTime() - t) / 1e9
-    val foundPlanted = pairs.filter(col("b") === col("a") + n).count()
-    println(f"LSH near-dup (${n + nPlanted} rows, $nPlanted planted twins): " +
-      f"${tLsh}%.1fs, $nPairs pairs ≥0.999, planted recall " +
-      f"${foundPlanted.toDouble / nPlanted}%.3f")
-    pairs.unpersist()
     spark.stop()
   }
 }

@@ -229,6 +229,36 @@ class BoundedSearchSpec extends SparkSpec {
     assert(eager.stats == lazyR.stats)
   }
 
+  test("fully-distributed (cogroup) path is bit-identical to lazy and eager") {
+    import spark.implicits._
+    val b = clusteredVecs(2000, d, nClusters = 24, seed = 55)
+    val bDF = vecDF(b)
+    val m32 = IVFIndex.train(bDF, nlist = 32, seed = 42L)
+    val a32 = IVFIndex.assign(bDF, m32).cache()
+    val tq = vecDF(clusteredVecs(2100, d, nClusters = 24, seed = 55).drop(2000), "qid")
+    val gt32 = FlatSearch.knn(bDF, tq, k)
+    val tr32 = ProfileTrainer.train(a32, m32, tq, gt32, maxTopk = k, bs = 50)
+    val qdf = clusteredVecs(2130, d, nClusters = 24, seed = 55).drop(2100)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v, 0.8f) }
+      .toSeq.toDF("qid", "vec", "required_recall")
+    def run(force: (Boolean, Boolean)) = {
+      val r = BoundedSearch.search(a32, m32, tr32, qdf, k,
+        multiplier = 4.0f, stdM = 1.0f, forceLazy = force._1,
+        forceDistributed = force._2)
+      (r.results.select(col("qid"), col("rank"), col("id"), col("dist"))
+        .as[(Long, Int, Long, Double)].collect().sortBy(x => (x._1, x._2)),
+        r.stats.sortBy(_.qid))
+    }
+    val (eRows, eStats) = run((false, false))
+    val (dRows, dStats) = run((false, true))
+    assert(eRows.sameElements(dRows),
+      "distributed rows differ from eager rows")
+    assert(eStats == dStats, "distributed stats differ from eager stats")
+    val (lRows, lStats) = run((true, false))
+    assert(lRows.sameElements(dRows))
+    assert(lStats == dStats)
+  }
+
   test("large query batches route to the distributed-state path and match chunked eager") {
     import spark.implicits._
     // nq > EagerMaxQueries forces the lazy path even at levels ≤ 3;

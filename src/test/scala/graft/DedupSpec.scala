@@ -84,4 +84,42 @@ class DedupSpec extends SparkSpec {
     // and no false positives survive the exact-cosine filter
     assert((got -- want).isEmpty)
   }
+
+  test("exactDupPairs finds all identical-vector pairs via the hash pre-pass") {
+    import spark.implicits._
+    val originals = randVecs(300, 16, seed = 31)
+    // twins for every 10th vector, plus one triple (0, 300, 600)
+    val rows = originals.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      originals.zipWithIndex.collect { case (v, i) if i % 10 == 0 =>
+        (i + 300L, v) } :+ (600L, originals(0))
+    val df = rows.toSeq.toDF("id", "vec")
+    val got = EmbeddingDedup.exactDupPairs(df)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    val wantPairs = (0 until 300 by 10).map(i => (i.toLong, i + 300L)).toSet ++
+      Set((0L, 600L), (300L, 600L))
+    assert(got == wantPairs)
+  }
+
+  test("lshPairs drops degenerate band buckets but the exact pre-pass keeps twins") {
+    import spark.implicits._
+    // a TIGHT cluster: every band bucket holds the whole cluster, so a
+    // small maxBucket drops them all — the B² blowup guard — while the
+    // planted identical twin is still guaranteed via exactDupPairs
+    val center = Array.fill(16)(1.0f)
+    val rnd = new scala.util.Random(9)
+    val cluster = Array.fill(60)(
+      Array.tabulate(16)(j => center(j) + 0.001f * rnd.nextGaussian().toFloat))
+    val rows = cluster.zipWithIndex.map { case (v, i) => (i.toLong, v) } :+
+      (1000L, cluster(0))
+    val df = rows.toSeq.toDF("id", "vec")
+    val model = BinaryHash.train(d = 16, nbits = 63, seed = 11L)
+    val capped = EmbeddingDedup.lshPairs(df, model, threshold = 0.9999,
+      maxBucket = 30)
+    assert(capped.count() == 0, "oversized buckets must be dropped")
+    val uncapped = EmbeddingDedup.lshPairs(df, model, threshold = 0.9999)
+    assert(uncapped.count() > 0)
+    val exact = EmbeddingDedup.exactDupPairs(df)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    assert(exact.contains((0L, 1000L)), "twin must survive via the pre-pass")
+  }
 }
