@@ -159,6 +159,54 @@ object EmbeddingDedup {
     val y = kept.select(col("band"), col("key"), col("id").as("b"))
     val cand = x.join(y, Seq("band", "key")).filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+    rerank(df, cand, threshold)
+  }
+
+  /** Banded near-dup over WIDE signatures (`BinaryHash.WideLSHModel`,
+    * ARRAY<LONG>) — the 10M+-row form of [[lshPairs]]. The 63-bit model
+    * caps bands at 9 bits = 512 keys: at 10M rows even uniform data
+    * puts ~20k ids in every bucket and the banded join degenerates to
+    * all-pairs (measured: >80 GB of candidate shuffle at 10M). Wide
+    * bands (nbits/nBands, e.g. 128/4 = 32 bits → 4G-key space) keep
+    * buckets at collision-survivor size, so candidates ∝ genuine
+    * near-dup density. Identical vectors agree on every band by
+    * construction; run [[exactDupPairs]] first anyway for the
+    * density-independent guarantee.
+    *
+    * `bandBits = nbits / nBands` must divide 64 (16/32/64) so a band
+    * never straddles signature words. */
+  def lshPairsWide(df: DataFrame, model: BinaryHash.WideLSHModel,
+                   threshold: Double, nBands: Int = 4,
+                   maxBucket: Int = 8192): DataFrame = {
+    val width = model.nbits / nBands
+    require(width > 0 && 64 % width == 0,
+      s"band width $width (=${model.nbits}/$nBands) must divide 64")
+    val perWord = 64 / width
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sigs = BinaryHash.encodeWide(df, model).select(col("id"), col("sig"))
+    val bands = (0 until nBands).map { b =>
+      val word = b / perWord
+      val off = (b % perWord) * width
+      sigs.select(col("id"), lit(b).as("band"),
+        shiftright(element_at(col("sig"), word + 1), off)
+          .bitwiseAND(mask).as("key"))
+    }.reduce(_ unionByName _)
+    val small = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") <= maxBucket)
+      .select(col("band"), col("key"))
+    val kept = bands.join(small, Seq("band", "key"))
+    val x = kept.select(col("band"), col("key"), col("id").as("a"))
+    val y = kept.select(col("band"), col("key"), col("id").as("b"))
+    val cand = x.join(y, Seq("band", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    rerank(df, cand, threshold)
+  }
+
+  /** Exact-cosine rescoring of candidate id pairs: vectors join in once
+    * per surviving pair, scored with the codegen'd cosine. */
+  private def rerank(df: DataFrame, cand: DataFrame,
+                     threshold: Double): DataFrame = {
     val va = df.select(col("id").as("a"), col("vec").as("va"))
     val vb = df.select(col("id").as("b"), col("vec").as("vb"))
     cand.join(va, Seq("a")).join(vb, Seq("b"))

@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
 object LshScale {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // the candidate distinct can carry ~1e9 (a, b) rows on clustered
+      // corpora; 32 partitions made each hash-agg task hold tens of
+      // millions of keys and OOM an 8g heap — narrower tasks spill sanely
+      .config("spark.sql.shuffle.partitions", "256")
       .config("spark.driver.maxResultSize", "4g")
       .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -52,18 +55,20 @@ object LshScale {
     println(f"exact-dup pre-pass (${n + nPlanted} rows): ${tExact}%.1fs, " +
       f"$nExact pairs, planted recall ${exactPlanted.toDouble / nPlanted}%.3f")
 
-    // pass 2 — banded LSH with the degenerate-bucket cap: candidates
-    // stay id-only, oversized band buckets are dropped
-    val lshModel = graft.index.BinaryHash.train(d, nbits = 63, seed = 7L)
+    // pass 2 — WIDE banded LSH (128-bit signatures, 4 × 32-bit bands:
+    // 4G-key space keeps buckets at collision-survivor size; the
+    // 63-bit model's 512-key bands degenerate to all-pairs at 10M).
+    // Exact twins agree on every band → LSH-path planted recall 1.0.
+    val wide = graft.index.BinaryHash.trainWide(d, nbits = 128, seed = 7L)
     t = System.nanoTime()
-    val pairs = graft.ops.EmbeddingDedup.lshPairs(dedupIn, lshModel,
-      threshold = 0.999).cache()
+    val pairs = graft.ops.EmbeddingDedup.lshPairsWide(dedupIn, wide,
+      threshold = 0.999, nBands = 4).cache()
     val nPairs = pairs.count()
     val tLsh = (System.nanoTime() - t) / 1e9
     val foundPlanted = pairs.filter(col("b") === col("a") + n).count()
-    println(f"banded LSH (${n + nPlanted} rows, maxBucket=8192): ${tLsh}%.1fs, " +
-      f"$nPairs pairs >=0.999, planted recall " +
-      f"${foundPlanted.toDouble / nPlanted}%.3f")
+    println(f"wide banded LSH (${n + nPlanted} rows, 4x32-bit bands, " +
+      f"maxBucket=8192): ${tLsh}%.1fs, $nPairs pairs >=0.999, " +
+      f"planted recall ${foundPlanted.toDouble / nPlanted}%.3f")
     spark.stop()
   }
 }

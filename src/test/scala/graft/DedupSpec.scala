@@ -85,6 +85,30 @@ class DedupSpec extends SparkSpec {
     assert((got -- want).isEmpty)
   }
 
+  test("wide-signature banded near-dup matches the exact oracle on planted dups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val originals = randVecs(500, 32, seed = 101)
+    val dups = (0 until 20).map { i =>
+      Array.tabulate(32)(j => originals(i)(j) + 0.002f * rnd.nextGaussian().toFloat)
+    }
+    val df = vecDF(originals ++ dups)
+    val wide = BinaryHash.trainWide(d = 32, nbits = 128, seed = 11L)
+    val got = EmbeddingDedup.lshPairsWide(df, wide, threshold = 0.999, nBands = 8)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    val want = EmbeddingDedup.exactPairs(df, threshold = 0.999)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    assert(want.size >= 20)
+    val recall = (got & want).size.toDouble / want.size
+    assert(recall >= 0.9, s"wide LSH recall $recall")
+    assert((got -- want).isEmpty)
+    // identical twins share every band: recall 1.0 on exact copies
+    val twin = vecDF(originals ++ Array(originals(3)))
+    val gotTwin = EmbeddingDedup.lshPairsWide(twin, wide, threshold = 0.9999999)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    assert(gotTwin.contains((3L, 500L)))
+  }
+
   test("exactDupPairs finds all identical-vector pairs via the hash pre-pass") {
     import spark.implicits._
     val originals = randVecs(300, 16, seed = 31)
