@@ -122,6 +122,12 @@ object ScaleDemo {
       f"${tBig * 1000 / nBig}%.1f ms/query amortized, " +
       f"mean nprobe ${pBig.sum.toDouble / pBig.size}%.1f/$nlist")
 
+    // SCALE_ONLY=bounded skips the codec/HNSW/dedup sections — for
+    // focused reruns of the adaptive-batch ladder (e.g. the 1M-query
+    // distributed-path demo) without repaying a ~10-min HNSW build
+    val fullRun = sys.env.get("SCALE_ONLY").isEmpty
+    if (fullRun) {
+
     // ---- codec family at scale: the bytes-scanned story ----
     // IVFPQ (8 B/vec vs 256 B raw), two-level PQR rerank (16 B/vec,
     // no raw-vector IO), polysemous Hamming filter, binary IVF.
@@ -190,6 +196,8 @@ object ScaleDemo {
       " and QuantizerSpec measure codec recall on spread data. Times & bytes are" +
       " the point here.")
 
+    } // fullRun: codec family
+
     // ---- huge-query bounded batch ----
     // nq > 4096 routes BoundedSearch to the lazy rounds (distributed
     // Ctrl DataFrame); nq > 131072 routes to the fully-distributed
@@ -208,11 +216,12 @@ object ScaleDemo {
       resH.results.count()
       val tH = (System.nanoTime() - t) / 1e9
       val pH = resH.stats.map(_.nprobeUsed)
-      println(f"bounded search 100k-query batch ($nH queries, distributed" +
+      println(f"bounded search huge batch ($nH queries, distributed" +
         f" control state): ${tH}%.1fs = ${tH * 1000 / nH}%.2f ms/query" +
         f" amortized, mean nprobe ${pH.sum.toDouble / pH.size}%.1f/$nlist")
     }
 
+    if (fullRun) {
     // ---- HNSW at scale: built-once partitioned graph ----
     // graph build is the one inherently block-local stage (documented
     // contract); size nParts so a block is ~150k nodes regardless of n
@@ -256,6 +265,7 @@ object ScaleDemo {
     val nInst = dedupIdx.instances.count()
     println(f"IVFDedup build (${n + nPlanted} rows, 8B hash shuffle key): " +
       f"${(System.nanoTime() - t) / 1e9}%.1fs, $nUnique unique + $nInst instances")
+    } // fullRun: HNSW + dedup
 
     spark.stop()
   }
