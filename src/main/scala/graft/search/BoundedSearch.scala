@@ -141,7 +141,12 @@ object BoundedSearch {
     val bDBs = spark.sparkContext.broadcast(
       qVecs.indices.map(i => (qVecs(i)._1, dBs(i))).toMap)
 
-    if (levels <= 3 && nq <= EagerMaxQueries && !forceLazy)
+    // eager covers nlist ≤ 128 (levels ≤ 4): the one-pass scan reads at
+    // most the reference's own nlist/8 hard-cap lists per query — over-
+    // probing vs adaptive stop is bounded by that cap, and one job
+    // beats ~2·levels round-trips for driver-collectable batches (the
+    // reference's overhead experiment is the yardstick here)
+    if (levels <= 4 && nq <= EagerMaxQueries && !forceLazy)
       return searchEagerStaged(ivfData, model, qVecs,
         ranks, new Decider(nq, k, model.metric, traces, dBs,
           qVecs.map(_._3), multiplier, stdM, levels), k)
