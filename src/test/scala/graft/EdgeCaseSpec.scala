@@ -59,6 +59,36 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().forall(_ == 0.0)) // self-match
   }
 
+  test("bounded search handles empty and single-query batches on every path") {
+    import spark.implicits._
+    import graft.search.BoundedSearch
+    import graft.profile.ProfileTrainer
+    val base = clusteredVecs(400, 8, nClusters = 8, seed = 95)
+    val bDF = vecDF(base)
+    val model = IVFIndex.train(bDF, nlist = 8, seed = 42L)
+    val assigned = IVFIndex.assign(bDF, model).cache()
+    val tq = vecDF(clusteredVecs(430, 8, nClusters = 8, seed = 95).drop(400), "qid")
+    val gt = FlatSearch.knn(bDF, tq, k = 5)
+    val traces = ProfileTrainer.train(assigned, model, tq, gt, maxTopk = 5, bs = 10)
+    val empty = Seq.empty[(Long, Array[Float], Float)]
+      .toDF("qid", "vec", "required_recall")
+    for (dist <- Seq(false, true)) {
+      val r = BoundedSearch.search(assigned, model, traces, empty, k = 5,
+        multiplier = 2.0f, forceDistributed = dist)
+      assert(r.results.count() == 0 && r.stats.isEmpty, s"distributed=$dist")
+    }
+    val one = Seq((7L, base(3), 0.9f)).toDF("qid", "vec", "required_recall")
+    for (dist <- Seq(false, true)) {
+      val r = BoundedSearch.search(assigned, model, traces, one, k = 5,
+        multiplier = 2.0f, forceDistributed = dist)
+      val rows = r.results.select(col("qid"), col("id"), col("rank"))
+        .as[(Long, Long, Int)].collect().sortBy(_._3)
+      assert(rows.length == 5 && rows.forall(_._1 == 7L), s"distributed=$dist")
+      assert(rows.head._2 == 3L, "nearest neighbor of an in-corpus vector is itself")
+      assert(r.stats.size == 1)
+    }
+  }
+
   test("distributed fvecs reader matches the driver-side reader") {
     val dir = java.nio.file.Files.createTempDirectory("fvecs").toString
     val vs = randVecs(100, 12, seed = 96)
