@@ -51,25 +51,32 @@ object Bench {
     // A single timed measurement let one noisy host interval become the
     // round's official number (r4: t02 read 4.32 s against a 0.62 s rerun);
     // the per-query median across three full sweeps kills that class.
+    // A pass that THROWS is excluded from the median — a fast failure
+    // must not masquerade as a fast steady-state time; a query with no
+    // successful pass reports -1 and lands in "failed".
     val timedPasses = 3
     val samples = Array.fill(timedPasses) {
       inventory.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).collect() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).collect(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }.toMap
     }
     val results = inventory.map { case (name, _) =>
-      val xs = samples.map(_(name)).sorted
-      name -> xs(xs.length / 2)
+      val xs = samples.flatMap(_(name)).sorted
+      name -> (if (xs.isEmpty) -1.0 else xs(xs.length / 2))
     }
+    val failed = results.collect { case (name, v) if v < 0 => name }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"build_sec":$buildSec%.3f,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"build_sec":$buildSec%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -102,8 +102,17 @@ object EmbeddingDedup {
     * production pre-pass in front of [[lshPairs]]: it guarantees
     * recall 1.0 on identical vectors REGARDLESS of local density, so
     * the banded join is free to cap its degenerate buckets (see the
-    * `maxBucket` contract there). Emits every unordered pair inside an
-    * exact-duplicate group with cos = 1.0, `a < b`. */
+    * `maxBucket` contract there).
+    *
+    * Emits STAR-shaped pairs — (min-id representative → each duplicate,
+    * `a < b`, cos 1.0), the [[graft.index.IVFDedup]] instances-table
+    * shape: a group of m duplicates costs m−1 rows, so a dead/zero
+    * embedding repeated 10⁵+ times (common in real corpora) cannot
+    * reintroduce the quadratic pair blowup the banded path's
+    * `maxBucket` cap exists to prevent. The full within-group pair set
+    * is the star's transitive closure if a caller ever needs it. Task
+    * memory per hash bucket: one representative vector + an id buffer
+    * per DISTINCT vector, never the bucket's full vector set. */
   def exactDupPairs(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -112,13 +121,20 @@ object EmbeddingDedup {
       .as[(Long, Array[Float], Long)]
       .groupByKey(_._3)
       .flatMapGroups { (_: Long, it: Iterator[(Long, Array[Float], Long)]) =>
-        it.toSeq
-          .groupBy(_._2.map(java.lang.Float.floatToRawIntBits).toSeq)
-          .valuesIterator.flatMap { grp =>
-            val ids = grp.map(_._1).sorted
-            for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
-              yield (ids(i), ids(j), 1.0)
-          }
+        val groups = scala.collection.mutable.LinkedHashMap
+          .empty[scala.collection.immutable.ArraySeq[Int],
+                 scala.collection.mutable.ArrayBuffer[Long]]
+        it.foreach { case (id, v, _) =>
+          val key = scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(v.map(java.lang.Float.floatToRawIntBits))
+          groups.getOrElseUpdate(key,
+            scala.collection.mutable.ArrayBuffer.empty[Long]) += id
+        }
+        groups.valuesIterator.filter(_.length > 1).flatMap { ids =>
+          val sorted = ids.sorted
+          val rep = sorted.head
+          sorted.iterator.drop(1).map(dup => (rep, dup, 1.0))
+        }
       }.toDF("a", "b", "cos")
   }
 
@@ -150,16 +166,7 @@ object EmbeddingDedup {
       sigs.select(col("id"), lit(b).as("band"),
         shiftright(col("sig"), b * width).bitwiseAND(mask).as("key"))
     }.reduce(_ unionByName _)
-    val small = bands.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("bsize"))
-      .filter(col("bsize") <= maxBucket)
-      .select(col("band"), col("key"))
-    val kept = bands.join(small, Seq("band", "key"))
-    val x = kept.select(col("band"), col("key"), col("id").as("a"))
-    val y = kept.select(col("band"), col("key"), col("id").as("b"))
-    val cand = x.join(y, Seq("band", "key")).filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    rerank(df, cand, threshold)
+    bandedPairs(df, bands, threshold, maxBucket, "lshPairs")
   }
 
   /** Banded near-dup over WIDE signatures (`BinaryHash.WideLSHModel`,
@@ -191,9 +198,33 @@ object EmbeddingDedup {
         shiftright(element_at(col("sig"), word + 1), off)
           .bitwiseAND(mask).as("key"))
     }.reduce(_ unionByName _)
-    val small = bands.groupBy(col("band"), col("key"))
+    bandedPairs(df, bands, threshold, maxBucket, "lshPairsWide")
+  }
+
+  /** Shared banded tail: bucket-size filter → band equi-join →
+    * id-distinct → exact-cosine rerank. The `maxBucket` drop is NOT
+    * silent: oversized buckets (and the id rows inside them) are
+    * counted and logged before candidate generation, so a run whose
+    * recall semantics changed — pairs whose every agreeing band was
+    * oversized lose LSH candidacy — says so in its log. The count is
+    * one extra partial-agg job over the short (band, key, id) rows. */
+  private def bandedPairs(df: DataFrame, bands: DataFrame,
+                          threshold: Double, maxBucket: Int,
+                          what: String): DataFrame = {
+    val counts = bands.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("bsize"))
-      .filter(col("bsize") <= maxBucket)
+    val d = counts.filter(col("bsize") > maxBucket)
+      .agg(count(lit(1)).as("nb"), coalesce(sum(col("bsize")), lit(0L)).as("nr"))
+      .select(col("nb").cast("long"), col("nr").cast("long"))
+      .collect()(0)
+    val (nBuckets, nRows) = (d.getLong(0), d.getLong(1))
+    if (nBuckets > 0)
+      log.warn(s"$what: dropping $nBuckets oversized band buckets " +
+        s"($nRows id rows, maxBucket=$maxBucket) from candidate " +
+        "generation; pairs whose every agreeing band is oversized lose " +
+        "LSH candidacy — run exactDupPairs first for the " +
+        "identical-vector guarantee")
+    val small = counts.filter(col("bsize") <= maxBucket)
       .select(col("band"), col("key"))
     val kept = bands.join(small, Seq("band", "key"))
     val x = kept.select(col("band"), col("key"), col("id").as("a"))
@@ -202,6 +233,8 @@ object EmbeddingDedup {
       .select(col("a"), col("b")).distinct()
     rerank(df, cand, threshold)
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Exact-cosine rescoring of candidate id pairs: vectors join in once
     * per surviving pair, scored with the codegen'd cosine. */

@@ -779,6 +779,36 @@ object Vector {
     probeReplaySql("a05", dir, "vec_id < 32", k = 10,
       extraCols = ", st.nprobe_used")
 
+  /** a01 routed through the FULLY-DISTRIBUTED cogroup path
+    * (`forceDistributed = true`): query vectors, centroid rankings,
+    * boundary windows and decision state all live in the `CtrlD`
+    * Dataset, and probed-list scans are list_no-keyed cogroups with
+    * hot-list salting — the >131k-query configuration, where the
+    * driver holds NO per-query structure. Until this row the path was
+    * covered only by specs and the ScaleDemo rehearsal; the same
+    * decision-replay oracle as a01/a05 proves it driver-side (all
+    * three paths share `decideStep` and the ranking geometry, so the
+    * replayed probe counts are identical by construction).
+    * Ref: `Auncel/IndexIVF.cpp:504-637`. */
+  def a07BoundedDist(s: SparkSession, dir: String): DataFrame = {
+    import graft.search.BoundedSearch
+    val (model, assigned, traces) = cachedTraces(s, dir)
+    val evalQ = qs(s, dir, "vec_id < 32").withColumn("required_recall", lit(0.9f))
+    val res = BoundedSearch.search(assigned, model, traces, evalQ, k = 10,
+      multiplier = 4.0f, stdM = 1.0f, forceDistributed = true)
+    val statsDF = s.createDataFrame(res.stats)
+      .select(col("qid").as("s_qid"), col("nprobeUsed").as("nprobe_used"))
+    writeProbeReplayTables(s, "a07", dir, model, assigned,
+      statsDF.select(col("s_qid").as("qid"), col("nprobe_used")))
+    res.results.join(broadcast(statsDF), col("qid") === col("s_qid"))
+      .select(col("qid"), col("id"), col("dist"), col("rank"), col("nprobe_used"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def a07Sql(dir: String): String =
+    probeReplaySql("a07", dir, "vec_id < 32", k = 10,
+      extraCols = ", st.nprobe_used")
+
   /** Bounded search under the INNER-PRODUCT metric in the exact-by-
     * construction configuration (a03's trick, multiplier = nlist): the
     * subtlest reference path — queries L2-normalized, profile in
@@ -963,6 +993,7 @@ object Vector {
     "a04_latency_exact" -> a04LatencyExact _,
     "a05_bounded_lazy" -> a05BoundedLazy _,
     "a06_bounded_ip_exact" -> a06BoundedIpExact _,
+    "a07_bounded_dist" -> a07BoundedDist _,
     "v13_ivf_range" -> v13IvfRange _,
     "v14_hnsw_knn" -> v14HnswKnn _,
     "v08_ivfpq_refine" -> v08IvfpqRefine _,
@@ -997,6 +1028,7 @@ object Vector {
     "a04_latency_exact" -> a04Sql,
     "a05_bounded_lazy" -> a05Sql(dir),
     "a06_bounded_ip_exact" -> a06Sql,
+    "a07_bounded_dist" -> a07Sql(dir),
     "v06_ivf_probe" -> v06Sql(dir),
     "v14_hnsw_knn" -> v14Sql,
     "v08_ivfpq_refine" -> v08Sql,

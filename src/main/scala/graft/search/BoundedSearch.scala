@@ -110,7 +110,12 @@ object BoundedSearch {
     val nlist = model.nlist
     val levels = traces.length
 
-    if (forceDistributed || queries.count() > DistributedMinQueries)
+    // path probe: a LIMIT-bounded count, not queries.count() — the full
+    // count is a whole job over the query plan spent only on routing,
+    // and for the huge batches it exists to detect it scans everything
+    // twice (once to count, once in searchDistributed)
+    if (forceDistributed ||
+        queries.limit(DistributedMinQueries + 1).count() > DistributedMinQueries)
       return searchDistributed(ivfData, model, traces, queries, k,
         multiplier, stdM)
 
@@ -319,8 +324,11 @@ object BoundedSearch {
       val probes = ctrl.filter(_.myNprobe == 0).flatMap { c =>
         c.lists.slice(lo, hi).iterator.map(l => (l, c.qid, c.vec))
       }
-      if (!probes.isEmpty) {
-        val newPartials = scanListsCogroup(ivfData, met, probes, k)
+      // one job serves three needs: the empty-round check, Parquet
+      // partition pruning, and the hot-list salt factors
+      val listCounts = probes.groupByKey(_._1).count().collect().toMap
+      if (listCounts.nonEmpty) {
+        val newPartials = scanListsCogroup(ivfData, met, probes, listCounts, k)
         val prev = state
         val merged = FlatSearch
           .mergeTopK(state.unionByName(newPartials), k)
@@ -368,8 +376,10 @@ object BoundedSearch {
         c.lists.slice(c.decidedStage, upto).iterator.map(l => (l, c.qid, c.vec))
       else Iterator.empty
     }
-    if (!finProbes.isEmpty)
-      state = state.unionByName(scanListsCogroup(ivfData, met, finProbes, k))
+    val finCounts = finProbes.groupByKey(_._1).count().collect().toMap
+    if (finCounts.nonEmpty)
+      state = state.unionByName(
+        scanListsCogroup(ivfData, met, finProbes, finCounts, k))
     // materialize through the checkpoint so the result no longer
     // depends on the cached control rows we are about to release
     val results = FlatSearch.mergeTopK(state, k).localCheckpoint(eager = true)
@@ -383,25 +393,60 @@ object BoundedSearch {
     Result(results, stats)
   }
 
+  /** Each (list, salt) cogroup task materializes its probe rows (query
+    * vector + one TopK heap per probe); this caps how many probes one
+    * task may hold. A hot list under a skewed query distribution —
+    * every query ranking the same list first — would otherwise
+    * concentrate ALL query vectors in a single executor task. Test
+    * hook: the `graft.cogroup.maxProbes` system property. */
+  private def maxProbesPerTask: Int =
+    sys.props.get("graft.cogroup.maxProbes").map(_.toInt).getOrElse(8192)
+
+  /** Salt sub-keys per list are capped so the key packing below stays
+    * within the 10 bits reserved for the salt. */
+  private val MaxSaltFactor = 512
+
   /** List-keyed cogroup scan: for each probed list, stream its vectors
     * against the (qid, qvec) probe rows for that list with per-query
     * bounded heaps — the distributed twin of [[scanLists]] (which
     * broadcasts a driver-built probe map instead). Emits ≤ k rows per
-    * (list, query). */
+    * (list, query).
+    *
+    * Skew guard: per-list probe counts (≤ nlist scalars) are collected
+    * first; a list with more than [[maxProbesPerTask]] probes is SALTED
+    * — its probes split across `ceil(count / maxProbesPerTask)` sub-keys
+    * by qid hash, and its data rows are replicated once per sub-key, so
+    * each task holds a bounded probe set and still scans the full list.
+    * Results are identical by construction (every probe sees every row
+    * of its list exactly once); the cost is re-reading hot lists once
+    * per salt — paid only where the skew actually is. */
   private def scanListsCogroup(ivfData: DataFrame, metric: String,
       probes: org.apache.spark.sql.Dataset[(Int, Long, Array[Float])],
-      k: Int): DataFrame = {
+      listCounts: Map[Int, Long], k: Int): DataFrame = {
     val spark = ivfData.sparkSession
     import spark.implicits._
-    // the distinct probed-list set is ≤ nlist — collect it for Parquet
-    // partition pruning before the shuffle
-    val probedLists = probes.map(_._1).distinct().collect()
+    // per-list probe counts (caller-computed, ≤ nlist entries) drive
+    // Parquet partition pruning AND the hot-list salt factors
+    val maxProbes = maxProbesPerTask
+    val salts: Map[Int, Int] = listCounts.map { case (l, c) =>
+      l -> math.min(MaxSaltFactor.toLong,
+        (c + maxProbes - 1) / maxProbes).toInt
+    }
+    val bSalts = spark.sparkContext.broadcast(salts)
+    def key(l: Int, s: Int): Long = (l.toLong << 10) | s.toLong
     val dataG = ivfData
-      .filter(col("list_no").isin(probedLists.toSeq.sorted: _*))
+      .filter(col("list_no").isin(listCounts.keys.toSeq.sorted: _*))
       .select(col("list_no").cast("int"), col("id").cast("long"), col("vec"))
       .as[(Int, Long, Array[Float])]
+      .flatMap { case (l, id, vec) =>
+        val s = bSalts.value.getOrElse(l, 1)
+        (0 until s).iterator.map(si => (key(l, si), id, vec))
+      }
       .groupByKey(_._1)
-    val probeG = probes.groupByKey(_._1)
+    val probeG = probes.map { case (l, qid, vec) =>
+      val s = bSalts.value.getOrElse(l, 1)
+      (key(l, math.floorMod(qid, s.toLong).toInt), qid, vec)
+    }.groupByKey(_._1)
     dataG.cogroup(probeG) { (_, dataIt, probeIt) =>
       val ps = probeIt.toArray
       if (ps.isEmpty) Iterator.empty

@@ -204,7 +204,7 @@ object ScaleDemo {
     // cogroup path where even the query vectors and centroid rankings
     // never sit on the driver. Third arg overrides the batch size
     // (e.g. 1000000 exercises the cogroup path).
-    if (n >= 1000000) {
+    if (n >= 1000000 && sys.env.get("SCALE_ONLY").forall(s => s == "bounded")) {
       val nHuge = if (args.length > 2) args(2).toInt else 100000
       val hugeQ = baseDF.filter(col("id") % (n / nHuge) === 0).limit(nHuge)
         .select(col("id").as("qid"), col("vec"))
@@ -219,6 +219,35 @@ object ScaleDemo {
       println(f"bounded search huge batch ($nH queries, distributed" +
         f" control state): ${tH}%.1fs = ${tH * 1000 / nH}%.2f ms/query" +
         f" amortized, mean nprobe ${pH.sum.toDouble / pH.size}%.1f/$nlist")
+    }
+
+    // ---- skewed huge batch: hot-list salting on the cogroup path ----
+    // every query jittered around ONE corpus point → the same handful
+    // of lists take every probe row. Unsalted, a single cogroup task
+    // would materialize ALL query vectors + heaps (the r6 advice's
+    // skew scenario); with per-list salt factors each task holds
+    // ≤ maxProbesPerTask probes and the hot list's rows are re-read
+    // once per salt. SCALE_ONLY=skew runs just this section.
+    if (n >= 1000000 && sys.env.get("SCALE_ONLY").forall(s => s == "skew")) {
+      val nSkew = 200000 // > 131072 → fully-distributed cogroup path
+      val anchor = baseDF.filter(col("id") === 17L)
+        .select(col("vec")).as[Array[Float]].head()
+      val jit = udf { (qid: Long) =>
+        val r = new scala.util.Random(qid * 912871L + 5)
+        anchor.map(x => (x + 0.05 * r.nextGaussian()).toFloat)
+      }
+      val skewQ = spark.range(nSkew).toDF("qid")
+        .withColumn("vec", jit(col("qid")))
+        .withColumn("required_recall", lit(0.9f))
+      t = System.nanoTime()
+      val resS = BoundedSearch.search(ivf, model, traces, skewQ, k,
+        multiplier = 4.0f, stdM = 1.0f)
+      resS.results.count()
+      val tS = (System.nanoTime() - t) / 1e9
+      val pS = resS.stats.map(_.nprobeUsed)
+      println(f"bounded search SKEWED batch ($nSkew queries on one " +
+        f"cluster, salted cogroup): ${tS}%.1fs = ${tS * 1000 / nSkew}%.2f " +
+        f"ms/query amortized, mean nprobe ${pS.sum.toDouble / pS.size}%.1f/$nlist")
     }
 
     if (fullRun) {

@@ -259,6 +259,41 @@ class BoundedSearchSpec extends SparkSpec {
     assert(lStats == dStats)
   }
 
+  test("cogroup path salts hot lists and stays bit-identical under skew") {
+    import spark.implicits._
+    // all queries jittered around ONE base point → the same few lists
+    // take every probe row; maxProbes=4 forces multi-salt sub-keys on
+    // those hot lists, exercising the data-replication + probe-split
+    // path that guards a task's memory at 100k+ queries
+    val b = clusteredVecs(2000, d, nClusters = 24, seed = 55)
+    val bDF = vecDF(b)
+    val m32 = IVFIndex.train(bDF, nlist = 32, seed = 42L)
+    val a32 = IVFIndex.assign(bDF, m32).cache()
+    val tq = vecDF(clusteredVecs(2100, d, nClusters = 24, seed = 55).drop(2000), "qid")
+    val gt32 = FlatSearch.knn(bDF, tq, k)
+    val tr32 = ProfileTrainer.train(a32, m32, tq, gt32, maxTopk = k, bs = 50)
+    val rnd = new scala.util.Random(91)
+    val anchor = b(17)
+    val skewQ = Array.fill(30)(
+      anchor.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat))
+    val qdf = skewQ.zipWithIndex.map { case (v, i) => (i.toLong, v, 0.8f) }
+      .toSeq.toDF("qid", "vec", "required_recall")
+    def run(salted: Boolean, distributed: Boolean) = {
+      if (salted) sys.props("graft.cogroup.maxProbes") = "4"
+      try {
+        val r = BoundedSearch.search(a32, m32, tr32, qdf, k,
+          multiplier = 4.0f, stdM = 1.0f, forceDistributed = distributed)
+        (r.results.select(col("qid"), col("rank"), col("id"), col("dist"))
+          .as[(Long, Int, Long, Double)].collect().sortBy(x => (x._1, x._2)),
+          r.stats.sortBy(_.qid))
+      } finally if (salted) sys.props.remove("graft.cogroup.maxProbes")
+    }
+    val (eRows, eStats) = run(salted = false, distributed = false)
+    val (sRows, sStats) = run(salted = true, distributed = true)
+    assert(eRows.sameElements(sRows), "salted cogroup rows differ from eager")
+    assert(eStats == sStats, "salted cogroup stats differ from eager")
+  }
+
   test("large query batches route to the distributed-state path and match chunked eager") {
     import spark.implicits._
     // nq > EagerMaxQueries forces the lazy path even at levels ≤ 3;

@@ -109,7 +109,7 @@ class DedupSpec extends SparkSpec {
     assert(gotTwin.contains((3L, 500L)))
   }
 
-  test("exactDupPairs finds all identical-vector pairs via the hash pre-pass") {
+  test("exactDupPairs emits the star pairs of every identical-vector group") {
     import spark.implicits._
     val originals = randVecs(300, 16, seed = 31)
     // twins for every 10th vector, plus one triple (0, 300, 600)
@@ -119,8 +119,10 @@ class DedupSpec extends SparkSpec {
     val df = rows.toSeq.toDF("id", "vec")
     val got = EmbeddingDedup.exactDupPairs(df)
       .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
-    val wantPairs = (0 until 300 by 10).map(i => (i.toLong, i + 300L)).toSet ++
-      Set((0L, 600L), (300L, 600L))
+    // star shape: min-id rep → each dup; the triple {0,300,600} emits
+    // (0,300),(0,600) — m−1 rows, not the m² closure
+    val wantPairs = (0 until 300 by 10).map(i => (i.toLong, i + 300L)).toSet +
+      ((0L, 600L))
     assert(got == wantPairs)
   }
 
