@@ -168,11 +168,15 @@ object BoundedSearch {
     ctrl.count()
 
     var j = 0
-    while (j < levels) {
+    var allDecided = false
+    while (j < levels && !allDecided) {
       val lo = if (j == 0) 0 else 1 << (j - 1) // probe ranks (lo, hi]
       val hi = 1 << j
       val activeQids = ctrl.filter(_.myNprobe == 0).map(_.qid).collect().toSet
-      if (activeQids.nonEmpty) {
+      // myNprobe only transitions active → decided, so an empty active
+      // set stays empty — skip the remaining rounds' no-op jobs
+      if (activeQids.isEmpty) allDecided = true
+      else {
         val active = (0 until nq).filter(qi => activeQids(qVecs(qi)._1))
         val probeMap: Map[Int, Array[Int]] = active.flatMap { qi =>
           ranks(qi).slice(lo, hi).map { case (l, _) => (l, qi) }
@@ -289,7 +293,9 @@ object BoundedSearch {
     * the probe side carries active × (hi−lo) rows of ~(d·4+16) bytes.
     * On a bucketed (list_no-bucketed) table the data-side shuffle
     * drops out entirely; unbucketed it is nprobed/nlist of the corpus
-    * per round — the price of not holding nq-sized maps anywhere. */
+    * per round — the price of not holding nq-sized maps anywhere.
+    * Skewed query distributions (every query ranking the same lists)
+    * are bounded by per-list SALTING in [[scanListsCogroup]]. */
   private def searchDistributed(ivfData: DataFrame, model: IVFModel,
       traces: Array[Trace], queries: DataFrame, k: Int,
       multiplier: Float, stdM: Float): Result = {
@@ -318,7 +324,8 @@ object BoundedSearch {
       .toDF("qid", "id", "dist")
 
     var j = 0
-    while (j < levels) {
+    var allDecidedD = false
+    while (j < levels && !allDecidedD) {
       val lo = if (j == 0) 0 else 1 << (j - 1)
       val hi = 1 << j
       val probes = ctrl.filter(_.myNprobe == 0).flatMap { c =>
@@ -327,7 +334,10 @@ object BoundedSearch {
       // one job serves three needs: the empty-round check, Parquet
       // partition pruning, and the hot-list salt factors
       val listCounts = probes.groupByKey(_._1).count().collect().toMap
-      if (listCounts.nonEmpty) {
+      // empty ⟺ no active queries (decisions never reopen): remaining
+      // rounds are no-ops — break instead of paying a job per round
+      if (listCounts.isEmpty) allDecidedD = true
+      else {
         val newPartials = scanListsCogroup(ivfData, met, probes, listCounts, k)
         val prev = state
         val merged = FlatSearch

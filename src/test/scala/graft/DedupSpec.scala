@@ -126,6 +126,23 @@ class DedupSpec extends SparkSpec {
     assert(got == wantPairs)
   }
 
+  test("exactDupPairs: a massively repeated vector emits m-1 star rows, not m^2") {
+    import spark.implicits._
+    // the dead/zero-embedding case from real corpora: one vector
+    // repeated 50k times. The pair closure would be ~1.25e9 rows; the
+    // star contract emits exactly m-1, all anchored at the min id.
+    val dead = Array.fill(16)(0.0f)
+    val m = 50000
+    val spread = randVecs(100, 16, seed = 77)
+    val rows = (0L until m.toLong).map(i => (i, dead)) ++
+      spread.zipWithIndex.map { case (v, i) => (m + i.toLong, v) }
+    val got = EmbeddingDedup.exactDupPairs(rows.toDF("id", "vec")).cache()
+    assert(got.count() == m - 1)
+    val reps = got.select(col("a")).distinct().as[Long].collect()
+    assert(reps.sameElements(Array(0L)), "all pairs anchored at min id")
+    got.unpersist()
+  }
+
   test("lshPairs drops degenerate band buckets but the exact pre-pass keeps twins") {
     import spark.implicits._
     // a TIGHT cluster: every band bucket holds the whole cluster, so a
