@@ -206,27 +206,35 @@ object EmbeddingDedup {
     * silent: oversized buckets (and the id rows inside them) are
     * counted and logged before candidate generation, so a run whose
     * recall semantics changed — pairs whose every agreeing band was
-    * oversized lose LSH candidacy — says so in its log. The count is
-    * one extra partial-agg job over the short (band, key, id) rows. */
+    * oversized lose LSH candidacy — says so in its log.
+    *
+    * Oversized buckets are FEW by construction (each holds > maxBucket
+    * rows, so ≤ N·bands/maxBucket exist), so their keys collect to the
+    * driver and the filter is a broadcast ANTI-join — cheaper than
+    * shuffling the bands frame against its own bucket-size aggregate,
+    * and the discovery job doubles as the logged count. */
   private def bandedPairs(df: DataFrame, bands: DataFrame,
                           threshold: Double, maxBucket: Int,
                           what: String): DataFrame = {
-    val counts = bands.groupBy(col("band"), col("key"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val oversized: Array[(Int, Long, Long)] = bands
+      .groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("bsize"))
-    val d = counts.filter(col("bsize") > maxBucket)
-      .agg(count(lit(1)).as("nb"), coalesce(sum(col("bsize")), lit(0L)).as("nr"))
-      .select(col("nb").cast("long"), col("nr").cast("long"))
-      .collect()(0)
-    val (nBuckets, nRows) = (d.getLong(0), d.getLong(1))
-    if (nBuckets > 0)
-      log.warn(s"$what: dropping $nBuckets oversized band buckets " +
-        s"($nRows id rows, maxBucket=$maxBucket) from candidate " +
-        "generation; pairs whose every agreeing band is oversized lose " +
-        "LSH candidacy — run exactDupPairs first for the " +
-        "identical-vector guarantee")
-    val small = counts.filter(col("bsize") <= maxBucket)
-      .select(col("band"), col("key"))
-    val kept = bands.join(small, Seq("band", "key"))
+      .filter(col("bsize") > maxBucket)
+      .select(col("band").cast("int"), col("key").cast("long"),
+        col("bsize").cast("long"))
+      .as[(Int, Long, Long)].collect()
+    val kept = if (oversized.isEmpty) bands else {
+      log.warn(s"$what: dropping ${oversized.length} oversized band " +
+        s"buckets (${oversized.map(_._3).sum} id rows, " +
+        s"maxBucket=$maxBucket) from candidate generation; pairs whose " +
+        "every agreeing band is oversized lose LSH candidacy — run " +
+        "exactDupPairs first for the identical-vector guarantee")
+      val keys = oversized.map { case (b, k2, _) => (b, k2) }.toSeq
+        .toDF("band", "key")
+      bands.join(broadcast(keys), Seq("band", "key"), "left_anti")
+    }
     val x = kept.select(col("band"), col("key"), col("id").as("a"))
     val y = kept.select(col("band"), col("key"), col("id").as("b"))
     val cand = x.join(y, Seq("band", "key")).filter(col("a") < col("b"))
