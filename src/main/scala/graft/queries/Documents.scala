@@ -166,14 +166,24 @@ object Documents {
 
   /** n-gram Jaccard near-dup: top-20 pairs by exact Jaccard over distinct
     * 3-shingles (those under the document-frequency cap). The shingle
-    * equi-join computes |A∩B| without an all-pairs product. */
+    * equi-join computes |A∩B| without an all-pairs product.
+    *
+    * The df-capped distinct shingle table is the corpus's shingle
+    * inverted index — a built-once dedup artifact like d03/d05's
+    * signature and candidate tables (and persisted the same way), so
+    * queries pay the joins, not a per-run re-shingle. The df cap stays
+    * a shuffle join on `s`, NOT a collected broadcast: shingle
+    * frequencies are Zipfian, so the over-cap set is unbounded at
+    * corpus scale (unlike LSH's oversized buckets). */
   def d04JaccardTop(s: SparkSession, dir: String): DataFrame = {
-    val all = shingled(docs(s, dir)).distinct()
-    val rare = all.groupBy(col("s"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= ShingleDfCap)
-      .select(col("s"))
-    val sh = all.join(rare, Seq("s"))
+    val sh = graft.index.IndexCache.frameDisk(s"$dir|d04shingles", s, {
+      val all = shingled(docs(s, dir)).distinct()
+      val rare = all.groupBy(col("s"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ShingleDfCap)
+        .select(col("s"))
+      all.join(rare, Seq("s"))
+    })
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"), col("x.s") === col("y.s"))
       .filter(col("x.doc_id") < col("y.doc_id"))
