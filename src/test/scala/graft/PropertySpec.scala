@@ -72,6 +72,72 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("decideStep: decision boundary, hard cap, and recall monotonicity") {
+    import graft.search.BoundedSearch
+    import graft.search.BoundedSearch.Ctrl
+    val gen = Gen.zip(
+      Gen.chooseNum(0.1f, 1.0f),  // require
+      Gen.chooseNum(0, 4),        // round j
+      Gen.chooseNum(0f, 1f),      // predicted recall
+      Gen.chooseNum(0, 40),       // nDists
+      Gen.chooseNum(0.0, 100.0),  // worst kept distance
+      Gen.chooseNum(1f, 16f))     // calibration multiplier
+    val levels = 5; val k = 10
+    check(gen, 400) { case (req, j, recall, nDists, maxVal, mult) =>
+      val st = Ctrl(0L, req, 0, 0, Double.NaN, 0f, 0)
+      val next = BoundedSearch.decideStep(st, j, levels, k, mult,
+        recall, nDists, maxVal)
+      val hi = 1 << j
+      // starting from preVal = NaN, stagnation can't fire in one step,
+      // so the decision boundary is exactly recall ≥ require ∨ cap
+      if (recall >= req || j == levels - 1) {
+        assert(next.myNprobe == math.max(hi, (hi * mult).toInt),
+          "probe target = stage × multiplier, never below the stage")
+        assert(next.decidedStage == hi)
+      } else {
+        assert(next.myNprobe == 0 && next.decidedStage == 0)
+      }
+      assert(next.preVal == maxVal, "worst distance always carried forward")
+      // monotone: a higher predicted recall can only decide, with the
+      // same probe target — never undecide or probe differently
+      if (next.myNprobe != 0) {
+        val more = BoundedSearch.decideStep(st, j, levels, k, mult,
+          math.min(1f, recall + 0.1f), nDists, maxVal)
+        assert(more.myNprobe == next.myNprobe &&
+          more.decidedStage == next.decidedStage)
+      }
+    }
+  }
+
+  test("decideStep: stagnation on an unchanged worst distance forces termination") {
+    import graft.search.BoundedSearch
+    import graft.search.BoundedSearch.Ctrl
+    val req = 0.5f; val k = 5; val mult = 2f; val levels = 6
+    // worst distance frozen across rounds → stoped accumulates (hi−lo)
+    // per round; at require×12 = 6 the profile treats recall as 1 and
+    // the query stops at stage 8 — well before the stage-32 hard cap
+    var st = Ctrl(0L, req, 0, 0, Double.NaN, 0f, 0)
+    var j = 0
+    while (j < levels && st.myNprobe == 0) {
+      st = BoundedSearch.decideStep(st, j, levels, k, mult,
+        recallRaw = 0f, nDists = k, maxVal = 7.5)
+      j += 1
+    }
+    assert(st.myNprobe != 0)
+    assert(st.decidedStage == 8, s"stagnation should stop at stage 8, got ${st.decidedStage}")
+    // a CHANGING worst distance resets the stagnation counter each
+    // round — the query runs to the hard cap instead
+    var st2 = Ctrl(0L, req, 0, 0, Double.NaN, 0f, 0)
+    var j2 = 0
+    while (j2 < levels && st2.myNprobe == 0) {
+      st2 = BoundedSearch.decideStep(st2, j2, levels, k, mult,
+        recallRaw = 0f, nDists = k, maxVal = 7.5 - 0.1 * j2)
+      j2 += 1
+    }
+    assert(st2.decidedStage == 1 << (levels - 1),
+      s"improving distances must run to the cap, got ${st2.decidedStage}")
+  }
+
   test("PQ/SQ encode-decode: decode stays within half a step of the range") {
     val sq = graft.quantize.SQModel(
       vmin = Array.fill(8)(-1f), vmax = Array.fill(8)(1f))
