@@ -341,36 +341,51 @@ object Vector {
     val diffs = Array.tabulate(sq.dim)(i => sq.vmax(i).toDouble - sq.vmin(i).toDouble)
     val gMin = sq.vmin.min.toDouble
     val gDiff = sq.vmax.max.toDouble - gMin
-    def sqErr(steps: Int)(mn: org.apache.spark.sql.Column,
-              df: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) = {
-      val st = steps.toDouble
-      val code = least(lit(st), greatest(lit(0.0), floor((x - mn) / df * st)))
-      val dec = (mn + (code + 0.5) / st * df).cast("float").cast("double")
+    // Scalar-kernel twin of the higher-order formulation (the shingleU
+    // precedent: interpreted HOF chains cost ~µs per row per codec —
+    // here 5 codecs × 64 dims ran ~10× slower than one fused loop).
+    // Arithmetic is kept IDENTICAL per dim, left-to-right summation
+    // per codec, including Spark's least/greatest NaN semantics
+    // (greatest propagates NaN, least then prefers the literal) and
+    // bround's HALF_EVEN — math.rint, since binary ties are exactly
+    // representable. The DuckDB oracle reproduces this bit-for-bit.
+    def sqErr(x: Double, mn: Double, df: Double, st: Double): Double = {
+      val t = math.floor((x - mn) / df * st)
+      val g = if (t.isNaN) Double.NaN else math.max(0.0, t)
+      val code = if (g.isNaN) st else math.min(st, g)
+      val dec = (mn + (code + 0.5) / st * df).toFloat.toDouble
       (x - dec) * (x - dec)
     }
-    def fp16Err(x: org.apache.spark.sql.Column) = {
-      val m = pow(lit(2.0), lit(10) - greatest(floor(log2(abs(x))), lit(-14.0)))
-      val dec = when(x === 0.0, 0.0).otherwise(bround(x * m) / m)
-        .cast("float").cast("double")
-      (x - dec) * (x - dec)
+    def fp16Err(x: Double): Double =
+      if (x == 0.0) 0.0
+      else {
+        val m = math.pow(2.0,
+          10.0 - math.max(math.floor(math.log(math.abs(x)) / math.log(2.0)), -14.0))
+        val dec = (math.rint(x * m) / m).toFloat.toDouble
+        (x - dec) * (x - dec)
+      }
+    val errsU = udf { (vec: Seq[Float]) =>
+      var sq4 = 0.0; var sq4u = 0.0; var sq6 = 0.0; var sq8u = 0.0; var f16 = 0.0
+      var i = 0
+      while (i < vec.length) {
+        val x = vec(i).toDouble
+        sq4 += sqErr(x, mins(i), diffs(i), 15.0)
+        sq4u += sqErr(x, gMin, gDiff, 15.0)
+        sq6 += sqErr(x, mins(i), diffs(i), 63.0)
+        sq8u += sqErr(x, gMin, gDiff, 255.0)
+        f16 += fp16Err(x)
+        i += 1
+      }
+      (sq4, sq4u, sq6, sq8u, f16)
     }
-    val dims = sequence(lit(0), lit(sq.dim - 1))
-    val xAt = (i: org.apache.spark.sql.Column) =>
-      element_at(col("vec"), i + 1).cast("double")
-    def perDim(steps: Int) = aggregate(
-      transform(dims, i => sqErr(steps)(element_at(lit(mins), i + 1),
-        element_at(lit(diffs), i + 1), xAt(i))), lit(0.0), (a, x) => a + x)
-    def global(steps: Int) = aggregate(
-      transform(dims, i => sqErr(steps)(lit(gMin), lit(gDiff), xAt(i))),
-      lit(0.0), (a, x) => a + x)
-    b.select(
-      col("id").as("vec_id"),
-      perDim(15).as("sq4_err"),
-      global(15).as("sq4u_err"),
-      perDim(63).as("sq6_err"),
-      global(255).as("sq8u_err"),
-      aggregate(transform(dims, i => fp16Err(xAt(i))), lit(0.0),
-        (a, x) => a + x).as("fp16_err"))
+    b.select(col("id").as("vec_id"), errsU(col("vec")).as("e"))
+      .select(
+        col("vec_id"),
+        col("e._1").as("sq4_err"),
+        col("e._2").as("sq4u_err"),
+        col("e._3").as("sq6_err"),
+        col("e._4").as("sq8u_err"),
+        col("e._5").as("fp16_err"))
       .orderBy(col("vec_id"))
   }
 
