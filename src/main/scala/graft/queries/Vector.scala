@@ -300,17 +300,25 @@ object Vector {
     val mins = sq.vmin.map(_.toDouble)
     // range in DOUBLE (the oracle subtracts doubles; float mx-mn differs in ulp)
     val diffs = Array.tabulate(sq.dim)(i => sq.vmax(i).toDouble - sq.vmin(i).toDouble)
-    val err = aggregate(
-      transform(sequence(lit(0), lit(sq.dim - 1)), i => {
-        val x = element_at(col("vec"), i + 1).cast("double")
-        val mn = element_at(lit(mins), i + 1)
-        val df = element_at(lit(diffs), i + 1)
-        val code = least(lit(255.0), greatest(lit(0.0), floor((x - mn) / df * 255)))
-        val dec = (mn + (code + 0.5) / 255.0 * df).cast("float").cast("double")
-        (x - dec) * (x - dec)
-      }),
-      lit(0.0), (acc, x) => acc + x)
-    b.select(col("id").as("vec_id"), err.as("sq_err")).orderBy(col("vec_id"))
+    // fused scalar kernel, the v16 treatment: identical per-dim
+    // arithmetic (incl. least/greatest NaN semantics), left-to-right
+    // summation — bit-exact vs the oracle, without interpreted HOFs
+    val errU = udf { (vec: Seq[Float]) =>
+      var acc = 0.0
+      var i = 0
+      while (i < vec.length) {
+        val x = vec(i).toDouble
+        val t = math.floor((x - mins(i)) / diffs(i) * 255)
+        val g = if (t.isNaN) Double.NaN else math.max(0.0, t)
+        val code = if (g.isNaN) 255.0 else math.min(255.0, g)
+        val dec = (mins(i) + (code + 0.5) / 255.0 * diffs(i)).toFloat.toDouble
+        acc += (x - dec) * (x - dec)
+        i += 1
+      }
+      acc
+    }
+    b.select(col("id").as("vec_id"), errU(col("vec")).as("sq_err"))
+      .orderBy(col("vec_id"))
   }
 
   val v09Sql: String =
