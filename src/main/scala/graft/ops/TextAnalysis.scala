@@ -20,20 +20,38 @@ object TextAnalysis {
     "zh" -> Set("的", "了", "是", "在", "我", "有", "他", "这", "中", "大"))
 
   /** Language ID: argmax over per-language stopword hit counts
-    * (ties → "und", as is conventional for undetermined). */
+    * (ties → "und", as is conventional for undetermined).
+    *
+    * Fused scalar kernel (the shingleU/v16 precedent): one pass over
+    * the word array scores all five languages — the higher-order
+    * `filter(ws, array_contains)` form runs interpreted, 5 lambda
+    * passes per row. Semantics identical: split on `\s+` of the
+    * lowercased text, argmax by (hits, lang) — equal hits break to the
+    * lexicographically larger lang, all-zero → "und". */
   def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val ws = split(lower(col(textCol)), "\\s+")
-    val scores: Seq[(String, Column)] = profiles.toSeq.sortBy(_._1).map {
-      case (lang, words) =>
-        val sw = array(words.toSeq.sorted.map(lit): _*)
-        (lang, size(filter(ws, w => array_contains(sw, w))))
+    val ordered = profiles.toSeq.sortBy(_._1)
+    val predU = udf { (text: String) =>
+      // Locale.ROOT: Spark's lower() is locale-insensitive — the JVM
+      // default locale must not leak in (Turkish-I class of bugs)
+      val ws = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+      var bestLang = ""
+      var bestHits = 0
+      var any = false
+      ordered.foreach { case (lang, set) =>
+        var h = 0
+        var i = 0
+        while (i < ws.length) { if (set(ws(i))) h += 1; i += 1 }
+        if (h > 0) any = true
+        // max over (hits, lang) tuples, lang as the tie-breaker —
+        // exactly array_max over struct(hits, lang)
+        if (bestLang.isEmpty || h > bestHits ||
+            (h == bestHits && lang > bestLang)) {
+          bestHits = h; bestLang = lang
+        }
+      }
+      if (!any) "und" else bestLang
     }
-    val best = scores.map { case (lang, s) =>
-      struct(s.as("hits"), lit(lang).as("lang"))
-    }
-    docs.withColumn("pred_lang",
-      when(greatest(scores.map(_._2): _*) <= 0, lit("und"))
-        .otherwise(array_max(array(best: _*)).getField("lang")))
+    docs.withColumn("pred_lang", predU(col(textCol)))
   }
 
   /** 64-bit SimHash over word features: each word votes its md5-derived
@@ -87,10 +105,21 @@ object TextAnalysis {
     * and the mod keeps the fold portable to the SQL oracle. */
   def rollingFingerprint(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
-    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
-    val h = aggregate(
-      transform(split(norm, ""), ch => ascii(ch).cast("long")),
-      lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
-    docs.select(col(idCol), h.as("fingerprint"))
+    // fused scalar kernel (the shingleU/v16 precedent) — the
+    // per-character transform/aggregate chain runs interpreted, one
+    // lambda dispatch per CHARACTER. Same fold: lowercase (ROOT
+    // locale, matching Spark's lower), collapse \s+ to one space,
+    // trim, then (acc·31 + codepoint) mod 1e9+7 left-to-right —
+    // codepoint iteration matches split("")+ascii on BMP and keeps
+    // surrogate pairs whole exactly as Java regex split("") does.
+    val fpU = udf { (text: String) =>
+      val norm = text.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ").trim
+      var acc = 0L
+      val it = norm.codePoints().iterator()
+      while (it.hasNext) acc = (acc * 31 + it.next()) % 1000000007L
+      acc
+    }
+    docs.select(col(idCol), fpU(col(textCol)).as("fingerprint"))
   }
 }
