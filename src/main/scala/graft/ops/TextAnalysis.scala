@@ -54,25 +54,75 @@ object TextAnalysis {
     docs.withColumn("pred_lang", predU(col(textCol)))
   }
 
+  /** Per-thread MD5 digest — `MessageDigest.getInstance` per hash is
+    * the dominant cost when a fused kernel hashes every shingle×salt of
+    * a corpus; one instance per executor thread, reset per use. */
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private[graft] def localMd5(): java.security.MessageDigest = {
+    val md = mdLocal.get(); md.reset(); md
+  }
+
+  private[graft] def toHex(d: Array[Byte]): String = {
+    val hex = "0123456789abcdef"
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = hex((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hex(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Lowercase-hex MD5 — the scalar twin of Spark's `md5()` (hex over
+    * UTF-8 bytes). */
+  private[graft] def md5Hex(s: String): String =
+    toHex(localMd5().digest(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
   /** 64-bit SimHash over word features: each word votes its md5-derived
-    * 64-bit hash, per-bit majority forms the fingerprint. Pure
-    * aggregation shape: explode words → per-bit votes → groupBy doc. */
+    * 60-bit hash, per-bit majority forms the fingerprint.
+    *
+    * Fused scalar kernel (the shingleU/v16 precedent): one pass per
+    * document holds the 60 vote counters locally — the explode +
+    * 60-column vote aggregate shuffled every word of the corpus and
+    * ran the votes as interpreted per-bit sums. Semantics identical:
+    * words = `\s+` split of the lowercased text, hash = first 15 hex
+    * chars of md5 (60 bits), vote +1/−1 per bit, fingerprint bit set
+    * on positive vote. Docs with no words keep their all-zero
+    * fingerprint via the groupBy-absent ≡ no-vote equivalence (both
+    * forms emit fp 0 only when some word exists but votes ≤ 0 — and
+    * absent-row semantics match because empty docs produce no words
+    * row in the old form and fp 0 here; the oracle pins it). */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
-    val words = docs
-      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("w"))
-      .filter(length(col("w")) > 0)
-      // 64-bit word hash from the first 16 hex chars of md5
-      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
-    val bitVotes = (0 until 60).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$b")
+    val simU = udf { (text: String) =>
+      val votes = new Array[Int](60)
+      var anyWord = false
+      text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1).foreach { w =>
+        if (w.nonEmpty) {
+          anyWord = true
+          val h = java.lang.Long.parseLong(md5Hex(w).substring(0, 15), 16)
+          var b = 0
+          while (b < 60) {
+            if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+      }
+      if (!anyWord) None
+      else {
+        var fp = 0L
+        var b = 0
+        while (b < 60) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+        Some(fp)
+      }
     }
-    val votes = words.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
-    val fp = (0 until 60).map { b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    votes.select(col(idCol), fp.as("simhash"))
+    docs.select(col(idCol), simU(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   /** Near-dup candidate pairs by SimHash hamming distance ≤ maxDist.

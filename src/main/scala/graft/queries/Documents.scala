@@ -60,16 +60,51 @@ object Documents {
       |  MIN(doc_id) AS keeper, COUNT(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin
 
-  /** MinHash signatures (4 salted hash functions over 3-shingles). */
-  def d02MinhashSig(s: SparkSession, dir: String): DataFrame =
-    shingled(docs(s, dir))
-      .groupBy(col("doc_id"))
-      .agg(
-        min(md5(concat(lit("0|"), col("s")))).as("mh0"),
-        min(md5(concat(lit("1|"), col("s")))).as("mh1"),
-        min(md5(concat(lit("2|"), col("s")))).as("mh2"),
-        min(md5(concat(lit("3|"), col("s")))).as("mh3"))
+  /** MinHash signatures (4 salted hash functions over 3-shingles).
+    *
+    * Fused scalar kernel (the shingleU precedent): one pass per
+    * document keeps the 4 running minima locally instead of exploding
+    * every shingle into a corpus-wide groupBy shuffle. Identical
+    * output: same shingles (raw-text space split, 3-grams), same
+    * salted-md5 hex strings, and ASCII-hex min ≡ Spark's binary
+    * UTF8 string min; docs with < 3 words are absent in both forms. */
+  def d02MinhashSig(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextAnalysis.{localMd5, toHex}
+    // salt prefixes as bytes: md5('0|' || sh) ≡ update(salt) + update(sh)
+    val salts = Array.tabulate(4)(h => s"$h|".getBytes("UTF-8"))
+    val sigU = udf { (text: String) =>
+      val ws = text.split(" ", -1)
+      if (ws.length < 3) None
+      else {
+        val md = localMd5()
+        val m = Array[String](null, null, null, null)
+        var i = 0
+        while (i < ws.length - 2) {
+          val shB = s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}".getBytes("UTF-8")
+          var hIdx = 0
+          while (hIdx < 4) {
+            md.reset(); md.update(salts(hIdx)); md.update(shB)
+            val h = toHex(md.digest())
+            if (m(hIdx) == null || h.compareTo(m(hIdx)) < 0) m(hIdx) = h
+            hIdx += 1
+          }
+          i += 1
+        }
+        Some((m(0), m(1), m(2), m(3)))
+      }
+    }
+    // repartition before the kernel: the sf-test corpus is ONE parquet
+    // split, which would run the whole hash pass single-threaded; a real
+    // corpus arrives in thousands of splits and skips this. Shuffling
+    // raw text is strictly smaller than the exploded-shingle shuffle
+    // the fused kernel replaced.
+    docs(s, dir).repartition(col("doc_id"))
+      .select(col("doc_id"), sigU(col("text")).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("doc_id"), col("m._1").as("mh0"), col("m._2").as("mh1"),
+        col("m._3").as("mh2"), col("m._4").as("mh3"))
       .orderBy(col("doc_id"))
+  }
 
   val d02Sql: String =
     s"""WITH $shingleSqlCte
@@ -423,7 +458,9 @@ object Documents {
     * parse, shifts and the bit fold exactly (BIGINT xor/shift/and are
     * portable). */
   def t08Simhash(s: SparkSession, dir: String): DataFrame =
-    graft.ops.TextAnalysis.simhash(docs(s, dir)).orderBy(col("doc_id"))
+    // repartition for the same single-split reason as d02MinhashSig
+    graft.ops.TextAnalysis.simhash(docs(s, dir).repartition(col("doc_id")))
+      .orderBy(col("doc_id"))
 
   val t08Sql: String = {
     val votes = (0 until 60)

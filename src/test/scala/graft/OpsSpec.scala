@@ -278,6 +278,73 @@ class OpsSpec extends SparkSpec {
     assert(sel.cost <= corner.cost)
   }
 
+  // The fused scalar kernels (simhash / minhash signatures) replaced
+  // declarative explode+groupBy pipelines for throughput; these pin the
+  // fused output to the original declarative form on adversarial text —
+  // unicode, empty docs, whitespace runs, sub-shingle-length docs.
+  private val kernelTexts = Seq(
+    "", " ", "   ", "one", "one two", "one two three",
+    "  leading and trailing  ", "The QUICK brown\tfox\njumps over",
+    "ñandú über ÄÖÜ çedilla ß İstanbul",
+    "汉字 测试 文本 的 了 是", "repeat repeat repeat repeat repeat",
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    (1 to 200).map(i => s"w${i * 37 % 101}").mkString(" "))
+
+  test("md5Hex is byte-identical to Spark's md5()") {
+    import spark.implicits._
+    val got = kernelTexts.toDF("t").select(col("t"), md5(col("t")).as("h"))
+      .collect()
+    got.foreach { r =>
+      assert(TextAnalysis.md5Hex(r.getString(0)) == r.getString(1), r.getString(0))
+    }
+  }
+
+  test("fused simhash kernel matches the declarative explode+vote form") {
+    import spark.implicits._
+    val docs = kernelTexts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // the pre-fusion declarative pipeline, verbatim
+    val words = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+    val bitVotes = (0 until 60).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$b")
+    }
+    val votes = words.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+    val fpCol = (0 until 60).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val want = votes.select(col("doc_id"), fpCol.as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val got = TextAnalysis.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("fused minhash signature kernel matches the declarative groupBy-min form") {
+    import spark.implicits._
+    val rows = kernelTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val tmp = java.nio.file.Files.createTempDirectory("d02eq").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    // declarative twin: shingles built driver-side, hashed by Spark's md5
+    val shingles = rows.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      if (ws.length < 3) Nil
+      else (0 to ws.length - 3).map(i => (id, s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}"))
+    }
+    val want = shingles.toDF("doc_id", "s").groupBy(col("doc_id")).agg(
+        min(md5(concat(lit("0|"), col("s")))).as("mh0"),
+        min(md5(concat(lit("1|"), col("s")))).as("mh1"),
+        min(md5(concat(lit("2|"), col("s")))).as("mh2"),
+        min(md5(concat(lit("3|"), col("s")))).as("mh3"))
+      .as[(Long, String, String, String, String)].collect().toSet
+    val got = graft.queries.Documents.d02MinhashSig(spark, tmp)
+      .as[(Long, String, String, String, String)].collect().toSet
+    assert(got == want)
+  }
+
   test("multi-param autotune: efSearch sweep over a built graph") {
     import graft.index.HNSW
     val base = clusteredVecs(1200, 16, nClusters = 8, seed = 73)
