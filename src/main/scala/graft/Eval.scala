@@ -26,6 +26,15 @@ import graft.search.{BoundedSearch, FlatSearch, IVFSearch}
   *              `graft_effective_time_<k>.log` lines
   *              `<budget_ms> <achieved_ms>` mirroring
   *              `Effective_time_<p>.log` (`effect_time.cpp:300-311`)
+  *   dist     — distributed-deployment twin of figure 16
+  *              (`figures/dist/figure16.py:17-19`): shard the corpus
+  *              over W workers, each owning an IVF index and an error
+  *              profile trained on its own shard; fan every query out,
+  *              bounded search per worker, merge per-query top-k by
+  *              distance (`dist/reduce.cpp:98-119` ≡ O9 mergeTopK);
+  *              reports avg latency vs W with calibration on/off (the
+  *              figure's cal / cal_no lines) and the merged worst-case
+  *              recall
   *
   * Latency logs: `bound` additionally writes `graft_latency_<k>_<eps>
   * .log`, one latency (seconds) per line per eval query, mirroring
@@ -34,7 +43,10 @@ import graft.search.{BoundedSearch, FlatSearch, IVFSearch}
   * per-query latency is amortized within timed micro-batches of 10
   * queries — same file shape, honest batch semantics.
   *
-  * Usage: runMain graft.Eval [bound|effect|overhead|time] [outDir]
+  * Usage: runMain graft.Eval [bound|effect|overhead|time|dist] [outDir] [nb]
+  * (`nb` overrides the corpus size — dist's worker scaling is visible
+  * once per-worker scan time dominates the per-batch job overhead,
+  * e.g. nb ≥ 200000; the default 20k is overhead-bound.)
   */
 object Eval {
   val D = 32; val K = 20; val NLIST = 64
@@ -44,6 +56,7 @@ object Eval {
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("bound")
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_eval"
+    val nb = if (args.length > 2) args(2).toInt else NB
     new java.io.File(outDir).mkdirs()
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -58,7 +71,7 @@ object Eval {
       val c = centers(rnd.nextInt(48))
       Array.tabulate(D)(i => (c(i) + 0.15 * rnd.nextGaussian()).toFloat)
     }
-    val base = mk(NB); val trainQ = mk(NTRAIN); val evalQ = mk(NEVAL)
+    val base = mk(nb); val trainQ = mk(NTRAIN); val evalQ = mk(NEVAL)
     def df(vs: Array[Array[Float]], idCol: String) =
       vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF(idCol, "vec")
 
@@ -179,6 +192,70 @@ object Eval {
           lines.sortBy(_._1).map { case (_, b, a) => f"$b%.0f $a%.3f" }
             .mkString("", "\n", "\n"))
         println(s"wrote $outDir/graft_effective_time_$K.log")
+
+      case "dist" =>
+        // Workers execute sequentially here, each getting the whole
+        // local[16] machine — the per-worker parallelism a real worker
+        // node would have; batch latency is the straggler worker plus
+        // the top-k merge. Calibration off = raw profile prediction
+        // (multiplier 1, no σ-margin), the figure's faster-but-weaker
+        // cal_no line.
+        // At test scale the straggler term is staged-round JOB COUNT
+        // (rounds × ~100 ms scheduling), which does not shrink with W —
+        // the 1/W scan term only dominates once shards reach ~10^7 rows
+        // (ScaleDemo's regime: 1.56 ms/q amortized at 10M×1M). What this
+        // mode pins is figure16's semantic content: the merged bound
+        // holds at every W with calibration and breaks without it.
+        val eps = 0.2
+        val qdf = evalQ.zipWithIndex
+          .map { case (v, i) => (i.toLong, v, (1 - eps).toFloat) }
+          .toSeq.toDF("qid", "vec", "required_recall").cache()
+        qdf.count()
+        println("workers  cal  avg_ms/q  straggler_s  merge_s  worst_recall  mean_nprobe/worker")
+        var warmed = false
+        Seq(2, 4, 8).foreach { w =>
+          val shards = (0 until w).map { r =>
+            val sh = baseDF.filter(pmod(col("id"), lit(w)) === r).cache()
+            val m = IVFIndex.train(sh, NLIST)
+            val asg = IVFIndex.assign(sh, m).cache(); asg.count()
+            val sgt = FlatSearch.knn(sh, df(trainQ, "qid"), K)
+            val tr = ProfileTrainer.train(asg, m, df(trainQ, "qid"), sgt, K, bs = 100)
+            (asg, m, tr)
+          }
+          if (!warmed) { // one untimed pass so JIT/codegen warmup
+            val (asg, m, tr) = shards.head // doesn't land on the first row
+            BoundedSearch.search(asg, m, tr, qdf, K, MULT, STDM).results.count()
+            warmed = true
+          }
+          Seq((MULT, STDM, "on "), (1.0f, 0.0f, "off")).foreach {
+            case (mult, stdM, lbl) =>
+              val perWorker = shards.map { case (asg, m, tr) =>
+                val t = now()
+                val r = BoundedSearch.search(asg, m, tr, qdf, K, mult, stdM)
+                r.results.cache().count()
+                (now() - t, r)
+              }
+              val straggler = perWorker.map(_._1).max
+              val tm = now()
+              val got = FlatSearch.mergeTopK(
+                  perWorker.map(_._2.results.select(col("qid"), col("id"), col("dist")))
+                    .reduce(_ unionByName _), K)
+                .select(col("qid"), col("dist")).as[(Long, Double)].collect()
+                .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+              val tMerge = now() - tm
+              val recalls = evalQ.zipWithIndex.map { case (q, i) =>
+                val kd = kth(q)
+                got.getOrElse(i.toLong, Array.empty)
+                  .count(_ <= kd * 1.0005).toDouble / K
+              }
+              val nps = perWorker.flatMap(_._2.stats.map(_.nprobeUsed))
+              val avgMs = (straggler + tMerge) * 1000.0 / NEVAL
+              println(f"$w%7d  $lbl  $avgMs%8.2f  $straggler%11.2f  $tMerge%7.2f" +
+                f"  ${recalls.min}%12.3f  ${nps.sum.toDouble / nps.size}%8.1f")
+              perWorker.foreach(_._2.results.unpersist())
+          }
+          shards.foreach(_._1.unpersist())
+        }
 
       case "overhead" =>
         val qdf = evalQ.zipWithIndex
