@@ -159,7 +159,11 @@ object EmbeddingDedup {
     * scored with the codegen'd cosine. */
   def lshPairs(df: DataFrame, model: BinaryHash.LSHModel, threshold: Double,
                nBands: Int = 7, maxBucket: Int = 8192): DataFrame = {
+    // cache: each band branch and each of the tail's three consumers
+    // (bucket-size agg, both join sides) would otherwise re-run the
+    // signature projection — ~3·nBands encode passes of the corpus
     val sigs = BinaryHash.encode(df, model).select(col("id"), col("sig"))
+      .cache()
     val width = 63 / nBands
     val mask = (1L << width) - 1
     val bands = (0 until nBands).map { b =>
@@ -191,6 +195,7 @@ object EmbeddingDedup {
     val perWord = 64 / width
     val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = BinaryHash.encodeWide(df, model).select(col("id"), col("sig"))
+      .cache() // same 3·nBands re-encode reasoning as lshPairs
     val bands = (0 until nBands).map { b =>
       val word = b / perWord
       val off = (b % perWord) * width

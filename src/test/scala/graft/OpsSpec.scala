@@ -282,13 +282,25 @@ class OpsSpec extends SparkSpec {
   // declarative explode+groupBy pipelines for throughput; these pin the
   // fused output to the original declarative form on adversarial text —
   // unicode, empty docs, whitespace runs, sub-shingle-length docs.
-  private val kernelTexts = Seq(
-    "", " ", "   ", "one", "one two", "one two three",
-    "  leading and trailing  ", "The QUICK brown\tfox\njumps over",
-    "ñandú über ÄÖÜ çedilla ß İstanbul",
-    "汉字 测试 文本 的 了 是", "repeat repeat repeat repeat repeat",
-    "a b c d e f g h i j k l m n o p q r s t u v w x y z",
-    (1 to 200).map(i => s"w${i * 37 % 101}").mkString(" "))
+  private val kernelTexts: Seq[String] = {
+    // seeded random words over mixed scripts (latin, accents, CJK,
+    // cyrillic, digits) — 60 docs of 0..30 words
+    val rnd = new scala.util.Random(271828)
+    val alphabets = Seq("abcdefgh", "äöüßñç", "汉字测试文本", "абвгде", "0123456789")
+    def word() = {
+      val a = alphabets(rnd.nextInt(alphabets.length))
+      (0 until 1 + rnd.nextInt(6)).map(_ => a(rnd.nextInt(a.length))).mkString
+    }
+    val random = (0 until 60).map(_ =>
+      (0 until rnd.nextInt(31)).map(_ => word()).mkString(" "))
+    Seq(
+      "", " ", "   ", "one", "one two", "one two three",
+      "  leading and trailing  ", "The QUICK brown\tfox\njumps over",
+      "ñandú über ÄÖÜ çedilla ß İstanbul",
+      "汉字 测试 文本 的 了 是", "repeat repeat repeat repeat repeat",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+      (1 to 200).map(i => s"w${i * 37 % 101}").mkString(" ")) ++ random
+  }
 
   test("md5Hex is byte-identical to Spark's md5()") {
     import spark.implicits._
