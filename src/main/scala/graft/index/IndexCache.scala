@@ -148,8 +148,16 @@ object IndexCache {
 
   private val frames = new ConcurrentHashMap[String, DataFrame]()
 
+  /** Session-memoized arbitrary model object (e.g. a trained
+    * SpectralHash model): built once per (key) per JVM — the bench's
+    * untimed build pass warms it like every other artifact. */
+  def obj[T <: AnyRef](key: String)(build: => T): T =
+    objects.computeIfAbsent(key, _ => build).asInstanceOf[T]
+
+  private val objects = new ConcurrentHashMap[String, AnyRef]()
+
   def clear(): Unit = {
     models.clear(); graphs.clear(); traces.clear(); frames.clear()
-    pqModels.clear()
+    pqModels.clear(); objects.clear()
   }
 }

@@ -1009,6 +1009,167 @@ object Vector {
        |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** §2.3 — IVF spectral-hash encode (`Auncel/IndexIVFSpectralHash.h:
+    * 30-75`, `binarize_with_freq`): d→nbit orthonormal rotation,
+    * per-(list, bit) MEDIAN thresholds (trained distributedly via exact
+    * percentile), interval-parity bits packed into a 48-bit word. The
+    * oracle replays transform → threshold → parity in SQL over the
+    * persisted rotation/threshold/assignment side tables (the v18
+    * codebook playbook). period = 1 makes the interval frequency
+    * exactly 2.0, so the float→double boundary math is engine-portable;
+    * the float casts in the SQL reproduce the kernel's exact rounding
+    * points (double dot → float transform → float threshold subtract). */
+  def v22SpectralHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.index.SpectralHash
+    val (model, assigned) = graft.index.IndexCache.ivf(dir, base(s, dir), nlist = 16)
+    val sh = graft.index.IndexCache.obj(s"$dir|sh48_median") {
+      val m = SpectralHash.train(assigned, model, nbit = 48, period = 1.0f,
+        mode = "median", seed = 7L)
+      // side tables are part of the trained artifact — write them once
+      val oracleDir = odir(dir)
+      m.rot.zipWithIndex.map { case (r, b) => (b, r) }.toSeq.toDF("bit", "rvec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$oracleDir/v22_rot.parquet")
+      (for { l <- 0 until model.nlist; b <- 0 until m.nbit }
+        yield (l, b, m.trained(l)(b)))
+        .toDF("list_no", "bit", "m")
+        .coalesce(1).write.mode("overwrite").parquet(s"$oracleDir/v22_th.parquet")
+      assigned.select(col("id"), col("list_no")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$oracleDir/v22_asg.parquet")
+      m
+    }
+    SpectralHash.encode(assigned, sh)
+      .select(col("id"), col("list_no").cast("int").as("list_no"),
+        element_at(col("sig"), 1).as("sig"))
+      .orderBy(col("id"))
+  }
+
+  def v22Sql(dir: String): String = {
+    val od = odir(dir)
+    s"""WITH rot AS (SELECT bit, rvec FROM read_parquet('$od/v22_rot.parquet/*.parquet')),
+       |th AS (SELECT list_no, bit, m FROM read_parquet('$od/v22_th.parquet/*.parquet')),
+       |asg AS (SELECT id, list_no FROM read_parquet('$od/v22_asg.parquet/*.parquet')),
+       |bv AS (SELECT asg.id, asg.list_no, e.embedding
+       |  FROM asg JOIN embeddings e ON e.vec_id = asg.id),
+       |xt AS (SELECT bv.id, bv.list_no, rot.bit,
+       |  CAST(list_sum(list_transform(range(1, 65), i ->
+       |    CAST(rot.rvec[i] AS DOUBLE) * CAST(bv.embedding[i] AS DOUBLE))) AS FLOAT) AS x
+       |  FROM bv CROSS JOIN rot),
+       |bits AS (SELECT xt.id, xt.list_no, xt.bit,
+       |  CAST(floor(CAST(CAST(xt.x - th.m AS FLOAT) AS DOUBLE) * 2.0) AS BIGINT)
+       |    & CAST(1 AS BIGINT) AS v
+       |  FROM xt JOIN th ON th.list_no = xt.list_no AND th.bit = xt.bit)
+       |SELECT id, CAST(list_no AS INT) AS list_no,
+       |  CAST(SUM(CASE WHEN v = 1 THEN (CAST(1 AS BIGINT) << bit)
+       |    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+       |FROM bits GROUP BY id, list_no ORDER BY id""".stripMargin
+  }
+
+  /** O22 + O17 — external-id remapping (`IndexIDMap`,
+    * `MetaIndexes.h`) composed with reconstruction
+    * (`IndexIVF::reconstruct`): k-NN results remap through a mapping
+    * table, then each hit's vector is reconstructed through the
+    * inverse map (first coordinate scalarized for the compare). */
+  def v23RemapReconstruct(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Management
+    val b = base(s, dir)
+    val res = FlatSearch.knn(b, qs(s, dir, "vec_id < 8"), k = 5)
+    val mapping = b.select(col("id"), (col("id") * 131 + 7).as("ext_id"))
+    val vecs = b.select((col("id") * 131 + 7).as("id"),
+      element_at(col("vec"), 1).as("d1"))
+    Management.idMap(res, mapping).join(vecs, Seq("id"))
+      .select(col("qid"), col("id"), col("dist"), col("rank"), col("d1"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v23Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |d AS (SELECT q.qid, b.vec_id AS id, $l2SqlFrag AS dist
+       |      FROM q CROSS JOIN embeddings b),
+       |r AS (SELECT qid, id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+       |SELECT r.qid, r.id * 131 + 7 AS id, r.dist, r.rank,
+       |  CAST(e.embedding[1] AS FLOAT) AS d1
+       |FROM r JOIN embeddings e ON e.vec_id = r.id
+       |WHERE r.rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** O19 — sliding-window retention (`SlidingIndexWindow`,
+    * `IVFlib.h:83-106`): ingest batches keyed by id, window keeps the
+    * last w=3 of 8 — partition pruning does the drop when the table is
+    * partitioned by batch_id. */
+  def v24SlidingWindow(s: SparkSession, dir: String): DataFrame = {
+    val batched = base(s, dir).withColumn("batch_id", pmod(col("id"), lit(8)))
+    graft.operators.Management.slidingWindow(batched, currentBatch = 7, w = 3)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))
+      .orderBy(col("batch_id"))
+  }
+
+  val v24Sql: String =
+    """SELECT vec_id % 8 AS batch_id, COUNT(*) AS n,
+      |  CAST(SUM(vec_id) AS BIGINT) AS sum_id
+      |FROM embeddings WHERE (vec_id % 8) > 4
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** O18 — copy_subset_to selectors (id range, id mod —
+    * `IndexIVF.cpp:1055-1113`) merged with `merge_from`'s add_id
+    * offsetting. */
+  def v25MergeSubset(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Management._
+    val b = base(s, dir).select(col("id"), element_at(col("vec"), 1).as("d1"))
+    mergeFrom(copySubsetIdRange(b, 0, 250), copySubsetIdMod(b, 4, 1),
+      addId = 1000000L).orderBy(col("id"), col("d1"))
+  }
+
+  val v25Sql: String =
+    """SELECT vec_id AS id, CAST(embedding[1] AS FLOAT) AS d1
+      |FROM embeddings WHERE vec_id >= 0 AND vec_id < 250
+      |UNION ALL
+      |SELECT vec_id + 1000000 AS id, CAST(embedding[1] AS FLOAT) AS d1
+      |FROM embeddings WHERE vec_id % 4 = 1
+      |ORDER BY id, d1""".stripMargin
+
+  /** O21 — replicated-search router (`IndexReplicas.h:21-74`): each
+    * replica handles the round-robin 1/n slice of the query batch. */
+  def v26ReplicaRoute(s: SparkSession, dir: String): DataFrame = {
+    val parts = graft.operators.Management.routeReplicas(
+      qs(s, dir, "vec_id < 32"), 3)
+    parts.zipWithIndex.map { case (p, r) =>
+      p.agg(count(lit(1)).as("n"), min(col("qid")).as("min_qid"),
+          max(col("qid")).as("max_qid"))
+        .withColumn("replica", lit(r))
+    }.reduce(_ unionByName _)
+      .select(col("replica"), col("n"), col("min_qid"), col("max_qid"))
+      .orderBy(col("replica"))
+  }
+
+  val v26Sql: String =
+    """SELECT CAST(vec_id % 3 AS INT) AS replica, COUNT(*) AS n,
+      |  MIN(vec_id) AS min_qid, MAX(vec_id) AS max_qid
+      |FROM embeddings WHERE vec_id < 32
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** O23 — vertical split across sub-dimensions (`IndexSplitVectors`,
+    * `MetaIndexes.h`): d=64 vectors slice into 4×16 blocks; per-block
+    * left-to-right double sums scalarize each block for the compare. */
+  def v27SplitDims(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir).filter(col("id") < 8).select(col("id"), col("vec"))
+    graft.operators.Management.splitDims(b, blocks = 4).zipWithIndex
+      .map { case (df, blk) =>
+        df.select(col("id"), lit(blk).as("block"),
+          expr("aggregate(vec, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))")
+            .as("bsum"))
+      }.reduce(_ unionByName _)
+      .orderBy(col("id"), col("block"))
+  }
+
+  val v27Sql: String = (0 until 4).map { blk =>
+    s"""SELECT vec_id AS id, $blk AS block,
+       |  list_sum(list_transform(range(${blk * 16 + 1}, ${blk * 16 + 17}), i ->
+       |    CAST(embedding[i] AS DOUBLE))) AS bsum
+       |FROM embeddings WHERE vec_id < 8""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY id, block")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_bounded_search" -> a01BoundedSearch _,
     "a02_latency_search" -> a02LatencySearch _,
@@ -1037,7 +1198,13 @@ object Vector {
     "v18_polysemous" -> v18Polysemous _,
     "v19_ivfpqr" -> v19IvfpqrKnn _,
     "v20_imi_knn" -> v20ImiKnn _,
-    "v21_ivf_dedup" -> v21IvfDedup _)
+    "v21_ivf_dedup" -> v21IvfDedup _,
+    "v22_spectral_hash" -> v22SpectralHash _,
+    "v23_remap_reconstruct" -> v23RemapReconstruct _,
+    "v24_sliding_window" -> v24SlidingWindow _,
+    "v25_merge_subset" -> v25MergeSubset _,
+    "v26_replica_route" -> v26ReplicaRoute _,
+    "v27_split_dims" -> v27SplitDims _)
 
   /** Side-table oracles (a01/a02/v06/v17/v18/v19) read
     * /tmp/graft_oracle/<basename(dir)>_<fullPathHash> — derived from the
@@ -1072,5 +1239,11 @@ object Vector {
     "v18_polysemous" -> v18Sql(dir),
     "v19_ivfpqr" -> v19Sql(dir),
     "v20_imi_knn" -> v20Sql,
-    "v21_ivf_dedup" -> v21Sql)
+    "v21_ivf_dedup" -> v21Sql,
+    "v22_spectral_hash" -> v22Sql(dir),
+    "v23_remap_reconstruct" -> v23Sql,
+    "v24_sliding_window" -> v24Sql,
+    "v25_merge_subset" -> v25Sql,
+    "v26_replica_route" -> v26Sql,
+    "v27_split_dims" -> v27Sql)
 }
