@@ -1170,6 +1170,54 @@ object Vector {
        |FROM embeddings WHERE vec_id < 8""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY id, block")
 
+  /** O13 — recall@k of a fixed-nprobe IVF search vs the exact scan
+    * (`Auncel/profile.cpp:246-280`): both sides replayed in SQL — the
+    * probe side through the persisted centroid/assignment tables
+    * (v06 playbook), the exact side brute-force. */
+  def v28RecallMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.search.IVFSearch
+    val b = base(s, dir)
+    val (model, assigned) = graft.index.IndexCache.ivf(dir, b, nlist = 16)
+    val q = qs(s, dir, "vec_id < 16")
+    val res = IVFSearch.search(assigned, model, q, k = 10, nprobe = 4)
+    val gt = FlatSearch.knn(b, q, k = 10)
+    writeProbeReplayTables(s, "v28", dir, model, assigned,
+      (0L until 16L).map((_, 4)).toDF("qid", "nprobe_used"))
+    graft.operators.Management.recallAtK(res, gt, k = 10)
+      .orderBy(col("qid"))
+  }
+
+  def v28Sql(dir: String): String =
+    s"""WITH pr AS (${probeReplaySql("v28", dir, "vec_id < 16", k = 10)}),
+       |gtd AS (SELECT q.qid, b.vec_id AS id, $l2SqlFrag AS dist
+       |  FROM (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 16) q
+       |  CROSS JOIN embeddings b),
+       |gt AS (SELECT qid, id FROM (
+       |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+       |  FROM gtd) WHERE rank <= 10)
+       |SELECT pr.qid,
+       |  CAST(SUM(CASE WHEN gt.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10.0 AS recall
+       |FROM pr LEFT JOIN gt ON pr.qid = gt.qid AND pr.id = gt.id
+       |GROUP BY pr.qid ORDER BY pr.qid""".stripMargin
+
+  /** O14 — the reference's 12 committed calibration rows
+    * (`Auncel/hyperparameter.txt:1-12` via `setparam`,
+    * `IVF_pro.cpp:240-256`), driver-pinned against a VALUES oracle. */
+  def v29Calibration(s: SparkSession, dir: String): DataFrame =
+    graft.profile.Calibration.toDF(s)
+      .select(col("figureId").as("figure_id"), col("multiplier"),
+        col("stdM").as("std_m"))
+      .orderBy(col("figure_id"))
+
+  val v29Sql: String = {
+    val rows = graft.profile.Calibration.reference.map { e =>
+      s"(${e.figureId}, CAST(${e.multiplier} AS FLOAT), CAST(${e.stdM} AS FLOAT))"
+    }.mkString(", ")
+    s"""SELECT * FROM (VALUES $rows) t(figure_id, multiplier, std_m)
+       |ORDER BY figure_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_bounded_search" -> a01BoundedSearch _,
     "a02_latency_search" -> a02LatencySearch _,
@@ -1204,7 +1252,9 @@ object Vector {
     "v24_sliding_window" -> v24SlidingWindow _,
     "v25_merge_subset" -> v25MergeSubset _,
     "v26_replica_route" -> v26ReplicaRoute _,
-    "v27_split_dims" -> v27SplitDims _)
+    "v27_split_dims" -> v27SplitDims _,
+    "v28_recall_metrics" -> v28RecallMetrics _,
+    "v29_calibration" -> v29Calibration _)
 
   /** Side-table oracles (a01/a02/v06/v17/v18/v19) read
     * /tmp/graft_oracle/<basename(dir)>_<fullPathHash> — derived from the
@@ -1245,5 +1295,7 @@ object Vector {
     "v24_sliding_window" -> v24Sql,
     "v25_merge_subset" -> v25Sql,
     "v26_replica_route" -> v26Sql,
-    "v27_split_dims" -> v27Sql)
+    "v27_split_dims" -> v27Sql,
+    "v28_recall_metrics" -> v28Sql(dir),
+    "v29_calibration" -> v29Sql)
 }
