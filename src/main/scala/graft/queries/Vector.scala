@@ -1218,6 +1218,38 @@ object Vector {
        |ORDER BY figure_id""".stripMargin
   }
 
+  /** O11 — condensed upper-triangular inter-centroid matrix
+    * (`fvec_inter_vecs`, `Auncel/IVF_pro.cpp:21-39`): every (i<j) pair
+    * with the reference's `(2n−1−i)i/2 + j−1−i` indexing; the oracle
+    * recomputes pairwise float L2 from the persisted centroids and the
+    * index arithmetic in SQL. */
+  def v30Interdis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (model, _) = graft.index.IndexCache.ivf(dir, base(s, dir), nlist = 16)
+    model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("list_no", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"${odir(dir)}/v30_centroids.parquet")
+    val n = model.nlist
+    (for { i <- 0 until n; j <- i + 1 until n } yield {
+      val idx = (2 * n - 1 - i) * i / 2 + j - 1 - i
+      (i, j, idx, model.interdis(idx))
+    }).toDF("i", "j", "idx", "dist").orderBy(col("idx"))
+  }
+
+  def v30Sql(dir: String): String = {
+    val od = odir(dir)
+    s"""WITH c AS (SELECT list_no, centroid
+       |  FROM read_parquet('$od/v30_centroids.parquet/*.parquet')),
+       |p AS (SELECT a.list_no AS i, b.list_no AS j,
+       |  CAST(list_sum(list_transform(range(1, 65), k ->
+       |    (CAST(a.centroid[k] AS DOUBLE) - CAST(b.centroid[k] AS DOUBLE)) *
+       |    (CAST(a.centroid[k] AS DOUBLE) - CAST(b.centroid[k] AS DOUBLE)))) AS FLOAT) AS dist
+       |  FROM c a JOIN c b ON a.list_no < b.list_no)
+       |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       |  CAST((2 * 16 - 1 - i) * i // 2 + j - 1 - i AS INT) AS idx, dist
+       |FROM p ORDER BY idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_bounded_search" -> a01BoundedSearch _,
     "a02_latency_search" -> a02LatencySearch _,
@@ -1254,7 +1286,8 @@ object Vector {
     "v26_replica_route" -> v26ReplicaRoute _,
     "v27_split_dims" -> v27SplitDims _,
     "v28_recall_metrics" -> v28RecallMetrics _,
-    "v29_calibration" -> v29Calibration _)
+    "v29_calibration" -> v29Calibration _,
+    "v30_interdis" -> v30Interdis _)
 
   /** Side-table oracles (a01/a02/v06/v17/v18/v19) read
     * /tmp/graft_oracle/<basename(dir)>_<fullPathHash> — derived from the
@@ -1297,5 +1330,6 @@ object Vector {
     "v26_replica_route" -> v26Sql,
     "v27_split_dims" -> v27Sql,
     "v28_recall_metrics" -> v28Sql(dir),
-    "v29_calibration" -> v29Sql)
+    "v29_calibration" -> v29Sql,
+    "v30_interdis" -> v30Sql(dir))
 }
