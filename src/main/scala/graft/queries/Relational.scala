@@ -375,8 +375,49 @@ object Relational {
       |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type""".stripMargin
 
+  /** Streaming per-user running totals as a REAL Structured Streaming
+    * run (AvailableNow over staged event files → `EventStream
+    * .sessionize`'s mapGroupsWithState → memory sink in update mode):
+    * every micro-batch emits each touched user's running
+    * (n_events, total) state; the final state per user — the
+    * max-events row, since a user's count strictly grows per
+    * emission — is what the batch GROUP BY oracle computes. Values
+    * stream as exact cent integers (decimal ×100 → integer-valued
+    * doubles), so cross-batch arrival order cannot perturb the
+    * double-summed state. */
+  def s03StreamSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val staged = s"/tmp/graft_stream/${new java.io.File(dir).getName}/s03_events.parquet"
+    events(s, dir)
+      .select(col("user_id").as("_1"),
+        (dec(col("value")) * 100).cast("double").as("_2"))
+      .repartition(8).write.mode("overwrite").parquet(staged)
+    val schema = s.read.parquet(staged).schema
+    implicit val sp: SparkSession = s
+    val sessions = graft.streaming.EventStream.sessionize(
+      s.readStream.schema(schema).parquet(staged).as[(Long, Double)])
+    val sink = "s03_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = sessions.toDF().writeStream.outputMode("update").format("memory")
+      .queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    require(q.awaitTermination(300000),
+      "s03 streaming query did not finish within 300s — partial sink")
+    s.table(sink)
+      .groupBy(col("userId"))
+      .agg(max(struct(col("nEvents"), col("totalValue"))).as("m"))
+      .select(col("userId").as("user_id"), col("m.nEvents").as("n_events"),
+        col("m.totalValue").as("total_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val s03Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS DOUBLE) AS total_cents
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_windows" -> s01StreamWindows _,
+    "s03_stream_sessions" -> s03StreamSessions _,
     "q16_cube" -> q16Cube _,
     "q17_outer_join" -> q17OuterJoin _,
     "q18_pivot" -> q18Pivot _,
@@ -399,6 +440,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "s01_stream_windows" -> s01Sql,
+    "s03_stream_sessions" -> s03Sql,
     "q16_cube" -> q16Sql,
     "q17_outer_join" -> q17Sql,
     "q18_pivot" -> q18Sql,
