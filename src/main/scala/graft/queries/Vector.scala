@@ -273,9 +273,12 @@ object Vector {
     // use_precomputed_table fast path: the candidate stage pays an
     // M·ksub add per (query, probed list) instead of a residual-table
     // build; the exact rerank makes the final result identical either
-    // way (and the oracle-checked config is exact by construction)
+    // way. kFactor scales with the corpus so kFactor·k ≥ N holds at
+    // ANY sf — exact by construction, not just at the smallest corpus.
+    val kFactor = math.max(50, math.ceil(b.count() / 10.0).toInt)
     IVFPQ.searchRefine(enc.drop("vec"), b, model, pq,
-      qs(s, dir, "vec_id >= 24 AND vec_id < 32"), k = 10, nprobe = 16, kFactor = 50,
+      qs(s, dir, "vec_id >= 24 AND vec_id < 32"), k = 10, nprobe = 16,
+      kFactor = kFactor,
       precomputed = Some(IVFPQ.precomputeTable(model, pq)))
       .orderBy(col("qid"), col("rank"))
   }
@@ -549,8 +552,13 @@ object Vector {
         (id, IVFPQ.reconstruct2(model, pq, rpq, l, c, rc))
       }.toDF("id", "rvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$oracleDir/v19_recon.parquet")
+    // kFactor·k ≥ N at any sf (the v08 reasoning): the candidate pool
+    // is the whole corpus, so ranking by two-level reconstruction
+    // distance equals the oracle's full ranking
+    val kFactor = math.max(50, math.ceil(b.count() / 10.0).toInt)
     IVFPQ.searchPQR(encR.drop("vec"), model, pq, rpq,
-      qs(s, dir, "vec_id >= 32 AND vec_id < 40"), k = 10, nprobe = 16, kFactor = 50)
+      qs(s, dir, "vec_id >= 32 AND vec_id < 40"), k = 10, nprobe = 16,
+      kFactor = kFactor)
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -846,9 +854,16 @@ object Vector {
     import graft.functions.Kernels
     val normU = udf { v: Seq[Float] => Kernels.l2Normalize(v.toArray) }
     val bNorm = base(s, dir).select(col("id"), normU(col("vec")).as("vec"))
+    // RAW base into the index: `IVFIndex.assign` L2-normalizes on
+    // ingest for "ip" — pre-normalizing here would normalize TWICE,
+    // and renormalizing an already-normalized float vector can flip a
+    // low bit (observed once in 80 rows at sf0.1), drifting the stored
+    // vectors off the oracle's single-normalized space. bNorm is still
+    // what the gt scan below needs.
     val (model, assigned) =
-      graft.index.IndexCache.ivf(s"$dir|ipnorm", bNorm, nlist = 16, metric = "ip")
-    val traces = graft.index.IndexCache.profileTraces(s"$dir|16|ip|profile", s, {
+      graft.index.IndexCache.ivf(s"$dir|ipraw", base(s, dir), nlist = 16,
+        metric = "ip")
+    val traces = graft.index.IndexCache.profileTraces(s"$dir|ipraw|16|profile", s, {
       val trainQ = qs(s, dir, "vec_id >= 100 AND vec_id < 200")
       // gt over externally-normalized copies of the same queries — the
       // trainer normalizes its own staged scans internally, so both
