@@ -1265,6 +1265,65 @@ object Vector {
        |FROM p ORDER BY idx""".stripMargin
   }
 
+  /** O12 — the error-profile trainer's staged-capture scan
+    * (`Auncel/IndexIVF.cpp:640-673`): per (query, power-of-2 probe
+    * stage) the partial top-k distance list, computed in ONE pass over
+    * the probed lists. nlist=64 → 4 stages (nprobe 1/2/4/8 = nlist/8).
+    * The oracle replays the whole capture in SQL from persisted
+    * centroid/assignment side tables: rank lists per query (float
+    * coarse L2, list-id tie-break — the a01 playbook), derive each
+    * rank's first-probed stage j0 = ceil(log2(rank)), then per stage
+    * the exact top-k over rows in lists with j0 ≤ stage. The scalar
+    * (φ,U)/sort-and-batch tail of O12 is covered by ErrorProfileSpec
+    * and exercised inside every a01/a05/a07 decision replay. */
+  def v31StagedCapture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.profile.ProfileTrainer
+    val b = base(s, dir)
+    val (model, assigned) = graft.index.IndexCache.ivf(s"$dir|sc64", b, nlist = 64)
+    val trainQ = qs(s, dir, "vec_id >= 100 AND vec_id < 132")
+    val oracleDir = odir(dir)
+    model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("list_no", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$oracleDir/v31_centroids.parquet")
+    assigned.select(col("id"), col("list_no")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$oracleDir/v31_assign.parquet")
+    ProfileTrainer.stagedTopK(assigned, model, trainQ, maxTopk = 10)
+      .select(col("qid"), col("stage"),
+        posexplode(col("dists")).as(Seq("pos", "dist")))
+      .select(col("qid"), col("stage"), (col("pos") + 1).as("rank"), col("dist"))
+      .orderBy(col("qid"), col("stage"), col("rank"))
+  }
+
+  def v31Sql(dir: String): String = {
+    val od = odir(dir)
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id >= 100 AND vec_id < 132),
+       |cent AS (SELECT list_no, centroid
+       |  FROM read_parquet('$od/v31_centroids.parquet/*.parquet')),
+       |cd AS (SELECT q.qid, c.list_no,
+       |  CAST(list_sum(list_transform(range(1, 65), i ->
+       |    (CAST(q.qv[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) *
+       |    (CAST(q.qv[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)))) AS FLOAT) AS cdist
+       |  FROM q CROSS JOIN cent c),
+       |ranked AS (SELECT qid, list_no,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cdist, list_no) AS rn FROM cd),
+       |probes AS (SELECT qid, list_no,
+       |  CASE WHEN rn = 1 THEN 0 WHEN rn <= 2 THEN 1 WHEN rn <= 4 THEN 2 ELSE 3 END AS j0
+       |  FROM ranked WHERE rn <= 8),
+       |asg AS (SELECT id, list_no FROM read_parquet('$od/v31_assign.parquet/*.parquet')),
+       |cand AS (SELECT p.qid, p.j0, a.id FROM probes p JOIN asg a ON p.list_no = a.list_no),
+       |d AS (SELECT cand.qid, cand.j0, b.vec_id AS id, $l2SqlFrag AS dist
+       |      FROM cand JOIN q ON cand.qid = q.qid JOIN embeddings b ON b.vec_id = cand.id),
+       |st AS (SELECT d.qid, d.id, d.dist, CAST(s.stage AS INT) AS stage
+       |       FROM d JOIN (SELECT unnest(range(0, 4)) AS stage) s ON s.stage >= d.j0)
+       |SELECT qid, stage, rank, dist FROM (
+       |  SELECT qid, stage, dist,
+       |    row_number() OVER (PARTITION BY qid, stage ORDER BY dist, id) AS rank
+       |  FROM st) t
+       |WHERE rank <= 10 ORDER BY qid, stage, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_bounded_search" -> a01BoundedSearch _,
     "a02_latency_search" -> a02LatencySearch _,
@@ -1302,7 +1361,8 @@ object Vector {
     "v27_split_dims" -> v27SplitDims _,
     "v28_recall_metrics" -> v28RecallMetrics _,
     "v29_calibration" -> v29Calibration _,
-    "v30_interdis" -> v30Interdis _)
+    "v30_interdis" -> v30Interdis _,
+    "v31_staged_capture" -> v31StagedCapture _)
 
   /** Side-table oracles (a01/a02/v06/v17/v18/v19) read
     * /tmp/graft_oracle/<basename(dir)>_<fullPathHash> — derived from the
@@ -1346,5 +1406,6 @@ object Vector {
     "v27_split_dims" -> v27Sql,
     "v28_recall_metrics" -> v28Sql(dir),
     "v29_calibration" -> v29Sql,
-    "v30_interdis" -> v30Sql(dir))
+    "v30_interdis" -> v30Sql(dir),
+    "v31_staged_capture" -> v31Sql(dir))
 }
