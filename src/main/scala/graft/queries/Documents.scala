@@ -177,6 +177,57 @@ object Documents {
        |ORDER BY bucket, a, b""".stripMargin
   }
 
+  /** Streaming exact dedup as a REAL Structured Streaming run
+    * (AvailableNow over a staged corpus → `EventStream.dedupStream` —
+    * watermark-bounded `dropDuplicatesWithinWatermark` — → memory
+    * sink): the streaming twin of d01 for continuous training-data
+    * ingest. The corpus is staged WITH planted duplicates (every
+    * doc_id % 10 == 0 doc re-appears under id+1e6, event time +60 s —
+    * inside the 1-hour delay) so the dedup actually dedups. WHICH
+    * physical row survives per fingerprint is arrival-order-dependent,
+    * so the verified output is arrival-order-free: per fingerprint the
+    * sink's emission count (the dedup contract: exactly one) and the
+    * staged corpus's duplicate count. Event time is doc_id-ordered;
+    * state is bounded by the watermark delay (the 100 TB/day knob). */
+  def s04StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val staged = s"/tmp/graft_stream/${new java.io.File(dir).getName}/s04_docs.parquet"
+    val epoch = 1767225600L
+    val orig = docs(s, dir).select(col("doc_id"), col("text"),
+      timestamp_seconds(lit(epoch) + col("doc_id")).as("ts"))
+    val planted = docs(s, dir).filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        timestamp_seconds(lit(epoch) + col("doc_id") + 60).as("ts"))
+    orig.unionByName(planted)
+      .repartition(16).write.mode("overwrite").parquet(staged)
+    val schema = s.read.parquet(staged).schema
+    val stream = s.readStream.schema(schema).parquet(staged)
+    val sink = "s04_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = graft.streaming.EventStream.dedupStream(stream)
+      .select(col("fp"))
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    require(q.awaitTermination(300000),
+      "s04 streaming query did not finish within 300s — partial sink")
+    val emitted = s.table(sink).groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_emitted"))
+    val batchCounts = s.read.parquet(staged)
+      .select(md5(normText).as("bfp"))
+      .groupBy(col("bfp")).agg(count(lit(1)).as("n_docs"))
+    emitted.join(batchCounts, col("fp") === col("bfp"))
+      .select(col("fp"), col("n_emitted"), col("n_docs"))
+      .orderBy(col("fp"))
+  }
+
+  val s04Sql: String =
+    """WITH corpus AS (
+      |  SELECT text FROM documents
+      |  UNION ALL
+      |  SELECT text FROM documents WHERE doc_id % 10 = 0)
+      |SELECT fp, CAST(1 AS BIGINT) AS n_emitted, COUNT(*) AS n_docs FROM (
+      |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM corpus)
+      |GROUP BY fp ORDER BY fp""".stripMargin
+
   val d03Sql: String =
     s"""WITH $shingleSqlCte,
        |sig AS (SELECT doc_id, MIN(md5('0|' || s)) AS mh0, MIN(md5('1|' || s)) AS mh1,
@@ -537,6 +588,7 @@ object Documents {
     "d02_minhash_sig" -> d02MinhashSig _,
     "d03_lsh_candidates" -> d03LshCandidates _,
     "s02_stream_lsh" -> s02StreamLsh _,
+    "s04_stream_dedup" -> s04StreamDedup _,
     "d04_jaccard_top" -> d04JaccardTop _,
     "d05_minhash_estimate" -> d05MinhashEstimate _,
     "d06_curation_pipeline" -> d06CurationPipeline _,
@@ -554,6 +606,7 @@ object Documents {
     "mm02_media_features" -> mm02Sql,
     "d01_dedup_exact" -> d01Sql,
     "s02_stream_lsh" -> s02Sql,
+    "s04_stream_dedup" -> s04Sql,
     "d02_minhash_sig" -> d02Sql,
     "d03_lsh_candidates" -> d03Sql,
     "d04_jaccard_top" -> d04Sql,
