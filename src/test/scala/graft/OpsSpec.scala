@@ -129,6 +129,39 @@ class OpsSpec extends SparkSpec {
     assert(got.contains(4L) && got.contains(6L))
   }
 
+  test("streaming dedup across micro-batches: in-watermark dup suppressed, expired key re-emitted") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sdedup2").toString
+    def write(rows: Seq[(Long, String, String)]): Unit =
+      rows.map { case (id, ts, tx) => (id, java.sql.Timestamp.valueOf(ts), tx) }
+        .toDF("doc_id", "ts", "text").write.mode("append").parquet(s"$dir/in")
+    write(Seq((1L, "2026-01-01 00:00:00", "alpha text"),
+              (2L, "2026-01-01 00:00:00", "beta text")))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema).parquet(s"$dir/in")
+    val q = EventStream.dedupStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("sdedup2").start()
+    q.processAllAvailable()
+    // a LATER micro-batch re-delivers alpha (normalization variant, same
+    // fingerprint) 10 min later — inside the 1-hour delay: suppressed
+    write(Seq((3L, "2026-01-01 00:10:00", "ALPHA   text"),
+              (4L, "2026-01-01 00:20:00", "gamma text")))
+    q.processAllAvailable()
+    val afterB2 = spark.sql("SELECT doc_id FROM sdedup2").as[Long].collect().sorted
+    assert(afterB2.toSeq == Seq(1L, 2L, 4L), s"got ${afterB2.toSeq}")
+    // advance the watermark past alpha's state lifetime (ts + delay),
+    // then re-deliver alpha beyond the delay: out of dedup scope by
+    // contract (state evicted) — re-emitted. This is the knob that
+    // bounds state on an unbounded 100 TB/day stream.
+    write(Seq((5L, "2026-01-01 05:00:00", "delta text")))
+    q.processAllAvailable()
+    write(Seq((6L, "2026-01-01 05:10:00", "alpha text")))
+    q.processAllAvailable()
+    val finalIds = spark.sql("SELECT doc_id FROM sdedup2").as[Long].collect().sorted
+    assert(finalIds.toSeq == Seq(1L, 2L, 4L, 5L, 6L), s"got ${finalIds.toSeq}")
+    q.stop()
+  }
+
   test("streaming LSH candidates match the batch banding, state bounded by watermark") {
     import spark.implicits._
     import graft.ops.MinHash
