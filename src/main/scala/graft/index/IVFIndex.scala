@@ -129,6 +129,23 @@ object IVFIndex {
     assigned.repartition(col("list_no"))
       .write.mode("overwrite").partitionBy("list_no").parquet(path)
 
+  /** Write the inverted-file table BUCKETED by `list_no` (managed table,
+    * `bucketBy` is saveAsTable-only). On a bucketed table the
+    * fully-distributed bounded search scans lists via a bucket-local
+    * join — the per-round data-side shuffle drops out entirely
+    * ([[graft.search.BoundedSearch]] `scanListsJoin`). The repartition
+    * uses the same Murmur3 hash partitioning as the bucket layout, so
+    * each task holds exactly one bucket → ONE sorted file per bucket
+    * (which also lets sort-merge joins skip the data-side sort).
+    * Overwrite replaces a REGISTERED table; with the default in-memory
+    * catalog an orphaned warehouse directory from a previous session
+    * must be dropped first (LOCATION_ALREADY_EXISTS). */
+  def writeBucketed(assigned: DataFrame, table: String, nBuckets: Int): Unit =
+    assigned.repartition(nBuckets, col("list_no"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "list_no").sortBy("list_no")
+      .saveAsTable(table)
+
   def saveModel(model: IVFModel, path: String, spark: SparkSession): Unit = {
     import spark.implicits._
     model.centroids.zipWithIndex

@@ -288,14 +288,17 @@ object BoundedSearch {
     * [[ErrorProfile.boundaryDistances]] window, same [[predictedRecall]]
     * and [[decideStep]] transition on the same sorted state distances.
     *
-    * Scale shape: per round the big side of the cogroup carries only
-    * the PROBED lists' rows (partition-pruned before the shuffle), and
-    * the probe side carries active × (hi−lo) rows of ~(d·4+16) bytes.
-    * On a bucketed (list_no-bucketed) table the data-side shuffle
-    * drops out entirely; unbucketed it is nprobed/nlist of the corpus
-    * per round — the price of not holding nq-sized maps anywhere.
-    * Skewed query distributions (every query ranking the same lists)
-    * are bounded by per-list SALTING in [[scanListsCogroup]]. */
+    * Scale shape: per round the big side carries only the PROBED lists'
+    * rows (partition/bucket-pruned), and the probe side carries
+    * active × (hi−lo) rows of ~(d·4+16) bytes. On a list_no-BUCKETED
+    * table ([[graft.index.IVFIndex.writeBucketed]]) the scan is a
+    * bucket-local join with NO data-side shuffle at all
+    * ([[scanListsJoin]], plan-asserted by BoundedBucketSpec);
+    * unbucketed, the cogroup shuffles nprobed/nlist of the corpus per
+    * round — the price of not holding nq-sized maps anywhere. Skewed
+    * query distributions (every query ranking the same lists) are
+    * bounded by per-list SALTING in [[scanListsCogroup]], which also
+    * serves as the bucketed path's skew fallback. */
   private def searchDistributed(ivfData: DataFrame, model: IVFModel,
       traces: Array[Trace], queries: DataFrame, k: Int,
       multiplier: Float, stdM: Float): Result = {
@@ -305,6 +308,28 @@ object BoundedSearch {
     val levels = traces.length
     val met = model.metric
     val bm = spark.sparkContext.broadcast(model)
+
+    // bucketed fast path: on a list_no-bucketed table the per-round list
+    // scan is a bucket-local join — the data-side shuffle drops out
+    // entirely (asserted by BoundedBucketSpec's plan inspection). The
+    // salted cogroup remains the fallback for unbucketed tables and for
+    // hot-list skew beyond the per-task probe bound.
+    val nBuckets = listNoBuckets(ivfData)
+    def scanRound(p: org.apache.spark.sql.Dataset[(Int, Long, Array[Float])],
+                  counts: Map[Int, Long]): DataFrame = {
+      // the join path's per-task state is a qvec-FREE (qid → k-heap)
+      // map (~300 B/entry vs the cogroup's full probe rows with query
+      // vectors), so its bound is 8× the cogroup's; enforced per hot
+      // list AND per expected bucket load so one bucket's heap map
+      // stays bounded under skew — beyond it, the salted cogroup is
+      // the right tool
+      val joinOk = nBuckets.exists { nb =>
+        counts.values.max <= maxProbesPerBucket &&
+          counts.values.sum / nb <= maxProbesPerBucket
+      }
+      if (joinOk) scanListsJoin(ivfData, met, p, counts.keys.toSeq.sorted, k)
+      else scanListsCogroup(ivfData, met, p, counts, k)
+    }
 
     var ctrl: org.apache.spark.sql.Dataset[CtrlD] = queries
       .select(col("qid").cast("long"), col("vec"),
@@ -338,7 +363,7 @@ object BoundedSearch {
       // rounds are no-ops — break instead of paying a job per round
       if (listCounts.isEmpty) allDecidedD = true
       else {
-        val newPartials = scanListsCogroup(ivfData, met, probes, listCounts, k)
+        val newPartials = scanRound(probes, listCounts)
         val prev = state
         val merged = FlatSearch
           .mergeTopK(state.unionByName(newPartials), k)
@@ -388,8 +413,7 @@ object BoundedSearch {
     }
     val finCounts = finProbes.groupByKey(_._1).count().collect().toMap
     if (finCounts.nonEmpty)
-      state = state.unionByName(
-        scanListsCogroup(ivfData, met, finProbes, finCounts, k))
+      state = state.unionByName(scanRound(finProbes, finCounts))
     // materialize through the checkpoint so the result no longer
     // depends on the cached control rows we are about to release
     val results = FlatSearch.mergeTopK(state, k).localCheckpoint(eager = true)
@@ -412,9 +436,23 @@ object BoundedSearch {
   private def maxProbesPerTask: Int =
     sys.props.get("graft.cogroup.maxProbes").map(_.toInt).getOrElse(8192)
 
+  /** Per-bucket probe bound for the bucketed JOIN path (see `scanRound`
+    * in [[searchDistributed]]): heap-map entries are an order smaller
+    * than cogroup probe rows, so the default is 8× the cogroup bound
+    * (~20 MB of heap state per task at k=10). Test hook:
+    * `graft.join.maxProbesPerBucket`. */
+  private def maxProbesPerBucket: Int =
+    sys.props.get("graft.join.maxProbesPerBucket").map(_.toInt)
+      .getOrElse(8 * maxProbesPerTask)
+
   /** Salt sub-keys per list are capped so the key packing below stays
-    * within the 10 bits reserved for the salt. */
-  private val MaxSaltFactor = 512
+    * within the 24 bits reserved for the salt — at maxProbesPerTask's
+    * default that is ~137 G probes on ONE list before the per-task
+    * bound can no longer be honored; if it ever fires, it fires loudly
+    * (log.warn below) instead of silently over-packing tasks. */
+  private val MaxSaltFactor = 1 << 24
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** List-keyed cogroup scan: for each probed list, stream its vectors
     * against the (qid, qvec) probe rows for that list with per-query
@@ -439,11 +477,15 @@ object BoundedSearch {
     // Parquet partition pruning AND the hot-list salt factors
     val maxProbes = maxProbesPerTask
     val salts: Map[Int, Int] = listCounts.map { case (l, c) =>
-      l -> math.min(MaxSaltFactor.toLong,
-        (c + maxProbes - 1) / maxProbes).toInt
+      val want = (c + maxProbes - 1) / maxProbes
+      if (want > MaxSaltFactor)
+        log.warn(s"scanListsCogroup: salt factor for list $l clamped " +
+          s"$want -> $MaxSaltFactor; tasks for this list exceed the " +
+          s"$maxProbes-probe bound")
+      l -> math.min(MaxSaltFactor.toLong, want).toInt
     }
     val bSalts = spark.sparkContext.broadcast(salts)
-    def key(l: Int, s: Int): Long = (l.toLong << 10) | s.toLong
+    def key(l: Int, s: Int): Long = (l.toLong << 24) | s.toLong
     val dataG = ivfData
       .filter(col("list_no").isin(listCounts.keys.toSeq.sorted: _*))
       .select(col("list_no").cast("int"), col("id").cast("long"), col("vec"))
@@ -474,6 +516,61 @@ object BoundedSearch {
         }
       }
     }.toDF("qid", "id", "dist")
+  }
+
+  /** If `df` reads a table bucketed on exactly `list_no`, its bucket
+    * count — the signal that [[scanListsJoin]]'s data side will come out
+    * of the scan already hash-partitioned on the join key (no Exchange). */
+  private[graft] def listNoBuckets(df: DataFrame): Option[Int] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.bucketSpec
+              .filter(_.bucketColumnNames
+                .map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("list_no"))
+              .map(_.numBuckets)
+          case _ => None
+        }
+    }.flatten.headOption
+
+  /** Bucket-local twin of [[scanListsCogroup]] for list_no-bucketed
+    * tables: probed lists are BUCKET-PRUNED out of the scan, the join on
+    * `list_no` reuses the scan's bucket partitioning (the probe side —
+    * the small one — is the only shuffle), the codegen'd distance kernel
+    * ([[org.apache.spark.sql.graft.VectorExpressions]], bit-identical
+    * summation to [[Kernels]]) scores each (data row, probe) pair inside
+    * WholeStageCodegen, and a per-partition (qid → k-heap) map combines
+    * map-side so only ≤ parts × nq_active × k partial rows reach the
+    * final qid merge. At 100 TB this is the plan that removes the
+    * single biggest cost term of the cogroup path: re-shuffling
+    * nprobed/nlist of the corpus once per round. */
+  private[graft] def scanListsJoin(ivfData: DataFrame, metric: String,
+      probes: org.apache.spark.sql.Dataset[(Int, Long, Array[Float])],
+      probedLists: Seq[Int], k: Int): DataFrame = {
+    val spark = ivfData.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graft.VectorExpressions
+    val probeDF = probes.toDF("list_no", "qid", "qvec")
+    val data = ivfData
+      .filter(col("list_no").isin(probedLists: _*))
+      .select(col("list_no").cast("int").as("list_no"),
+        col("id").cast("long").as("id"), col("vec"))
+    val dist =
+      if (metric == "ip") negate(VectorExpressions.dot(col("qvec"), col("vec")))
+      else VectorExpressions.l2Sqr(col("qvec"), col("vec"))
+    data.join(probeDF, "list_no")
+      .select(col("qid").cast("long"), col("id"), dist.as("dist"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap.empty[Long, TopK]
+        it.foreach { case (qid, id, d) =>
+          heaps.getOrElseUpdate(qid, new TopK(k)).add(d, id)
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.sorted.iterator.map { case (d, id) => (qid, id, d) }
+        }
+      }.toDF("qid", "id", "dist")
   }
 
   /** The per-stage termination decision (`IndexIVF.cpp:504-637`):

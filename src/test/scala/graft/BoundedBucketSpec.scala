@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import graft.index.IVFIndex
+import graft.profile.ProfileTrainer
+import graft.search.{BoundedSearch, FlatSearch}
+
+/** The bucketed-IVF shuffle-free claim, proven rather than asserted in a
+  * comment: on a `list_no`-bucketed table the fully-distributed bounded
+  * search scans lists via a bucket-local join whose DATA side has no
+  * Exchange — only the small probe side shuffles. Results are identical
+  * to the salted-cogroup path on the plain partitioned table. */
+class BoundedBucketSpec extends SparkSpec {
+
+  val d = 24
+  val k = 10
+  val nlist = 32
+  val nBuckets = 32
+
+  lazy val pool = clusteredVecs(3200, d, nClusters = 40, seed = 77)
+  lazy val base = pool.take(3000)
+  lazy val baseDF = vecDF(base)
+  lazy val model = IVFIndex.train(baseDF, nlist, metric = "l2", seed = 42L)
+  lazy val assigned = IVFIndex.assign(baseDF, model).cache()
+
+  lazy val traces = {
+    val tq = vecDF(pool.slice(3000, 3150), "qid")
+    val gt = FlatSearch.knn(baseDF, tq, k)
+    ProfileTrainer.train(assigned, model, tq, gt, maxTopk = k, bs = 100)
+  }
+
+  lazy val bucketedTable: String = {
+    // the in-memory catalog forgets tables across JVMs but the warehouse
+    // directory persists — clear both or the next run's CREATE fails
+    // with LOCATION_ALREADY_EXISTS
+    spark.sql("DROP TABLE IF EXISTS ivf_bucketed_spec")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "ivf_bucketed_spec")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+    IVFIndex.writeBucketed(assigned, "ivf_bucketed_spec", nBuckets)
+    "ivf_bucketed_spec"
+  }
+
+  test("listNoBuckets detects the bucket spec (and its absence)") {
+    assert(BoundedSearch.listNoBuckets(spark.table(bucketedTable))
+      .contains(nBuckets))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_part").toString
+    IVFIndex.write(assigned, dir)
+    assert(BoundedSearch.listNoBuckets(spark.read.parquet(dir)).isEmpty)
+  }
+
+  test("scanListsJoin: no Exchange anywhere above the bucketed scan") {
+    import spark.implicits._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // concrete (non-adaptive) plan, and no broadcast so the join is the
+      // shuffle-requiring kind the 100 TB batch would get
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val qs = pool.slice(3150, 3166)
+      val probes = qs.zipWithIndex.flatMap { case (v, i) =>
+        model.rankCentroids(v).take(4).map { case (l, _) => (l, i.toLong, v) }
+      }.toSeq.toDS()
+      val lists = probes.map(_._1).collect().distinct.toSeq.sorted
+      val out = BoundedSearch.scanListsJoin(
+        spark.table(bucketedTable), "l2", probes, lists, k)
+      val plan = out.queryExecution.executedPlan
+
+      val scans = plan.collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty && scans.forall(_.relation.bucketSpec.isDefined),
+        s"expected a bucketed file scan in:\n$plan")
+      // the bucketed scan must not sit below ANY shuffle: its bucket
+      // partitioning IS the join distribution
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, s"expected the probe-side shuffle in:\n$plan")
+      val scanUnderShuffle = exchanges.exists(
+        _.child.collect { case f: FileSourceScanExec => f }.nonEmpty)
+      assert(!scanUnderShuffle,
+        s"data-side scan found under an Exchange:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("bucketed join path ≡ salted cogroup path (distributed search)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_ab").toString
+    IVFIndex.write(assigned, dir)
+    val qdf = pool.slice(3150, 3200).zipWithIndex
+      .map { case (v, i) => (i.toLong, v, 0.85f) }
+      .toSeq.toDF("qid", "vec", "required_recall")
+
+    def run(tbl: org.apache.spark.sql.DataFrame) = {
+      val r = BoundedSearch.search(tbl, model, traces, qdf, k,
+        multiplier = 8.0f, stdM = 1.5f, forceDistributed = true)
+      (r.results.select(col("qid"), col("id"), col("dist"), col("rank"))
+        .as[(Long, Long, Double, Int)].collect().sortBy(x => (x._1, x._4)),
+        r.stats.sortBy(_.qid))
+    }
+    val (rowsB, statsB) = run(spark.table(bucketedTable))
+    val (rowsP, statsP) = run(spark.read.parquet(dir))
+    assert(rowsB.sameElements(rowsP), "bucketed results differ from cogroup")
+    assert(statsB == statsP, "bucketed decisions differ from cogroup")
+  }
+
+  test("hot-list skew on a bucketed table falls back to the salted cogroup") {
+    import spark.implicits._
+    // force tiny bounds: the join guard trips (per-bucket) and the
+    // cogroup fallback actually salts (per-task)
+    System.setProperty("graft.join.maxProbesPerBucket", "1")
+    System.setProperty("graft.cogroup.maxProbes", "4")
+    try {
+      val qdf = pool.slice(3150, 3182).zipWithIndex
+        .map { case (v, i) => (i.toLong, v, 0.85f) }
+        .toSeq.toDF("qid", "vec", "required_recall")
+      val r = BoundedSearch.search(spark.table(bucketedTable), model, traces,
+        qdf, k, multiplier = 8.0f, stdM = 1.5f, forceDistributed = true)
+      val rSalted = r.results.as[(Long, Long, Double, Int)]
+        .collect().sortBy(x => (x._1, x._4))
+      System.clearProperty("graft.cogroup.maxProbes")
+      System.clearProperty("graft.join.maxProbesPerBucket")
+      val r2 = BoundedSearch.search(spark.table(bucketedTable), model, traces,
+        qdf, k, multiplier = 8.0f, stdM = 1.5f, forceDistributed = true)
+      val rJoin = r2.results.as[(Long, Long, Double, Int)]
+        .collect().sortBy(x => (x._1, x._4))
+      assert(rSalted.sameElements(rJoin))
+    } finally {
+      System.clearProperty("graft.cogroup.maxProbes")
+      System.clearProperty("graft.join.maxProbesPerBucket")
+    }
+  }
+}
