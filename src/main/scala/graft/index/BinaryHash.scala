@@ -132,15 +132,51 @@ object BinaryHash {
     df.withColumn("sig", u(col(vecCol)))
   }
 
+  /** The reference's driver contract bound (`Auncel/dist/worker.cpp`
+    * holds query batches in RAM) — past it, [[knnHammingLarge]] keeps
+    * the query signatures in a DataFrame end-to-end. */
+  private val DistributedMinQueries = 131072
+
+  /** Query-DataFrame-resident Hamming k-NN for batches past the driver
+    * contract: block-cartesian of signatures × query signatures scored
+    * by the codegen'd `bit_count(xor)` integer pipeline, per-task
+    * bounded-heap combine ([[graft.search.FlatSearch.partialTopK]]).
+    * No driver-side query collect anywhere. */
+  def knnHammingLarge(sigs: DataFrame, querySigs: DataFrame, k: Int): DataFrame = {
+    val scored = sigs.select(col("id").cast("long").as("id"),
+        col("sig").cast("long").as("sig"))
+      .crossJoin(querySigs.select(col("qid").cast("long").as("qid"),
+        col("sig").cast("long").as("qsig")))
+      .select(col("qid"), col("id"),
+        bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("double").as("dist"))
+    graft.search.FlatSearch.mergeTopK(
+      graft.search.FlatSearch.partialTopK(scored, k), k)
+  }
+
   /** Hamming k-NN over signatures — broadcast query signatures, integer
     * xor/popcount scan with per-partition bounded heaps: the shuffle
-    * carries parts × nq × k candidate rows, never N × nq. */
+    * carries parts × nq × k candidate rows, never N × nq. Batches past
+    * the driver contract route to [[knnHammingLarge]] (the collect is
+    * LIMIT-bounded, so routing itself never materializes nq rows). */
   def knnHamming(sigs: DataFrame, querySigs: DataFrame, k: Int): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._
-    val q: Array[(Long, Long)] = querySigs
+    val qRaw: Array[(Long, Long)] = querySigs
       .select(col("qid").cast("long"), col("sig").cast("long"))
-      .as[(Long, Long)].collect().sortBy(_._1)
+      .limit(DistributedMinQueries + 1)
+      .as[(Long, Long)].collect()
+    if (qRaw.length > DistributedMinQueries)
+      return knnHammingLarge(sigs, querySigs, k)
+    knnHammingLocal(sigs, qRaw.sortBy(_._1), k)
+  }
+
+  /** Broadcast-scan core over an already-collected query batch — shared
+    * by [[knnHamming]] and [[search]] (which feeds the SAME one collect
+    * into both the signature scan and the exact rescore). */
+  private def knnHammingLocal(sigs: DataFrame, q: Array[(Long, Long)],
+                              k: Int): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
     val bq = spark.sparkContext.broadcast(q)
     val partials = sigs.select(col("id").cast("long"), col("sig").cast("long"))
       .as[(Long, Long)]
@@ -162,18 +198,22 @@ object BinaryHash {
   }
 
   /** End-to-end: encode base + queries, Hamming search, then exact
-    * rerank of the top k·kFactor candidates (the standard LSH recipe). */
+    * rerank of the top k·kFactor candidates (the standard LSH recipe).
+    * ONE driver collect of the query batch feeds both the signature
+    * scan (signed driver-side via the model) and the exact-rescore
+    * broadcast map. */
   def search(base: DataFrame, queries: DataFrame, model: LSHModel, k: Int,
              kFactor: Int = 4, metric: String = "l2"): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
-    val cand = knnHamming(
-      encode(base, model).select(col("id"), col("sig")),
-      encode(queries, model, "vec").select(col("qid"), col("sig")),
+    val q: Array[(Long, Array[Float])] = queries
+      .select(col("qid").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val qSigs = q.map { case (qid, v) => (qid, model.signature(v)) }
+    val cand = knnHammingLocal(
+      encode(base, model).select(col("id"), col("sig")), qSigs,
       k * kFactor).select(col("qid"), col("id"))
-    val qv = queries.select(col("qid").cast("long"), col("vec"))
-      .as[(Long, Array[Float])].collect().toMap
-    val bq = spark.sparkContext.broadcast(qv)
+    val bq = spark.sparkContext.broadcast(q.toMap)
     val m = metric
     val exactU = udf { (qid: Long, v: Seq[Float]) =>
       Kernels.distance(m, bq.value(qid), v.toArray)

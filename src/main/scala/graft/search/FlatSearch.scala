@@ -26,13 +26,22 @@ object FlatSearch {
     *         dist is squared-L2 for "l2", negated inner product for "ip"
     */
   def knn(base: DataFrame, queries: DataFrame, k: Int,
-          metric: String = "l2"): DataFrame = {
+          metric: String = "l2", forceDistributed: Boolean = false): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
 
-    val q: Array[(Long, Array[Float])] = queries
+    if (forceDistributed) return knnLarge(base, queries, k, metric)
+    // single-job guard: collect AT MOST the driver contract + 1 rows —
+    // small batches pay exactly the one collect they always did, and a
+    // >131k batch bails to the query-DataFrame-resident path after
+    // materializing only the bounded prefix (~36 MB at d=64), never nq
+    val qRaw: Array[(Long, Array[Float])] = queries
       .select(col("qid").cast("long"), col("vec"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .limit(DistributedMinQueries + 1)
+      .as[(Long, Array[Float])].collect()
+    if (qRaw.length > DistributedMinQueries)
+      return knnLarge(base, queries, k, metric)
+    val q = qRaw.sortBy(_._1)
     val bq = spark.sparkContext.broadcast(q)
     val m = metric
 
@@ -56,6 +65,57 @@ object FlatSearch {
       }
 
     mergeTopK(partials.toDF("qid", "id", "dist"), k)
+  }
+
+  /** The reference's own driver contract holds all queries in RAM
+    * (`Auncel/dist/worker.cpp` serves batches from memory); past this
+    * size we keep the query batch in a DataFrame instead
+    * ([[knnLarge]]) — same constant as BoundedSearch's distributed
+    * threshold. */
+  private val DistributedMinQueries = 131072
+
+  /** Query-DataFrame-resident brute force for batches past the driver
+    * contract — the flat twin of BoundedSearch's fully-distributed path
+    * (reference parity: `Auncel/dist/worker.cpp:141-325` serves every
+    * search kind at any batch size). Shape: block-cartesian of base ×
+    * query partitions (the nq × N distance work is inherent to exact
+    * search), the codegen'd distance kernel scores pairs inside
+    * WholeStageCodegen, and a per-task (qid → k-heap) combine bounds
+    * the shuffle to tasks × k rows per query. No per-query structure
+    * ever exists on the driver. */
+  def knnLarge(base: DataFrame, queries: DataFrame, k: Int,
+               metric: String = "l2"): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val q = queries.select(col("qid").cast("long").as("qid"),
+      col("vec").as("qvec"))
+    val b = base.select(col("id").cast("long").as("id"), col("vec"))
+    val dist =
+      if (metric == "ip") negate(VectorExpressions.dot(col("qvec"), col("vec")))
+      else VectorExpressions.l2Sqr(col("qvec"), col("vec"))
+    val scored = b.crossJoin(q)
+      .select(col("qid"), col("id"), dist.as("dist"))
+    mergeTopK(partialTopK(scored, k), k)
+  }
+
+  /** Per-task bounded-heap combine over scored (qid, id, dist) rows —
+    * the map-side-combine half of the partial-topk pattern, factored so
+    * the cartesian/join-shaped scans (knnLarge, Hamming large batches)
+    * share it. */
+  private[graft] def partialTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("qid").cast("long"), col("id").cast("long"),
+        col("dist").cast("double"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap.empty[Long, TopK]
+        it.foreach { case (qid, id, d) =>
+          heaps.getOrElseUpdate(qid, new TopK(k)).add(d, id)
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.sorted.iterator.map { case (d, id) => (qid, id, d) }
+        }
+      }.toDF("qid", "id", "dist")
   }
 
   /** Global top-k merge of per-partition (or per-shard) partial results —
