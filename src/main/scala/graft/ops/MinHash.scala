@@ -22,8 +22,22 @@ object MinHash {
   }
 
   /** (doc_id, sig ARRAY<STRING>[numHashes]) — min of salted md5 per
-    * hash function. */
+    * hash function, computed by the fused per-document scalar kernel
+    * ([[sigExpr]]): one projection pass, no shingle explode, no
+    * numHashes-way aggregation shuffle (measured 4–10× on the t07/t08
+    * kernels this mirrors). Docs with fewer than 3 words are dropped,
+    * matching the exploded-groupBy form ([[signaturesGroupBy]], kept as
+    * the spec oracle). */
   def signatures(docs: DataFrame, numHashes: Int = 32,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), sigExpr(col(textCol), numHashes).as("sig"))
+      .filter(col("sig").getItem(0).isNotNull)
+
+  /** The declarative exploded-shingle groupBy formulation — the oracle
+    * [[signatures]] is spec-checked against (OpsSpec); the fused kernel
+    * replaced it on the production path because the explode multiplies
+    * every document by its shingle count before the shuffle. */
+  def signaturesGroupBy(docs: DataFrame, numHashes: Int = 32,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = docs.select(col(idCol), explode(shingleU(col(textCol))).as("s"))
     val mins = (0 until numHashes).map { h =>

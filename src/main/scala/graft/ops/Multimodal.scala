@@ -1,21 +1,33 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal columns: image/audio/video as opaque BINARY payloads with
-  * typed metadata, processed batch-wise in `mapPartitions` (the Scala
-  * analog of pandas-batch UDFs — one partition = one batch, columnar
-  * parquet IO on either side).
+  * typed metadata, processed batch-wise in typed `mapPartitions` (the
+  * Scala analog of pandas-batch UDFs — one partition = one batch,
+  * columnar parquet IO on either side).
   *
-  * The actual media codecs are NOT in this environment, so the decode
-  * kernels are deterministic STUBS (clearly marked) — byte-derived fake
-  * pixels/samples. Everything around them is real and tested: schema,
-  * null passthrough, partition batching, metadata propagation, and the
-  * feature-vector handoff into the vector-search operators.
+  * Real image formats the JDK ships codecs for (PNG/BMP/JPEG/GIF via
+  * `javax.imageio` — no external deps) are ACTUALLY decoded; anything
+  * else falls back to the deterministic STUB decode (clearly marked) —
+  * byte-derived fake pixels, kept as the stable test/oracle path since
+  * heavier media codecs are not in this environment. Everything around
+  * the codecs is real and tested: schema, null passthrough, partition
+  * batching, metadata propagation, and the feature-vector handoff into
+  * the vector-search operators.
   */
 object Multimodal {
+
+  /** Typed row contracts for the decode pipeline — keeps the
+    * `mapPartitions` inside Tungsten (Dataset encoders on both sides)
+    * instead of an RDD[Row] round-trip with hand-built schemas. */
+  final case class MediaIn(media_id: Long, payload: Array[Byte], mime: String,
+                           width: Option[Int], height: Option[Int])
+  final case class MediaFeat(media_id: Long, payload: Array[Byte], mime: String,
+                             width: Option[Int], height: Option[Int],
+                             features: Array[Float])
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -58,25 +70,71 @@ object Multimodal {
     out
   }
 
-  /** Decode + resize to a fixed thumbnail, emitting a feature vector
-    * column ready for the ANN operators. Batch shape: one partition
-    * of payloads per task; constant memory per row. */
-  def decodeResizeFeatures(media: DataFrame, w2: Int = 8, h2: Int = 8): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(media.schema.fields.toSeq :+
-      StructField("features", ArrayType(FloatType, containsNull = false)))
-    val rdd = media.rdd.mapPartitions { it =>
-      it.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val w = Option(r.getAs[Any]("width")).fold(8)(_.asInstanceOf[Int])
-        val h = Option(r.getAs[Any]("height")).fold(8)(_.asInstanceOf[Int])
-        val feats =
-          if (payload == null) null
-          else stubResize(stubDecode(payload, w, h), w, h, w2, h2)
-        Row.fromSeq(r.toSeq :+ feats)
+  /** Cheap magic-byte sniff so the real-codec attempt only runs on
+    * payloads that can possibly be images (ImageIO reader discovery per
+    * arbitrary blob would be wasted work at scale). */
+  private[ops] def looksLikeImage(p: Array[Byte]): Boolean =
+    p != null && p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 0x50.toByte) ||   // PNG
+      (p(0) == 0xff.toByte && p(1) == 0xd8.toByte) ||   // JPEG
+      (p(0) == 'B'.toByte && p(1) == 'M'.toByte) ||     // BMP
+      (p(0) == 'G'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte))
+
+  /** REAL decode for JDK-supported formats, stub otherwise: returns
+    * (grayscale pixels row-major, width, height). Real images use their
+    * own decoded dimensions; the stub trusts the metadata columns.
+    * Luminance = (0.299 R + 0.587 G + 0.114 B) / 255 — deterministic
+    * for the lossless formats (PNG/BMP/GIF) the specs exercise. */
+  private[ops] def decodeAny(payload: Array[Byte], wMeta: Int,
+                             hMeta: Int): (Array[Float], Int, Int) = {
+    if (looksLikeImage(payload)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img != null) {
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[Float](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            out(y * w + x) = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+            x += 1
+          }
+          y += 1
+        }
+        return (out, w, h)
       }
     }
-    spark.createDataFrame(rdd, outSchema)
+    (stubDecode(payload, wMeta, hMeta), wMeta, hMeta)
+  }
+
+  /** Decode + resize to a fixed thumbnail, emitting a feature vector
+    * column ready for the ANN operators. Batch shape: one partition of
+    * payloads per task; constant memory per row; typed
+    * `Dataset.mapPartitions` so the plan stays in Tungsten (no RDD scan
+    * barrier, no driver-side schema assembly). */
+  def decodeResizeFeatures(media: DataFrame, w2: Int = 8, h2: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long").as("media_id"), col("payload"),
+        col("mime"), col("width").cast("int").as("width"),
+        col("height").cast("int").as("height"))
+      .as[MediaIn]
+      .mapPartitions { it =>
+        it.map { m =>
+          val feats =
+            if (m.payload == null) null
+            else {
+              val (px, w, h) = decodeAny(m.payload,
+                m.width.getOrElse(8), m.height.getOrElse(8))
+              stubResize(px, w, h, w2, h2)
+            }
+          MediaFeat(m.media_id, m.payload, m.mime, m.width, m.height, feats)
+        }
+      }.toDF()
   }
 
   /** Frame sampling for "video" payloads: split the byte stream into

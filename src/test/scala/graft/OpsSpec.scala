@@ -73,6 +73,52 @@ class OpsSpec extends SparkSpec {
       frameBytes = 4, stride = 2)
     assert(frames.count() == 2)
     assert(Multimodal.binaryStats(media).count() == 3)
+    // the typed pipeline stays in Tungsten: no RDD scan barrier
+    assert(!out.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      out.queryExecution.executedPlan.toString)
+  }
+
+  test("real PNG decodes through the same resize→features→ANN pipeline") {
+    import spark.implicits._
+    // two real 4×4 PNGs (JDK codec, lossless → deterministic), one text blob
+    def png(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4)
+        img.setRGB(x, y, (seed * 37 + y * 4 + x) * 123457 & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (0L, png(1), "image/png", 4, 4),
+      (1L, png(2), "image/png", 4, 4),
+      (2L, "not an image at all".getBytes("UTF-8"), "text/plain", 4, 4))
+      .toDF("media_id", "payload", "mime", "width", "height")
+    val feats = Multimodal.decodeResizeFeatures(media, w2 = 2, h2 = 2)
+      .select(col("media_id"), col("features"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toMap
+
+    // expected: decoded luminance at the nearest-neighbor sample points
+    def lum(seed: Int, x: Int, y: Int): Float = {
+      val rgb = (seed * 37 + y * 4 + x) * 123457 & 0xffffff
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+    }
+    for (s <- Seq(1, 2)) {
+      val want = Array(lum(s, 0, 0), lum(s, 2, 0), lum(s, 0, 2), lum(s, 2, 2))
+      assert(feats(s.toLong - 1).sameElements(want),
+        s"png $s: got ${feats(s.toLong - 1).mkString(",")} want ${want.mkString(",")}")
+    }
+    // the non-image payload still takes the stub (metadata dims, byte math)
+    assert(feats(2L).length == 4)
+
+    // and the decoded features flow into the ANN operators unchanged
+    val vecs = Multimodal.decodeResizeFeatures(media, w2 = 2, h2 = 2)
+      .select(col("media_id").as("id"), col("features").as("vec"))
+    val knn = graft.search.FlatSearch.knn(
+      vecs, vecs.limit(1).select(col("id").as("qid"), col("vec")), k = 2)
+    assert(knn.count() == 2)
   }
 
   test("streaming: watermarked windowed agg over a file stream") {
@@ -176,8 +222,8 @@ class OpsSpec extends SparkSpec {
       .toDF("doc_id", "ts", "text").write.mode("overwrite").parquet(s"$dir/in")
     val batchDocs = spark.read.parquet(s"$dir/in")
 
-    // the row-local signature expression equals the batch aggregation
-    val bySig = MinHash.signatures(batchDocs, numHashes = 16)
+    // the fused production path equals the exploded-groupBy oracle
+    val bySig = MinHash.signaturesGroupBy(batchDocs, numHashes = 16)
       .withColumnRenamed("sig", "sig_agg")
     val byExpr = batchDocs.select(col("doc_id"),
       MinHash.sigExpr(col("text"), 16).as("sig_expr"))
