@@ -74,9 +74,14 @@ object Bench {
     val failed = results.collect { case (name, v) if v < 0 => name }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // a run with ANY failed query must not report a (smaller) total that
+    // reads as a speedup to a consumer comparing value alone: the total
+    // goes to -1 and valid:false, per-query medians stay inspectable
+    val okTotal = results.map(_._2).filter(_ >= 0).sum
+    val total = if (failed.isEmpty) okTotal else -1.0
+    val valid = failed.isEmpty
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"build_sec":$buildSec%.3f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","valid":$valid,"queries":$qs,"failed":$failedJson,"build_sec":$buildSec%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

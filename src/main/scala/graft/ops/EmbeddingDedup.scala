@@ -170,7 +170,7 @@ object EmbeddingDedup {
       sigs.select(col("id"), lit(b).as("band"),
         shiftright(col("sig"), b * width).bitwiseAND(mask).as("key"))
     }.reduce(_ unionByName _)
-    bandedPairs(df, bands, threshold, maxBucket, "lshPairs")
+    bandedPairs(df, bands, sigs, threshold, maxBucket, "lshPairs")
   }
 
   /** Banded near-dup over WIDE signatures (`BinaryHash.WideLSHModel`,
@@ -203,7 +203,7 @@ object EmbeddingDedup {
         shiftright(element_at(col("sig"), word + 1), off)
           .bitwiseAND(mask).as("key"))
     }.reduce(_ unionByName _)
-    bandedPairs(df, bands, threshold, maxBucket, "lshPairsWide")
+    bandedPairs(df, bands, sigs, threshold, maxBucket, "lshPairsWide")
   }
 
   /** Shared banded tail: bucket-size filter → band equi-join →
@@ -219,7 +219,7 @@ object EmbeddingDedup {
     * shuffling the bands frame against its own bucket-size aggregate,
     * and the discovery job doubles as the logged count. */
   private def bandedPairs(df: DataFrame, bands: DataFrame,
-                          threshold: Double, maxBucket: Int,
+                          sigs: DataFrame, threshold: Double, maxBucket: Int,
                           what: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -244,7 +244,13 @@ object EmbeddingDedup {
     val y = kept.select(col("band"), col("key"), col("id").as("b"))
     val cand = x.join(y, Seq("band", "key")).filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    rerank(df, cand, threshold)
+    // materialize the (small) surviving-pair output, then RELEASE the
+    // cached signature frame — long-lived sessions (bench's 3×3 passes,
+    // repeated verify runs) otherwise accumulate a MEMORY_AND_DISK
+    // entry per invocation until eviction pressure
+    val out = rerank(df, cand, threshold).localCheckpoint(eager = true)
+    sigs.unpersist()
+    out
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)

@@ -31,8 +31,14 @@ object TextAnalysis {
   def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val ordered = profiles.toSeq.sortBy(_._1)
     val predU = udf { (text: String) =>
-      // Locale.ROOT: Spark's lower() is locale-insensitive — the JVM
-      // default locale must not leak in (Turkish-I class of bugs)
+      // Locale.ROOT is CANONICAL here (it matches DuckDB's
+      // locale-independent lower(), i.e. the oracle). Spark's own
+      // lower() is locale-free only on the ASCII fast path — for
+      // non-ASCII it lowercases under the DEFAULT JVM locale, so under
+      // tr/az/lt defaults the declarative form this kernel replaced
+      // would diverge from both this kernel and the oracle
+      // (Turkish-I class of bugs); we pin ROOT and accept that
+      // documented divergence
       val ws = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
       var bestLang = ""
       var bestHits = 0
@@ -158,7 +164,9 @@ object TextAnalysis {
     // fused scalar kernel (the shingleU/v16 precedent) — the
     // per-character transform/aggregate chain runs interpreted, one
     // lambda dispatch per CHARACTER. Same fold: lowercase (ROOT
-    // locale, matching Spark's lower), collapse \s+ to one space,
+    // locale — canonical, matching the DuckDB oracle; Spark's lower()
+    // uses the default JVM locale off the ASCII fast path, a
+    // documented accepted divergence), collapse \s+ to one space,
     // trim, then (acc·31 + codepoint) mod 1e9+7 left-to-right —
     // codepoint iteration matches split("")+ascii on BMP and keeps
     // surrogate pairs whole exactly as Java regex split("") does.

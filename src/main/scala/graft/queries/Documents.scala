@@ -208,6 +208,16 @@ object Documents {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     require(q.awaitTermination(300000),
       "s04 streaming query did not finish within 300s — partial sink")
+    // the n_emitted=1-per-fingerprint oracle holds only while
+    // AvailableNow consumes the staged corpus in ONE micro-batch:
+    // split batches could legitimately re-emit a fingerprint whose
+    // duplicates straddle the 1h watermark. Assert the contract via
+    // query progress so a future staging change fails loudly here, not
+    // as an opaque hash mismatch downstream.
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches == 1,
+      s"s04 staged corpus processed in $dataBatches micro-batches " +
+        "(expected 1); the n_emitted=1 oracle requires single-batch staging")
     val emitted = s.table(sink).groupBy(col("fp"))
       .agg(count(lit(1)).as("n_emitted"))
     val batchCounts = s.read.parquet(staged)
