@@ -51,6 +51,38 @@ class HNSWSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("probed-blocks search: recall ≥ 0.85 at b = nParts/4 on clustered data") {
+    import spark.implicits._
+    val nParts = 16
+    val model = graft.index.IVFIndex.train(baseDF, nParts, seed = 42L)
+    val graph = HNSW.buildGraphClustered(baseDF, model, m = 16,
+      efConstruction = 64).cache()
+    graph.count()
+
+    // all-blocks over the clustered graph = the reference quality bar
+    val full = HNSW.searchGraph(graph, qDF, k = 10, efSearch = 96)
+    val rFull = recallVs(full, 10)
+    // probed: each query pays b = nParts/4 = 4 beam searches, not 16
+    val probed = HNSW.searchGraphProbed(graph, model, qDF, k = 10,
+      efSearch = 96, nProbeBlocks = nParts / 4)
+    val rProbed = recallVs(probed, 10)
+    assert(rProbed >= 0.85, s"probed recall $rProbed (all-blocks $rFull)")
+    // the block dimension behaves like efSearch: more blocks ≥ recall
+    val probed8 = HNSW.searchGraphProbed(graph, model, qDF, k = 10,
+      efSearch = 96, nProbeBlocks = nParts / 2)
+    val r8 = recallVs(probed8, 10)
+    assert(r8 >= rProbed - 0.02, s"b=8 recall $r8 < b=4 recall $rProbed")
+    // probing every block recovers the all-blocks result exactly
+    val all = HNSW.searchGraphProbed(graph, model, qDF, k = 10,
+      efSearch = 96, nProbeBlocks = nParts)
+      .select(col("qid"), col("rank"), col("id"))
+      .as[(Long, Int, Long)].collect().sorted
+    val want = full.select(col("qid"), col("rank"), col("id"))
+      .as[(Long, Int, Long)].collect().sorted
+    assert(all.sameElements(want))
+    graph.unpersist()
+  }
+
   test("level-0 graph stays connected on far-apart clustered data") {
     // two tight clusters 1000 apart — the shape most likely to fragment
     // under heuristic pruning; the insert-order chain backstop must keep
