@@ -71,13 +71,36 @@ object Eval {
       val c = centers(rnd.nextInt(48))
       Array.tabulate(D)(i => (c(i) + 0.15 * rnd.nextGaussian()).toFloat)
     }
-    val base = mk(nb); val trainQ = mk(NTRAIN); val evalQ = mk(NEVAL)
+    // past this the corpus is generated DISTRIBUTED (driver arrays and
+    // the in-driver GT loop stop being reasonable), k-means trains on a
+    // capped sample and the GT oracle runs as a Spark flat scan —
+    // exactly the ScaleDemo regime, so `dist` can run at 10M
+    val DriverMaxRows = 500000
+    val base = if (nb <= DriverMaxRows) mk(nb) else {
+      // keep the rnd stream position identical either way
+      Array.empty[Array[Float]]
+    }
+    val trainQ = mk(NTRAIN); val evalQ = mk(NEVAL)
     def df(vs: Array[Array[Float]], idCol: String) =
       vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF(idCol, "vec")
 
-    val baseDF = df(base, "id").cache()
+    val baseDF = (if (nb <= DriverMaxRows) df(base, "id") else {
+      val bc = spark.sparkContext.broadcast(centers)
+      val dd = D
+      val gen = udf { (id: Long) =>
+        val r = new scala.util.Random(id * 2654435761L + 42)
+        val c = bc.value((id % 48).toInt)
+        Array.tabulate(dd)(i => (c(i) + 0.15 * r.nextGaussian()).toFloat)
+      }
+      spark.range(nb).toDF("id").withColumn("vec", gen(col("id")))
+    }).cache()
+    // coarse k-means needs hundreds of points per centroid, not the
+    // corpus (the ScaleDemo cap)
+    def trainInput(b: DataFrame, n: Long): DataFrame =
+      if (n <= DriverMaxRows) b
+      else b.sample(math.min(0.25, math.max(0.05, 800.0 * NLIST / n)), 42L)
     val t0 = now()
-    val model = IVFIndex.train(baseDF, NLIST)
+    val model = IVFIndex.train(trainInput(baseDF, nb), NLIST)
     val assigned = IVFIndex.assign(baseDF, model).cache()
     assigned.count()
     val tBuild = now() - t0
@@ -87,9 +110,20 @@ object Eval {
     val traces = ProfileTrainer.train(assigned, model, df(trainQ, "qid"), gt, K, bs = 100)
     val tProfile = now() - t1
 
-    // exact k-th GT distance per eval query (in-driver oracle)
-    def kth(q: Array[Float]): Double =
-      base.map(v => Kernels.l2Sqr(q, v)).sorted.apply(K - 1)
+    // exact k-th GT distance per eval query: in-driver loop at driver
+    // scale, distributed flat scan past it (identical value — the k-th
+    // sorted distance is tie-insensitive)
+    lazy val kthMap: Map[Long, Double] =
+      if (nb <= DriverMaxRows)
+        evalQ.zipWithIndex.map { case (q, i) =>
+          (i.toLong, base.map(v => Kernels.l2Sqr(q, v)).sorted.apply(K - 1))
+        }.toMap
+      else
+        FlatSearch.knn(baseDF, df(evalQ, "qid"), K)
+          .filter(col("rank") === K)
+          .select(col("qid"), col("dist")).as[(Long, Double)]
+          .collect().toMap
+    def kth(i: Long): Double = kthMap(i)
 
     mode match {
       case "bound" =>
@@ -103,7 +137,7 @@ object Eval {
           .as[(Long, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
         val tSearch = now() - t2
         val recalls = evalQ.zipWithIndex.map { case (q, i) =>
-          val kd = kth(q)
+          val kd = kth(i.toLong)
           got.getOrElse(i.toLong, Array.empty).count(_ <= kd * 1.0005).toDouble / K
         }
         val worst = recalls.min
@@ -142,7 +176,7 @@ object Eval {
         val got = res.results.select(col("qid"), col("dist"))
           .as[(Long, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
         val rows = evalQ.zipWithIndex.map { case (q, i) =>
-          val kd = kth(q)
+          val kd = kth(i.toLong)
           val ach = got.getOrElse(i.toLong, Array.empty).count(_ <= kd * 1.0005).toDouble / K
           (reqs(i), ach)
         }
@@ -216,7 +250,7 @@ object Eval {
         Seq(2, 4, 8).foreach { w =>
           val shards = (0 until w).map { r =>
             val sh = baseDF.filter(pmod(col("id"), lit(w)) === r).cache()
-            val m = IVFIndex.train(sh, NLIST)
+            val m = IVFIndex.train(trainInput(sh, nb.toLong / w), NLIST)
             val asg = IVFIndex.assign(sh, m).cache(); asg.count()
             val sgt = FlatSearch.knn(sh, df(trainQ, "qid"), K)
             val tr = ProfileTrainer.train(asg, m, df(trainQ, "qid"), sgt, K, bs = 100)
@@ -244,7 +278,7 @@ object Eval {
                 .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
               val tMerge = now() - tm
               val recalls = evalQ.zipWithIndex.map { case (q, i) =>
-                val kd = kth(q)
+                val kd = kth(i.toLong)
                 got.getOrElse(i.toLong, Array.empty)
                   .count(_ <= kd * 1.0005).toDouble / K
               }

@@ -22,6 +22,9 @@ object ScaleDemo {
       // ContextCleaner delete them before /tmp fills (the r5 10M run
       // died on disk at the last stage without this)
       .config("spark.cleaner.periodicGC.interval", "2min")
+      // managed-table warehouse for the bucketed A/B (fresh per run)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("scale_wh").toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -248,6 +251,55 @@ object ScaleDemo {
       println(f"bounded search SKEWED batch ($nSkew queries on one " +
         f"cluster, salted cogroup): ${tS}%.1fs = ${tS * 1000 / nSkew}%.2f " +
         f"ms/query amortized, mean nprobe ${pS.sum.toDouble / pS.size}%.1f/$nlist")
+    }
+
+    // ---- bucketed vs partitioned A/B: the shuffle-free cogroup claim ----
+    // Same fully-distributed bounded search, same query batch; the only
+    // difference is the storage layout of the IVF table. Bucketed, the
+    // per-round list scan is a bucket-local join (no data-side
+    // shuffle); partitioned, it is the salted cogroup (re-shuffles
+    // nprobed/nlist of the corpus per round). A SparkListener sums
+    // shuffle-write bytes so the removed shuffle is measured, not
+    // asserted. SCALE_ONLY=bucket runs just this section.
+    if (n >= 1000000 && sys.env.get("SCALE_ONLY").forall(_ == "bucket")) {
+      val nAB = if (args.length > 2) args(2).toInt else 200000
+      val abQ = baseDF.filter(col("id") % (n / nAB) === 0).limit(nAB)
+        .select(col("id").as("qid"), col("vec"))
+        .withColumn("required_recall", lit(0.9f)).cache()
+      val nQ = abQ.count()
+
+      spark.sql("DROP TABLE IF EXISTS ivf_bucketed_scale")
+      t = System.nanoTime()
+      IVFIndex.writeBucketed(IVFIndex.assign(baseDF, model),
+        "ivf_bucketed_scale", nlist)
+      println(f"bucketed write ($nlist buckets): ${(System.nanoTime() - t) / 1e9}%.1fs")
+
+      val meter = new org.apache.spark.scheduler.SparkListener {
+        val bytes = new java.util.concurrent.atomic.AtomicLong
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(meter)
+      def measured(label: String, tbl: org.apache.spark.sql.DataFrame): Unit = {
+        Thread.sleep(2000); meter.bytes.set(0L)
+        val t0 = System.nanoTime()
+        val r = BoundedSearch.search(tbl, model, traces, abQ, k,
+          multiplier = 4.0f, stdM = 1.0f, forceDistributed = true)
+        r.results.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000) // listener bus drain (demo-grade)
+        println(f"bounded dist $label ($nQ queries): $sec%.1fs = " +
+          f"${sec * 1000 / nQ}%.2f ms/q, shuffle-write " +
+          f"${meter.bytes.get / 1048576.0}%.0f MiB, mean nprobe " +
+          f"${r.stats.map(_.nprobeUsed).sum.toDouble / r.stats.size}%.1f")
+      }
+      measured("PARTITIONED (cogroup)", ivf)
+      measured("BUCKETED  (join)     ", spark.table("ivf_bucketed_scale"))
+      abQ.unpersist()
+      spark.sparkContext.removeSparkListener(meter)
     }
 
     if (fullRun) {
