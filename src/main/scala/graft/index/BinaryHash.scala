@@ -67,14 +67,36 @@ object BinaryHash {
     s
   }
 
+  /** Wide twin of [[knnHammingLarge]]: codegen'd per-word xor popcount
+    * ([[org.apache.spark.sql.graft.VectorExpressions.hammingWide]],
+    * bit-identical to [[hammingWide]]) over the block-cartesian, no
+    * driver-side query collect. */
+  def knnHammingWideLarge(sigs: DataFrame, querySigs: DataFrame,
+                          k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val scored = sigs.select(col("id").cast("long").as("id"), col("sig"))
+      .crossJoin(querySigs.select(col("qid").cast("long").as("qid"),
+        col("sig").as("qsig")))
+      .select(col("qid"), col("id"),
+        VectorExpressions.hammingWide(col("sig"), col("qsig"))
+          .cast("double").as("dist"))
+    graft.search.FlatSearch.mergeTopK(
+      graft.search.FlatSearch.partialTopK(scored, k), k)
+  }
+
   /** Hamming k-NN over multi-word signatures — same bounded partial-heap
-    * shape as [[knnHamming]]. */
+    * shape as [[knnHamming]]; >131k-query batches route to
+    * [[knnHammingWideLarge]] via the same LIMIT-bounded guard. */
   def knnHammingWide(sigs: DataFrame, querySigs: DataFrame, k: Int): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._
-    val q: Array[(Long, Array[Long])] = querySigs
+    val qRaw: Array[(Long, Array[Long])] = querySigs
       .select(col("qid").cast("long"), col("sig"))
-      .as[(Long, Array[Long])].collect().sortBy(_._1)
+      .limit(DistributedMinQueries + 1)
+      .as[(Long, Array[Long])].collect()
+    if (qRaw.length > DistributedMinQueries)
+      return knnHammingWideLarge(sigs, querySigs, k)
+    val q = qRaw.sortBy(_._1)
     val bq = spark.sparkContext.broadcast(q)
     val partials = sigs.select(col("id").cast("long"), col("sig"))
       .as[(Long, Array[Long])]

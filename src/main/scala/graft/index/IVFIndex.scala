@@ -137,6 +137,13 @@ object IVFIndex {
     * uses the same Murmur3 hash partitioning as the bucket layout, so
     * each task holds exactly one bucket → ONE sorted file per bucket
     * (which also lets sort-merge joins skip the data-side sort).
+    *
+    * `nBuckets` sets the SCAN-TASK granularity of every future join —
+    * it is a layout knob, NOT nlist: the list→bucket mapping is
+    * many-to-one and harmless to the join. Size buckets ≥ ~100 MB;
+    * nBuckets = nlist on a 10M corpus produced 2.5 MB buckets and the
+    * per-round stages drowned in task overhead (measured 2.6× SLOWER
+    * than the cogroup despite 7 GiB less shuffle — NOTES_r7).
     * Overwrite replaces a REGISTERED table; with the default in-memory
     * catalog an orphaned warehouse directory from a previous session
     * must be dropped first (LOCATION_ALREADY_EXISTS). */

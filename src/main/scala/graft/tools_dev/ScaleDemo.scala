@@ -269,10 +269,15 @@ object ScaleDemo {
       val nQ = abQ.count()
 
       spark.sql("DROP TABLE IF EXISTS ivf_bucketed_scale")
+      // bucket count is a LAYOUT knob, not nlist: size buckets for
+      // ~100 MB scan tasks (nBuckets = nlist gave 2.5 MB buckets and
+      // the join arm drowned in per-task overhead — 2.6× slower than
+      // the cogroup it was meant to beat)
+      val nBuckets = 64
       t = System.nanoTime()
       IVFIndex.writeBucketed(IVFIndex.assign(baseDF, model),
-        "ivf_bucketed_scale", nlist)
-      println(f"bucketed write ($nlist buckets): ${(System.nanoTime() - t) / 1e9}%.1fs")
+        "ivf_bucketed_scale", nBuckets)
+      println(f"bucketed write ($nBuckets buckets): ${(System.nanoTime() - t) / 1e9}%.1fs")
 
       val meter = new org.apache.spark.scheduler.SparkListener {
         val bytes = new java.util.concurrent.atomic.AtomicLong

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expressions (with `doGenCode`) for the two hot
   * distance kernels — the codegen'd fast path the reference implements
@@ -84,9 +84,49 @@ case class DotExpr(left: Expression, right: Expression) extends VectorBinaryKern
     copy(left = l, right = r)
 }
 
+/** Hamming distance over two ARRAY<LONG> packed signatures — per-word
+  * xor popcount, the codegen'd twin of `BinaryHash.hammingWide` (same
+  * word order, bit-identical integer result). */
+case class HammingWideExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "graft_hamming_wide"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0; var i = 0
+    while (i < n) {
+      s += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val s = ctx.freshName("s"); val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      s"""
+         |int $s = 0;
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += java.lang.Long.bitCount($x.getLong($i) ^ $y.getLong($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   def l2Sqr(a: Column, b: Column): Column =
     ColumnBridge.column(L2SqrExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def hammingWide(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingWideExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -75,4 +75,26 @@ class LargeBatchSpec extends SparkSpec {
     assert(want.length == 30 && got.sameElements(want))
     res.unpersist(); sigs.unpersist()
   }
+
+  test("wide hamming knn: >131k ARRAY<LONG> signatures stay in a DataFrame") {
+    import spark.implicits._
+    val model = BinaryHash.trainWide(d, nbits = 128, seed = 9L)
+    val sigs = BinaryHash.encodeWide(baseDF, model)
+      .select(col("id"), col("sig")).cache()
+    val genSig = udf { qid: Long =>
+      Array(qid * 2654435761L + 3, qid * 912871L ^ 0x5bf03635L)
+    }
+    val querySigs = spark.range(nq).toDF("qid")
+      .withColumn("sig", genSig(col("qid")))
+    val res = BinaryHash.knnHammingWide(sigs, querySigs, k = 3).cache()
+    assert(res.count() == nq * 3L)
+
+    val slice = querySigs.filter(col("qid") % 14000 === 0)
+    val want = BinaryHash.knnHammingWide(sigs, slice, 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(x => (x._1, x._4))
+    val got = res.join(slice.select(col("qid")), Seq("qid"))
+      .as[(Long, Long, Double, Int)].collect().sortBy(x => (x._1, x._4))
+    assert(want.length == 30 && got.sameElements(want))
+    res.unpersist(); sigs.unpersist()
+  }
 }
