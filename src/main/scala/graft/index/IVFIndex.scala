@@ -153,6 +153,34 @@ object IVFIndex {
       .bucketBy(nBuckets, "list_no").sortBy("list_no")
       .saveAsTable(table)
 
+  /** Memory-resident serving layout: the assigned corpus repartitioned
+    * on `list_no` and cached, so the distributed bounded search's
+    * per-round list scan is an Exchange-free bucket-local join
+    * ([[graft.search.BoundedSearch]] detects the distribution via the
+    * cached plan's HashPartitioning) — the deployment where index
+    * shards live hot in executor memory, as the reference's distributed
+    * workers hold their inverted lists resident (`dist/worker.cpp`).
+    * The cache plan is built with AQE off: an adaptive cached plan
+    * reports UnknownPartitioning to consumers, which would silently
+    * re-add the per-round data-side shuffle this layout exists to
+    * remove. The caller must trigger materialization (any action) and
+    * owns `unpersist()`. */
+  def residentByList(assigned: DataFrame, nParts: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // sortWithinPartitions gives each cached batch a tight
+      // [min,max] list_no stat, so small/skewed probe sets prune
+      // batches; SortExec forwards the child's HashPartitioning, so
+      // the Exchange-free join detection is unaffected
+      val mem = assigned.repartition(nParts, col("list_no"))
+        .sortWithinPartitions("list_no").cache()
+      mem.count() // materialize while the non-adaptive plan is pinned
+      mem
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   def saveModel(model: IVFModel, path: String, spark: SparkSession): Unit = {
     import spark.implicits._
     model.centroids.zipWithIndex

@@ -518,9 +518,15 @@ object BoundedSearch {
     }.toDF("qid", "id", "dist")
   }
 
-  /** If `df` reads a table bucketed on exactly `list_no`, its bucket
-    * count — the signal that [[scanListsJoin]]'s data side will come out
-    * of the scan already hash-partitioned on the join key (no Exchange). */
+  /** If `df`'s data will come out of its source already hash-partitioned
+    * on exactly `list_no` — a `bucketBy(list_no)` table scan, or a
+    * memory-resident relation cached under a `repartition(n, list_no)`
+    * distribution (the serving deployment: index shards held hot in
+    * executor memory) — the partition count: the signal that
+    * [[scanListsJoin]]'s data side needs no Exchange. A wrong answer
+    * here cannot corrupt results — Catalyst's EnsureRequirements
+    * re-inserts the Exchange if the distribution is not actually
+    * satisfied; this only selects join vs cogroup. */
   private[graft] def listNoBuckets(df: DataFrame): Option[Int] =
     df.queryExecution.optimizedPlan.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -530,6 +536,16 @@ object BoundedSearch {
               .filter(_.bucketColumnNames
                 .map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("list_no"))
               .map(_.numBuckets)
+          case _ => None
+        }
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        m.cachedPlan.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+              if h.expressions.length == 1 && h.expressions.head.collectFirst {
+                case a: org.apache.spark.sql.catalyst.expressions.Attribute
+                    if a.name.toLowerCase(java.util.Locale.ROOT) == "list_no" => a
+              }.isDefined =>
+            Some(h.numPartitions)
           case _ => None
         }
     }.flatten.headOption

@@ -268,16 +268,19 @@ object ScaleDemo {
         .withColumn("required_recall", lit(0.9f)).cache()
       val nQ = abQ.count()
 
-      spark.sql("DROP TABLE IF EXISTS ivf_bucketed_scale")
       // bucket count is a LAYOUT knob, not nlist: size buckets for
       // ~100 MB scan tasks (nBuckets = nlist gave 2.5 MB buckets and
       // the join arm drowned in per-task overhead — 2.6× slower than
       // the cogroup it was meant to beat)
       val nBuckets = 64
-      t = System.nanoTime()
-      IVFIndex.writeBucketed(IVFIndex.assign(baseDF, model),
-        "ivf_bucketed_scale", nBuckets)
-      println(f"bucketed write ($nBuckets buckets): ${(System.nanoTime() - t) / 1e9}%.1fs")
+      val armSel = sys.env.getOrElse("SCALE_AB", "all")
+      if (armSel == "disk" || armSel == "all") {
+        spark.sql("DROP TABLE IF EXISTS ivf_bucketed_scale")
+        t = System.nanoTime()
+        IVFIndex.writeBucketed(IVFIndex.assign(baseDF, model),
+          "ivf_bucketed_scale", nBuckets)
+        println(f"bucketed write ($nBuckets buckets): ${(System.nanoTime() - t) / 1e9}%.1fs")
+      }
 
       val meter = new org.apache.spark.scheduler.SparkListener {
         val bytes = new java.util.concurrent.atomic.AtomicLong
@@ -301,8 +304,32 @@ object ScaleDemo {
           f"${meter.bytes.get / 1048576.0}%.0f MiB, mean nprobe " +
           f"${r.stats.map(_.nprobeUsed).sum.toDouble / r.stats.size}%.1f")
       }
-      measured("PARTITIONED (cogroup)", ivf)
-      measured("BUCKETED  (join)     ", spark.table("ivf_bucketed_scale"))
+      // SCALE_AB=disk|cached|all (default all) selects arms. The disk
+      // arms re-read parquet every adaptive round: on ONE host that
+      // makes the join arm pay full-table parquet decode per round
+      // while the cogroup's shuffle is a page-cache copy — measured
+      // 886 s vs 319 s at 10M/200k despite the join arm writing 64%
+      // fewer shuffle bytes. The cached arms model the serving
+      // deployment (index shards resident in executor memory, as the
+      // reference's workers hold their lists hot): both arms read
+      // from the block manager, so the remaining difference IS the
+      // per-round data-side Exchange the list_no distribution removes.
+      val arms = armSel
+      if (arms == "disk" || arms == "all") {
+        measured("PARTITIONED disk (cogroup)", ivf)
+        measured("BUCKETED  disk (join)     ", spark.table("ivf_bucketed_scale"))
+      }
+      if (arms == "cached" || arms == "all") {
+        val memPlain = ivf.cache(); memPlain.count()
+        measured("RESIDENT  mem  (cogroup)  ", memPlain)
+        memPlain.unpersist()
+        val memDist = IVFIndex.residentByList(ivf, 64)
+        require(graft.search.BoundedSearch.listNoBuckets(memDist).isDefined,
+          "cached list_no distribution not detected — join arm would fall " +
+          "back to cogroup and the A/B would silently measure nothing")
+        measured("RESIDENT  mem  (join)     ", memDist)
+        memDist.unpersist()
+      }
       abQ.unpersist()
       spark.sparkContext.removeSparkListener(meter)
     }

@@ -113,6 +113,59 @@ class BoundedBucketSpec extends SparkSpec {
     assert(statsB == statsP, "bucketed decisions differ from cogroup")
   }
 
+  test("memory-resident list_no distribution serves the Exchange-free join") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import spark.implicits._
+    // the serving deployment: no table at all — any corpus repartitioned
+    // on list_no and cached (index shards resident in executor memory)
+    // must be detected and served by the join path with no data-side
+    // Exchange, identically to the bucketed-table scan
+    val mem = IVFIndex.residentByList(assigned, nBuckets)
+    try {
+      assert(BoundedSearch.listNoBuckets(mem).contains(nBuckets))
+      // a plain cache (no declared distribution) must NOT select the join
+      assert(BoundedSearch.listNoBuckets(assigned).isEmpty)
+
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val qs = pool.slice(3150, 3166)
+        val probes = qs.zipWithIndex.flatMap { case (v, i) =>
+          model.rankCentroids(v).take(4).map { case (l, _) => (l, i.toLong, v) }
+        }.toSeq.toDS()
+        val lists = probes.map(_._1).collect().distinct.toSeq.sorted
+        val plan = BoundedSearch.scanListsJoin(mem, "l2", probes, lists, k)
+          .queryExecution.executedPlan
+        val exchanges = plan.collect {
+          case e: ShuffleExchangeExec => e }
+        assert(exchanges.nonEmpty, s"expected the probe-side shuffle in:\n$plan")
+        val cacheUnderShuffle = exchanges.exists(
+          _.child.collect { case s: InMemoryTableScanExec => s }.nonEmpty)
+        assert(!cacheUnderShuffle,
+          s"cached data side found under an Exchange:\n$plan")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      }
+
+      val qdf = pool.slice(3150, 3200).zipWithIndex
+        .map { case (v, i) => (i.toLong, v, 0.85f) }
+        .toSeq.toDF("qid", "vec", "required_recall")
+      def run(tbl: org.apache.spark.sql.DataFrame) = {
+        val r = BoundedSearch.search(tbl, model, traces, qdf, k,
+          multiplier = 8.0f, stdM = 1.5f, forceDistributed = true)
+        r.results.select(col("qid"), col("id"), col("dist"), col("rank"))
+          .as[(Long, Long, Double, Int)].collect().sortBy(x => (x._1, x._4))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("ivf_mem").toString
+      IVFIndex.write(assigned, dir)
+      assert(run(mem).sameElements(run(spark.read.parquet(dir))),
+        "cached-distribution results differ from cogroup")
+    } finally mem.unpersist()
+  }
+
   test("hot-list skew on a bucketed table falls back to the salted cogroup") {
     import spark.implicits._
     // force tiny bounds: the join guard trips (per-bucket) and the
