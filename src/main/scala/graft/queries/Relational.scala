@@ -23,14 +23,25 @@ object Relational {
     if (name == "events") events(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries nanosecond timestamps, which Spark's
-    * parquet reader rejects; read them as long and truncate to micros
-    * (exactly what DuckDB's ns→us conversion does). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  /** Reads the events table regardless of how the generator stored `ts`:
+    * historical fixtures used parquet timestamp[ns] (which Spark only
+    * reads as int64 under the `nanosAsLong` legacy conf), current ones
+    * use timestamp[us]. Sniff the resolved type and normalize both to
+    * TIMESTAMP_NTZ so every downstream query sees one shape. The ns
+    * branch truncates to micros — exactly DuckDB's ns→us conversion, so
+    * the oracle agrees either way. */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts",
-        timestamp_micros((col("ts") / 1000).cast("long")).cast("timestamp_ntz"))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integral division: ns values (~2^60) overflow double's mantissa,
+        // so a float divide would drift by ±1 µs on some rows
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")

@@ -124,9 +124,8 @@ class OpsSpec extends SparkSpec {
   test("streaming: watermarked windowed agg over a file stream") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(sf("sf0.001") + "/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    graft.queries.Relational.events(spark, sf("sf0.001"))
+      .withColumn("ts", col("ts").cast("timestamp"))
       .write.mode("overwrite").parquet(s"$dir/in")
     val schema = spark.read.parquet(s"$dir/in").schema
     val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
