@@ -71,6 +71,20 @@ object Bench {
       val xs = samples.flatMap(_(name)).sorted
       name -> (if (xs.isEmpty) -1.0 else xs(xs.length / 2))
     }
+    println(renderLine(results, buildSec, sfDir))
+    spark.stop()
+  }
+
+  /** Renders the one-line JSON artifact. The verdict fields (`value`,
+    * `valid`, `failed`) lead the line for human readers but ALSO repeat
+    * in a compact trailer (`total2`/`valid2`/`failed2`) after the large
+    * `queries` map, because the round harvester keeps only the last
+    * 2000 characters of stdout — BENCH_r08 lost its head to that
+    * truncation and the official artifact could not prove the gate
+    * passed. With the trailer, any tail capture ≥ ~120 chars contains
+    * the verdict regardless of inventory size. BenchLineSpec pins this. */
+  private[graft] def renderLine(
+      results: Seq[(String, Double)], buildSec: Double, sfDir: String): String = {
     val failed = results.collect { case (name, v) if v < 0 => name }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
@@ -81,7 +95,6 @@ object Bench {
     val total = if (failed.isEmpty) okTotal else -1.0
     val valid = failed.isEmpty
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","valid":$valid,"queries":$qs,"failed":$failedJson,"build_sec":$buildSec%.3f,"sf":"$sfDir"}""")
-    spark.stop()
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","valid":$valid,"queries":$qs,"sf":"$sfDir","failed":$failedJson,"build_sec":$buildSec%.3f,"failed2":$failedJson,"total2":$total%.3f,"valid2":$valid}"""
   }
 }
