@@ -28,11 +28,33 @@ object Relational {
     * reads as int64 under the `nanosAsLong` legacy conf), current ones
     * use timestamp[us]. Sniff the resolved type and normalize both to
     * TIMESTAMP_NTZ so every downstream query sees one shape. The ns
-    * branch truncates to micros — exactly DuckDB's ns→us conversion, so
-    * the oracle agrees either way. */
+    * branch truncates toward zero to micros — exactly DuckDB's ns→us
+    * cast, measured on pre-epoch values too (parquet timestamp[ns]
+    * −1500/−999/−2001 ns → DuckDB −1/0/−2 µs: truncation, not floor),
+    * so the oracle agrees for any epoch sign. InventorySpec pins the
+    * measured table.
+    *
+    * Conf hygiene: the legacy conf must be ON while reading the footer
+    * (schema resolution rejects INT64(TIMESTAMP_NANOS) without it) and
+    * — for ns fixtures only — must STAY on until the query executes,
+    * because the parquet scan re-reads it from the session conf when
+    * the file reader is built (execution time, not `read` time). So a
+    * full save/restore here would break the legacy path at collect().
+    * Compromise: restore the caller's setting whenever the fixture is
+    * NOT legacy-ns (every current fixture), and keep it set only on
+    * the legacy branch, where it is load-bearing for the returned
+    * plan's whole lifetime. */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    def restore(): Unit = prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+    s.conf.set(key, "true")
+    val raw =
+      try s.read.parquet(s"$dir/events.parquet")
+      catch { case e: Throwable => restore(); throw e }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // integral division: ns values (~2^60) overflow double's mantissa,
@@ -40,6 +62,7 @@ object Relational {
         raw.withColumn("ts",
           timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
       case _ =>
+        restore()
         raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
     }
   }

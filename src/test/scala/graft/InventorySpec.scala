@@ -32,7 +32,9 @@ class InventorySpec extends SparkSpec {
         f(spark, dir).queryExecution.analyzed
         None
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an OOM/linkage error must crash the suite, not
+        // be reported as one query's analysis failure
+        case scala.util.control.NonFatal(e) =>
           Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
     }
@@ -42,6 +44,12 @@ class InventorySpec extends SparkSpec {
   test("events reader normalizes both generator timestamp encodings") {
     val real = sf("sf0.001")
     val tmp = java.nio.file.Files.createTempDirectory("evfix").toString
+    // The ns reconstruction below round-trips through cast(timestamp),
+    // which interprets NTZ wall-clock in the session timezone — only
+    // faithful to genuine ns-since-epoch data because the session is
+    // pinned UTC. Make that coupling explicit.
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "events-reader fixture reconstruction requires a UTC session")
     // Reconstruct the pre-r7 shape: ts as int64 nanoseconds (what a
     // parquet timestamp[ns] column resolves to under nanosAsLong).
     Relational.events(spark, real)
@@ -61,5 +69,55 @@ class InventorySpec extends SparkSpec {
     val s01a = Relational.s01StreamWindows(spark, tmp).collect()
     val s01b = Relational.s01StreamWindows(spark, real).collect()
     assert(s01a.nonEmpty && s01a.sameElements(s01b))
+  }
+
+  test("ns→µs conversion matches DuckDB's cast: truncation toward zero, pre-epoch included") {
+    // Pinned from a direct DuckDB measurement (parquet timestamp[ns] →
+    // CAST(... AS TIMESTAMP) → epoch_us), 2026-08-13: DuckDB TRUNCATES
+    // toward zero, it does not floor — −1500 ns → −1 µs (floor: −2),
+    // −999 → 0, −2001 → −2 (floor: −3). `ts div 1000` must keep exactly
+    // these semantics or pre-epoch oracle parity silently breaks.
+    val pinned = Seq(-1500L -> -1L, 1500L -> 1L, -999L -> 0L,
+      -2001L -> -2L, 0L -> 0L)
+    val tmp = java.nio.file.Files.createTempDirectory("evns").toString
+    import spark.implicits._
+    // a plain int64 `ts` column resolves to LongType — same resolved
+    // shape as timestamp[ns] under nanosAsLong, so it drives the same
+    // reader branch without needing a ns-writing parquet encoder
+    pinned.map(_._1).toDF("ts").write.mode("overwrite")
+      .parquet(s"$tmp/events.parquet")
+    val got = Relational.events(spark, tmp)
+      .select(col("ts")).collect()
+      .map(_.getAs[java.time.LocalDateTime](0))
+      .map(ldt => ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L)
+      .sorted
+    assert(got.toSeq == pinned.map(_._2).sorted,
+      s"ns→µs drifted from DuckDB truncation semantics: got ${got.toList}")
+  }
+
+  test("events reader restores the caller's nanosAsLong conf on the µs path") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val real = sf("sf0.001")
+    val before = spark.conf.getOption(key)
+    try {
+      // note: getOption returns the conf's DEFAULT ("false") when unset,
+      // so the observable contract is the effective value, not unset-ness
+      spark.conf.unset(key)
+      Relational.events(spark, real).collect()
+      assert(spark.conf.get(key) == "false",
+        "default-off conf must read back off after a µs-fixture read")
+      spark.conf.set(key, "false")
+      Relational.events(spark, real).collect()
+      assert(spark.conf.get(key) == "false",
+        "explicit caller setting must survive a µs-fixture read")
+      // the legacy-ns branch intentionally KEEPS the conf set — the scan
+      // re-reads it at execution time (see Relational.events scaladoc)
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
   }
 }
