@@ -84,12 +84,24 @@ object Multimodal {
     * (grayscale pixels row-major, width, height). Real images use their
     * own decoded dimensions; the stub trusts the metadata columns.
     * Luminance = (0.299 R + 0.587 G + 0.114 B) / 255 — deterministic
-    * for the lossless formats (PNG/BMP/GIF) the specs exercise. */
+    * for the lossless formats (PNG/BMP/GIF) the specs exercise.
+    *
+    * Determinism contract (MultimodalDeterminismSpec): lossless decodes
+    * are pixel-exact by format definition; JPEG decode is deterministic
+    * within one JVM but its IDCT is implementation-defined across JDKs,
+    * so NO driver-oracle row may feed JPEG through this path. mm02's
+    * payloads are UTF-8 text: the JPEG (0xFF) and PNG (0x89) magics are
+    * not valid UTF-8 lead bytes, so those codecs are unreachable there;
+    * a text that happens to start with "BM"/"GIF" reaches ImageIO,
+    * fails to parse, and must fall back to the stub — hence the
+    * catch-all, because ImageIO readers THROW on malformed payloads
+    * that pass the magic sniff (they don't always return null). */
   private[ops] def decodeAny(payload: Array[Byte], wMeta: Int,
                              hMeta: Int): (Array[Float], Int, Int) = {
     if (looksLikeImage(payload)) {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img != null) {
         val w = img.getWidth; val h = img.getHeight
         val out = new Array[Float](w * h)
