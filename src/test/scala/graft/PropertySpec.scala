@@ -138,6 +138,47 @@ class PropertySpec extends SparkSpec {
       s"improving distances must run to the cap, got ${st2.decidedStage}")
   }
 
+  test("MinHash fused kernel ≡ exploded-groupBy oracle on a randomized corpus") {
+    // The production path (sigExpr, one scalar projection) and the spec
+    // oracle (shingle explode → numHashes-way min aggregation) are two
+    // independent formulations of the same function; this property pins
+    // them bit-identical on a seeded random corpus so the oracle can't
+    // silently diverge from what production actually computes. Word
+    // soup deliberately includes empty tokens (double spaces survive
+    // split(" ", -1)), unicode, and sub-3-word docs (dropped by BOTH).
+    import spark.implicits._
+    val word: Gen[String] = Gen.frequency(
+      7 -> Gen.oneOf("alpha", "beta", "gamma", "delta", "x", "données",
+        "中文", "a|b", "0", "zz"),
+      1 -> Gen.const(""), // double-space artifact
+      1 -> Gen.alphaNumStr.map(_.take(6)))
+    val doc: Gen[String] =
+      Gen.chooseNum(0, 24).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    val corpus = (0 until 250).map { i =>
+      (i.toLong, doc.pureApply(Gen.Parameters.default, Seed(1000L + i)))
+    }
+    val docs = corpus.toDF("doc_id", "text")
+    for (nh <- Seq(1, 8, 16)) {
+      val prod = graft.ops.MinHash.signatures(docs, numHashes = nh)
+        .withColumnRenamed("sig", "sig_prod")
+      val oracle = graft.ops.MinHash.signaturesGroupBy(docs, numHashes = nh)
+        .withColumnRenamed("sig", "sig_oracle")
+      val joined = prod.join(oracle, Seq("doc_id"), "full_outer").cache()
+      val onlyOne = joined.filter(
+        org.apache.spark.sql.functions.col("sig_prod").isNull ||
+        org.apache.spark.sql.functions.col("sig_oracle").isNull).count()
+      assert(onlyOne == 0, s"numHashes=$nh: paths disagree on which docs survive")
+      val mismatch = joined.filter(
+        org.apache.spark.sql.functions.col("sig_prod") =!=
+        org.apache.spark.sql.functions.col("sig_oracle")).count()
+      assert(mismatch == 0, s"numHashes=$nh: $mismatch signature mismatches")
+      // both drop exactly the sub-3-word docs
+      val expectSurvivors = corpus.count(_._2.split(" ", -1).length >= 3)
+      assert(joined.count() == expectSurvivors)
+      joined.unpersist()
+    }
+  }
+
   test("PQ/SQ encode-decode: decode stays within half a step of the range") {
     val sq = graft.quantize.SQModel(
       vmin = Array.fill(8)(-1f), vmax = Array.fill(8)(1f))
