@@ -12,6 +12,77 @@ class PolysemousSpec extends SparkSpec {
   lazy val plainPQ = ProductQuantizer.train(baseDF, m = 4, seed = 5L)
   lazy val polyPQ = Polysemous.train(plainPQ, nIter = 30000, seed = 5L)
 
+  test("affine target mapping reproduces the reference's moments and weights") {
+    // PolysemousTraining.cpp:270-292: the L2² table maps to mean
+    // nbits/2, stddev √(nbits/4) — the moments of a random nbits-bit
+    // Hamming distance — and every weight is exp(−log2 · target).
+    val sub = 0
+    val k = plainPQ.ksub
+    val dis = Array.tabulate(k * k)(ij =>
+      graft.functions.Kernels.l2Sqr(
+        plainPQ.codebooks(sub)(ij / k), plainPQ.codebooks(sub)(ij % k)))
+    val obj = new Polysemous.ReproduceWithHammingObjective(
+      plainPQ.nbits, dis, math.log(2))
+    val n2 = obj.targetDis.length.toDouble
+    val mean = obj.targetDis.sum / n2
+    val sd = math.sqrt(obj.targetDis.map(t => t * t).sum / n2 - mean * mean)
+    assert(math.abs(mean - plainPQ.nbits / 2.0) < 1e-9, s"target mean $mean")
+    assert(math.abs(sd - math.sqrt(plainPQ.nbits / 4.0)) < 1e-9, s"target sd $sd")
+    obj.targetDis.zip(obj.weights).take(500).foreach { case (t, w) =>
+      assert(math.abs(w - math.exp(-math.log(2) * t)) < 1e-12)
+    }
+  }
+
+  test("O(n) costUpdate matches the O(n²) definition for random swaps") {
+    // the reference's incremental delta (PolysemousTraining.cpp:212-255)
+    // against its own full recomputation (:196-207) — if the fast path
+    // drifts, annealing silently optimizes the wrong function
+    val k = plainPQ.ksub
+    val dis = Array.tabulate(k * k)(ij =>
+      graft.functions.Kernels.l2Sqr(
+        plainPQ.codebooks(0)(ij / k), plainPQ.codebooks(0)(ij % k)))
+    val obj = new Polysemous.ReproduceWithHammingObjective(
+      plainPQ.nbits, dis, math.log(2))
+    val rnd = new scala.util.Random(7L)
+    val perm = rnd.shuffle((0 until obj.n).toVector).toArray
+    (0 until 50).foreach { _ =>
+      val iw = rnd.nextInt(obj.n)
+      var jw = rnd.nextInt(obj.n - 1); if (jw == iw) jw += 1
+      val fast = obj.costUpdate(perm, iw, jw)
+      val before = obj.computeCost(perm)
+      val t = perm(iw); perm(iw) = perm(jw); perm(jw) = t
+      val after = obj.computeCost(perm)
+      val t2 = perm(iw); perm(iw) = perm(jw); perm(jw) = t2 // revert
+      assert(math.abs(fast - (after - before)) < 1e-6 * (1 + math.abs(fast)),
+        s"swap ($iw,$jw): fast $fast vs full ${after - before}")
+    }
+  }
+
+  test("annealing lowers the reference objective; accumulated cost stays exact") {
+    val k = plainPQ.ksub
+    (0 until plainPQ.m).foreach { sub =>
+      val dis = Array.tabulate(k * k)(ij =>
+        graft.functions.Kernels.l2Sqr(
+          plainPQ.codebooks(sub)(ij / k), plainPQ.codebooks(sub)(ij % k)))
+      val obj = new Polysemous.ReproduceWithHammingObjective(
+        plainPQ.nbits, dis, math.log(2))
+      val identityCost = obj.computeCost(Array.tabulate(obj.n)(identity))
+      val (perm, cost) = Polysemous.runOptimization(obj, nIter = 30000,
+        nRedo = 2, initTemperature = 0.7,
+        temperatureDecay = math.pow(0.9, 1.0 / 500),
+        rnd = new scala.util.Random(5L + sub))
+      assert(cost < identityCost,
+        s"sub $sub: annealed $cost not below identity $identityCost")
+      // the Δ-accumulated cost the optimizer carries must equal a fresh
+      // full evaluation of the returned permutation
+      val recomputed = obj.computeCost(perm)
+      assert(math.abs(cost - recomputed) < 1e-6 * (1 + recomputed),
+        s"sub $sub: accumulated $cost vs recomputed $recomputed")
+      assert(perm.sorted.sameElements(Array.tabulate(obj.n)(identity)),
+        "result must be a permutation")
+    }
+  }
+
   test("annealing lowers the hamming-vs-distance objective") {
     val identity = Array.tabulate(plainPQ.ksub)(i => i)
     (0 until plainPQ.m).foreach { sub =>
