@@ -317,12 +317,13 @@ object BoundedSearch {
     val nBuckets = listNoBuckets(ivfData)
     def scanRound(p: org.apache.spark.sql.Dataset[(Int, Long, Array[Float])],
                   counts: Map[Int, Long]): DataFrame = {
-      // the join path's per-task state is a qvec-FREE (qid → k-heap)
-      // map (~300 B/entry vs the cogroup's full probe rows with query
-      // vectors), so its bound is 8× the cogroup's; enforced per hot
-      // list AND per expected bucket load so one bucket's heap map
-      // stays bounded under skew — beyond it, the salted cogroup is
-      // the right tool
+      // the bucket-local kernel streams one list group at a time, so
+      // its per-task peak is the largest single list's probe array
+      // (qvec + heap per probe) — not the bucket's sum — which is why
+      // its per-list bound is 8× the cogroup's per-task bound; the
+      // avg-per-bucket check stays as a belt-and-braces guard. Beyond
+      // either bound, the salted cogroup is the right tool (it can
+      // split a hot list across tasks; a bucket-local scan cannot)
       val joinOk = nBuckets.exists { nb =>
         counts.values.max <= maxProbesPerBucket &&
           counts.values.sum / nb <= maxProbesPerBucket
@@ -436,11 +437,11 @@ object BoundedSearch {
   private def maxProbesPerTask: Int =
     sys.props.get("graft.cogroup.maxProbes").map(_.toInt).getOrElse(8192)
 
-  /** Per-bucket probe bound for the bucketed JOIN path (see `scanRound`
-    * in [[searchDistributed]]): heap-map entries are an order smaller
-    * than cogroup probe rows, so the default is 8× the cogroup bound
-    * (~20 MB of heap state per task at k=10). Test hook:
-    * `graft.join.maxProbesPerBucket`. */
+  /** Per-list probe bound for the bucket-local path (see `scanRound`
+    * in [[searchDistributed]]): list groups are consumed one at a time,
+    * so a task's peak state is one list's probe array — the default is
+    * 8× the cogroup's per-task bound (~40 MB peak at d=64, k=10). Test
+    * hook: `graft.join.maxProbesPerBucket`. */
   private def maxProbesPerBucket: Int =
     sys.props.get("graft.join.maxProbesPerBucket").map(_.toInt)
       .getOrElse(8 * maxProbesPerTask)
@@ -551,42 +552,80 @@ object BoundedSearch {
     }.flatten.headOption
 
   /** Bucket-local twin of [[scanListsCogroup]] for list_no-bucketed
-    * tables: probed lists are BUCKET-PRUNED out of the scan, the join on
-    * `list_no` reuses the scan's bucket partitioning (the probe side —
-    * the small one — is the only shuffle), the codegen'd distance kernel
-    * ([[org.apache.spark.sql.graft.VectorExpressions]], bit-identical
-    * summation to [[Kernels]]) scores each (data row, probe) pair inside
-    * WholeStageCodegen, and a per-partition (qid → k-heap) map combines
-    * map-side so only ≤ parts × nq_active × k partial rows reach the
-    * final qid merge. At 100 TB this is the plan that removes the
-    * single biggest cost term of the cogroup path: re-shuffling
-    * nprobed/nlist of the corpus once per round. */
+    * tables: probed lists are BUCKET-PRUNED out of the scan, and the
+    * cogroup on the `list_no` COLUMN ([[RelationalGroupedDataset.as]]
+    * keys by the real attribute, not a lambda-synthesized key) reuses
+    * the scan's bucket partitioning — `HashPartitioning(list_no)`
+    * satisfies the cogroup's ClusteredDistribution, so the probe side
+    * (the small one) is the only Exchange, and both layouts' existing
+    * sort-by-list_no satisfies the required ordering without a
+    * per-round sort. Inside each list group runs the SAME fused
+    * kernel as the salted cogroup (probe array + one bounded [[TopK]]
+    * per probe, one streamed pass over the list's rows), emitting
+    * ≤ k rows per (list, query).
+    *
+    * History: the first version of this path was a sort-merge JOIN on
+    * `list_no` feeding a codegen'd distance column into a per-partition
+    * (qid → heap) map. It removed the same Exchange but paid ~3× the
+    * cogroup's wall-clock at 10M/200k (r9 A/B,
+    * `tools/evidence/r9_scale_ab_10m.log`): per-PAIR join plumbing —
+    * SMJ iteration, projection, typed deserialization, per-pair hash
+    * lookups over ~25 B pairs — against the cogroup kernel's per-ROW
+    * deserialization and tight probes loop. This rewrite keeps the
+    * Exchange-free plan and the fused kernel's per-pair cost.
+    * Correctness does not ride on the partitioning being recognized:
+    * EnsureRequirements re-adds the Exchange if the distribution is
+    * not actually satisfied (plan-asserted by BoundedBucketSpec). */
   private[graft] def scanListsJoin(ivfData: DataFrame, metric: String,
       probes: org.apache.spark.sql.Dataset[(Int, Long, Array[Float])],
       probedLists: Seq[Int], k: Int): DataFrame = {
     val spark = ivfData.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.graft.VectorExpressions
-    val probeDF = probes.toDF("list_no", "qid", "qvec")
     val data = ivfData
       .filter(col("list_no").isin(probedLists: _*))
       .select(col("list_no").cast("int").as("list_no"),
         col("id").cast("long").as("id"), col("vec"))
-    val dist =
-      if (metric == "ip") negate(VectorExpressions.dot(col("qvec"), col("vec")))
-      else VectorExpressions.l2Sqr(col("qvec"), col("vec"))
-    data.join(probeDF, "list_no")
-      .select(col("qid").cast("long"), col("id"), dist.as("dist"))
-      .as[(Long, Long, Double)]
-      .mapPartitions { it =>
-        val heaps = scala.collection.mutable.HashMap.empty[Long, TopK]
-        it.foreach { case (qid, id, d) =>
-          heaps.getOrElseUpdate(qid, new TopK(k)).add(d, id)
+    // CoGroup requires bit-identical key SCHEMAS (name, type,
+    // nullability) on both sides. The data side's key must stay a bare
+    // alias of the scanned column — wrapping it would break the
+    // alias-aware partitioning propagation this whole path exists for —
+    // so the probe side's key (tuple-encoded, non-nullable) adapts to
+    // whatever nullability the data layout reports. list_no is never
+    // actually null (it is an assigned cluster id), so both wrappers
+    // are semantic no-ops.
+    val probeKey =
+      if (data.schema("list_no").nullable)
+        // identity for non-null input, but analyzed as nullable
+        // (when(lit(true), c) is folded back to non-nullable c by the
+        // Spark 4 analyzer; the isNotNull guard is not)
+        when(col("list_no").isNotNull, col("list_no"))
+      else org.apache.spark.sql.graft.ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("list_no"))))
+    val dataG = data
+      .groupBy(col("list_no"))
+      .as[Int, (Int, Long, Array[Float])]
+    val probeG = probes.toDF("list_no", "qid", "qvec")
+      .select(probeKey.as("list_no"), col("qid"), col("qvec"))
+      .groupBy(col("list_no"))
+      .as[Int, (Int, Long, Array[Float])]
+    dataG.cogroup(probeG) { (_, dataIt, probeIt) =>
+      val ps = probeIt.toArray
+      if (ps.isEmpty) Iterator.empty
+      else {
+        val heaps = ps.map(_ => new TopK(k))
+        dataIt.foreach { case (_, id, vec) =>
+          var i = 0
+          while (i < ps.length) {
+            heaps(i).add(Kernels.distance(metric, ps(i)._3, vec), id)
+            i += 1
+          }
         }
-        heaps.iterator.flatMap { case (qid, h) =>
-          h.sorted.iterator.map { case (d, id) => (qid, id, d) }
+        ps.iterator.zip(heaps.iterator).flatMap { case (p, h) =>
+          h.sorted.iterator.map { case (d, id) => (p._2, id, d) }
         }
-      }.toDF("qid", "id", "dist")
+      }
+    }.toDF("qid", "id", "dist")
   }
 
   /** The per-stage termination decision (`IndexIVF.cpp:504-637`):
