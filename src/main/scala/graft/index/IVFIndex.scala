@@ -155,7 +155,7 @@ object IVFIndex {
 
   /** Memory-resident serving layout: the assigned corpus repartitioned
     * on `list_no` and cached, so the distributed bounded search's
-    * per-round list scan is an Exchange-free bucket-local join
+    * per-round list scan is an Exchange-free bucket-local fused cogroup
     * ([[graft.search.BoundedSearch]] detects the distribution via the
     * cached plan's HashPartitioning) — the deployment where index
     * shards live hot in executor memory, as the reference's distributed

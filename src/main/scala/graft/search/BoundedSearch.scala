@@ -292,7 +292,7 @@ object BoundedSearch {
     * rows (partition/bucket-pruned), and the probe side carries
     * active × (hi−lo) rows of ~(d·4+16) bytes. On a list_no-BUCKETED
     * table ([[graft.index.IVFIndex.writeBucketed]]) the scan is a
-    * bucket-local join with NO data-side shuffle at all
+    * bucket-local fused cogroup with NO data-side shuffle at all
     * ([[scanListsJoin]], plan-asserted by BoundedBucketSpec);
     * unbucketed, the cogroup shuffles nprobed/nlist of the corpus per
     * round — the price of not holding nq-sized maps anywhere. Skewed
@@ -310,7 +310,7 @@ object BoundedSearch {
     val bm = spark.sparkContext.broadcast(model)
 
     // bucketed fast path: on a list_no-bucketed table the per-round list
-    // scan is a bucket-local join — the data-side shuffle drops out
+    // scan is a bucket-local fused cogroup — the data-side shuffle drops out
     // entirely (asserted by BoundedBucketSpec's plan inspection). The
     // salted cogroup remains the fallback for unbucketed tables and for
     // hot-list skew beyond the per-task probe bound.
