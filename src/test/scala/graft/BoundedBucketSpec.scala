@@ -145,6 +145,18 @@ class BoundedBucketSpec extends SparkSpec {
           _.child.collect { case s: InMemoryTableScanExec => s }.nonEmpty)
         assert(!cacheUnderShuffle,
           s"cached data side found under an Exchange:\n$plan")
+        // the resident layout's sortWithinPartitions must also carry
+        // through the cache as outputOrdering — a data-side SortExec
+        // here would re-sort the whole resident corpus EVERY adaptive
+        // round (the per-pair-plumbing lesson of the r9 A/B, in sort
+        // form)
+        val sortOverCache = plan.collect {
+          case s: org.apache.spark.sql.execution.SortExec
+              if s.child.collect {
+                case c: InMemoryTableScanExec => c }.nonEmpty => s
+        }
+        assert(sortOverCache.isEmpty,
+          s"per-round sort over the resident data side:\n$plan")
       } finally {
         spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
