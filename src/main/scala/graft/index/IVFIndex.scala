@@ -136,7 +136,8 @@ object IVFIndex {
     * ([[graft.search.BoundedSearch]] `scanListsJoin`). The repartition
     * uses the same Murmur3 hash partitioning as the bucket layout, so
     * each task holds exactly one bucket → ONE sorted file per bucket
-    * (which also lets sort-merge joins skip the data-side sort).
+    * (which also lets the bucket-local cogroup skip the data-side
+    * sort when the scan can report its ordering).
     *
     * `nBuckets` sets the SCAN-TASK granularity of every future join —
     * it is a layout knob, NOT nlist: the list→bucket mapping is

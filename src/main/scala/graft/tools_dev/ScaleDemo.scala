@@ -304,16 +304,17 @@ object ScaleDemo {
           f"${meter.bytes.get / 1048576.0}%.0f MiB, mean nprobe " +
           f"${r.stats.map(_.nprobeUsed).sum.toDouble / r.stats.size}%.1f")
       }
-      // SCALE_AB=disk|cached|all (default all) selects arms. The disk
-      // arms re-read parquet every adaptive round: on ONE host that
-      // makes the join arm pay full-table parquet decode per round
-      // while the cogroup's shuffle is a page-cache copy — measured
-      // 886 s vs 319 s at 10M/200k despite the join arm writing 64%
-      // fewer shuffle bytes. The cached arms model the serving
-      // deployment (index shards resident in executor memory, as the
-      // reference's workers hold their lists hot): both arms read
-      // from the block manager, so the remaining difference IS the
-      // per-round data-side Exchange the list_no distribution removes.
+      // SCALE_AB=disk|cached|all (default all) selects arms. The
+      // cached arms model the serving deployment (index shards
+      // resident in executor memory, as the reference's workers hold
+      // their lists hot): both arms read from the block manager, so
+      // the remaining difference IS the per-round data-side Exchange
+      // the list_no distribution removes. Measured at 10M/200k
+      // (tools/evidence/r9_scale_ab_10m.log): with the original
+      // SMJ-based bucket arm the Exchange-free layouts LOST ~3×
+      // (per-pair join plumbing dwarfed the saved shuffle); after the
+      // fused bucket-local cogroup rewrite they win on both axes
+      // (resident 300 s vs 337 s cogroup, 64% fewer shuffle bytes).
       val arms = armSel
       if (arms == "disk" || arms == "all") {
         measured("PARTITIONED disk (cogroup)", ivf)
