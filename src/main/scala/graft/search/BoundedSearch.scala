@@ -579,12 +579,12 @@ object BoundedSearch {
     *
     * Measured crossover (`tools/evidence/r9_scale_sweep.log`, constant
     * list size n/nlist = 9766, resident arms): this path is 1.61×
-    * SLOWER than the salted cogroup at 2.5M rows, wins at 10M (0.89×)
-    * and wins more at 20M (0.72×, with 61% fewer shuffle bytes) — the
-    * margin is monotone in corpus size. Choosing this path is a LAYOUT
-    * decision: pre-bucket / resident-distribute an index only at
-    * serving scale, where the elided Exchange (network on a real
-    * cluster) dominates the bucket-local path's fixed per-round cost. */
+    * SLOWER than the salted cogroup at 2.5M rows and wins at every
+    * point from 10M up (0.89×/0.72×/0.85× at 10M/20M/40M, with 45–64%
+    * fewer shuffle bytes). Choosing this path is a LAYOUT decision:
+    * pre-bucket / resident-distribute an index only at serving scale,
+    * where the elided Exchange (network on a real cluster) dominates
+    * the bucket-local path's fixed per-round cost. */
   private[graft] def scanListsJoin(ivfData: DataFrame, metric: String,
       probes: org.apache.spark.sql.Dataset[(Int, Long, Array[Float])],
       probedLists: Seq[Int], k: Int): DataFrame = {
