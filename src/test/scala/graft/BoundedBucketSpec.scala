@@ -178,6 +178,37 @@ class BoundedBucketSpec extends SparkSpec {
     } finally mem.unpersist()
   }
 
+  test("scanListsJoin probe-key adapter: nullable ≡ non-nullable list_no") {
+    import spark.implicits._
+    // CoGroup demands bit-identical key schemas, so scanListsJoin adapts
+    // the probe-side key's nullability to the DATA layout: a bucketed
+    // table or resident cache reports list_no nullable (when-guard
+    // branch), but a typed source reports it non-nullable (AssertNotNull
+    // branch). Both branches must exist and agree — this pins the
+    // otherwise-unexercised non-nullable branch against analyzer drift.
+    val rows = base.take(400).zipWithIndex.map { case (v, i) =>
+      (model.assignListNo(v), i.toLong, v)
+    }
+    val nonNull = rows.toSeq.toDS().toDF("list_no", "id", "vec")
+      .repartition(col("list_no"))
+    val nullable = nonNull.select(
+      when(col("list_no").isNotNull, col("list_no")).as("list_no"),
+      col("id"), col("vec"))
+    // the test is only meaningful while the two presentations differ
+    assert(!nonNull.schema("list_no").nullable)
+    assert(nullable.schema("list_no").nullable)
+
+    val qs = pool.slice(3150, 3160)
+    val probes = qs.zipWithIndex.flatMap { case (v, i) =>
+      model.rankCentroids(v).take(4).map { case (l, _) => (l, i.toLong, v) }
+    }.toSeq.toDS()
+    val lists = probes.map(_._1).collect().distinct.toSeq.sorted
+    def run(df: org.apache.spark.sql.DataFrame) =
+      BoundedSearch.scanListsJoin(df, "l2", probes, lists, k)
+        .as[(Long, Long, Double)].collect().sortBy(x => (x._1, x._3, x._2))
+    assert(run(nonNull).sameElements(run(nullable)))
+  }
+
   test("hot-list skew on a bucketed table falls back to the salted cogroup") {
     import spark.implicits._
     // force tiny bounds: the join guard trips (per-bucket) and the
