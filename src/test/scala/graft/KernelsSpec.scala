@@ -75,6 +75,39 @@ class KernelsSpec extends SparkSpec {
     }
   }
 
+  test("SQL surface: the spark.sql.extensions route injects the functions") {
+    // the other documented registration route: a session built WITH the
+    // extension class (what `spark.sql.extensions=graft.GraftExtensions`
+    // does at startup). A sibling session over the same SparkContext has
+    // its own functionRegistry, so the injection is observable there
+    // without touching the shared test session. getOrCreate returns the
+    // active/default session un-extended, so both markers are cleared
+    // for the build and restored after.
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // realize the shared session first
+    val sExt =
+      try {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        SparkSession.builder().withExtensions(new GraftExtensions()).getOrCreate()
+      } finally {
+        SparkSession.setActiveSession(prev)
+        SparkSession.setDefaultSession(prev)
+      }
+    assert(sExt ne prev, "builder returned the existing session — extensions not applied")
+    import sExt.implicits._
+    val vs = randVecs(6, 8, seed = 23)
+    vs.zipWithIndex.map { case (v, i) => (i, v, vs(0)) }.toSeq
+      .toDF("i", "a", "b").createOrReplaceTempView("ext_pairs")
+    val got = sExt.sql(
+      "SELECT graft_l2sqr(a, b), graft_dot(a, b) FROM ext_pairs ORDER BY i")
+      .as[(Double, Double)].collect()
+    vs.zipWithIndex.foreach { case (v, i) =>
+      assert(got(i)._1 == Kernels.l2Sqr(v, vs(0)))
+      assert(got(i)._2 == Kernels.dot(v, vs(0)))
+    }
+  }
+
   test("l2Normalize produces unit vectors") {
     val v = randVecs(5, 32, seed = 9, normalize = false)
     v.map(Kernels.l2Normalize).foreach { u =>
