@@ -1,0 +1,59 @@
+package graft
+
+/** Central routing/bound thresholds for the search engine's path
+  * selection, each overridable by a JVM system property so a cluster
+  * operator can tune without recompiling (pass
+  * `--conf spark.driver.extraJavaOptions=-Dgraft.…=…` on submit).
+  *
+  * These are read at USE time (not cached at class-load) so tests and
+  * long-lived drivers can flip them between calls.
+  *
+  * | property | default | governs |
+  * |---|---|---|
+  * | `graft.eager.maxQueries` | 4096 | largest bounded-search batch the eager one-scan path may collect to the driver ([[graft.search.BoundedSearch]]) |
+  * | `graft.distributed.minQueries` | 131072 | batch size beyond which queries stay in a DataFrame end-to-end (BoundedSearch / FlatSearch / BinaryHash large-batch twins) |
+  * | `graft.cogroup.maxProbes` | 8192 | per-task probe bound of the salted cogroup scan; hot lists beyond it are salted across sub-keys |
+  * | `graft.join.maxProbesPerBucket` | 8 × cogroupMaxProbes | per-LIST probe bound of the fused bucket-local scan (its tasks stream one list group at a time) |
+  * | `graft.join.minProbedRows` | 5000000 | estimated probed data rows per round (probed lists × mean list size) below which the fused bucket-local arm is skipped in favor of the salted cogroup — the measured ~10M-corpus crossover of `tools/evidence/r9_scale_sweep.log` (fused 1.61× slower at 2.5M, wins from 10M up); 0 forces the fused arm wherever the layout allows it |
+  */
+object GraftConf {
+
+  private def intProp(key: String, default: => Int): Int =
+    sys.props.get(key).map(_.trim.toInt).getOrElse(default)
+
+  private def longProp(key: String, default: => Long): Long =
+    sys.props.get(key).map(_.trim.toLong).getOrElse(default)
+
+  /** Above this query-batch size the eager path's driver collect
+    * (≤ nq × nlist/8 × k partial rows) stops being "small"; the lazy
+    * path keeps everything distributed. */
+  def eagerMaxQueries: Int = intProp("graft.eager.maxQueries", 4096)
+
+  /** Above this batch size even the lazy path's driver-held structures
+    * (query vectors, centroid rankings, per-round broadcast probe maps
+    * — all O(nq)) stop being "collectable"; the fully-distributed paths
+    * keep the queries themselves in a DataFrame. */
+  def distributedMinQueries: Int =
+    intProp("graft.distributed.minQueries", 131072)
+
+  /** Each (list, salt) cogroup task materializes its probe rows (query
+    * vector + one TopK heap per probe); this caps how many probes one
+    * task may hold before the list is salted across sub-keys. */
+  def cogroupMaxProbes: Int = intProp("graft.cogroup.maxProbes", 8192)
+
+  /** Per-list probe bound for the fused bucket-local scan: list groups
+    * are consumed one at a time, so a task's peak state is ONE list's
+    * probe array — the default is 8× the cogroup's per-task bound
+    * (~40 MB peak at d=64, k=10). */
+  def joinMaxProbesPerBucket: Int =
+    intProp("graft.join.maxProbesPerBucket", 8 * cogroupMaxProbes)
+
+  /** The measured crossover guard (r9 scale sweep): the fused
+    * bucket-local arm only wins once a round scans enough data rows to
+    * amortize its coarser task granularity — below this estimate the
+    * salted cogroup's finer load balancing wins even on a fused-eligible
+    * layout. Default sits between the measured 2.5M-lose and 10M-win
+    * points (geometric mean). */
+  def fusedMinProbedRows: Long =
+    longProp("graft.join.minProbedRows", 5000000L)
+}

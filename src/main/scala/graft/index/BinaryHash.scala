@@ -156,8 +156,9 @@ object BinaryHash {
 
   /** The reference's driver contract bound (`Auncel/dist/worker.cpp`
     * holds query batches in RAM) — past it, [[knnHammingLarge]] keeps
-    * the query signatures in a DataFrame end-to-end. */
-  private val DistributedMinQueries = 131072
+    * the query signatures in a DataFrame end-to-end
+    * ([[graft.GraftConf.distributedMinQueries]]). */
+  private def DistributedMinQueries = graft.GraftConf.distributedMinQueries
 
   /** Query-DataFrame-resident Hamming k-NN for batches past the driver
     * contract: block-cartesian of signatures × query signatures scored

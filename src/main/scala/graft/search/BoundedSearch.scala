@@ -74,14 +74,15 @@ object BoundedSearch {
 
   /** Above this query-batch size the eager path's driver collect
     * (≤ nq × nlist/8 × k partial rows) stops being "small"; the lazy
-    * path keeps everything distributed. */
-  private val EagerMaxQueries = 4096
+    * path keeps everything distributed ([[graft.GraftConf.eagerMaxQueries]]). */
+  private def EagerMaxQueries = graft.GraftConf.eagerMaxQueries
 
   /** Above this batch size even the lazy path's driver-held structures
     * (query vectors, centroid rankings, per-round broadcast probe maps
     * — all O(nq)) stop being "collectable"; the fully-distributed path
-    * keeps the queries themselves in a DataFrame. */
-  private val DistributedMinQueries = 131072
+    * keeps the queries themselves in a DataFrame
+    * ([[graft.GraftConf.distributedMinQueries]]). */
+  private def DistributedMinQueries = graft.GraftConf.distributedMinQueries
 
   /** Control row for the fully-distributed path: the query vector, its
     * full centroid ranking and boundary-distance window ride WITH the
@@ -312,9 +313,16 @@ object BoundedSearch {
     // bucketed fast path: on a list_no-bucketed table the per-round list
     // scan is a bucket-local fused cogroup — the data-side shuffle drops out
     // entirely (asserted by BoundedBucketSpec's plan inspection). The
-    // salted cogroup remains the fallback for unbucketed tables and for
-    // hot-list skew beyond the per-task probe bound.
+    // salted cogroup remains the fallback for unbucketed tables, for
+    // hot-list skew beyond the per-task probe bound, AND — per the
+    // measured crossover — for rounds too small to amortize the fused
+    // arm's coarser task granularity.
     val nBuckets = listNoBuckets(ivfData)
+    // mean list size for the crossover guard: one count job per search
+    // call, only on fused-eligible layouts (cached for the resident
+    // layout, metadata-fast for parquet)
+    val meanListSize: Double =
+      if (nBuckets.isDefined) ivfData.count().toDouble / nlist else 0.0
     def scanRound(p: org.apache.spark.sql.Dataset[(Int, Long, Array[Float])],
                   counts: Map[Int, Long]): DataFrame = {
       // the bucket-local kernel streams one list group at a time, so
@@ -323,11 +331,20 @@ object BoundedSearch {
       // its per-list bound is 8× the cogroup's per-task bound; the
       // avg-per-bucket check stays as a belt-and-braces guard. Beyond
       // either bound, the salted cogroup is the right tool (it can
-      // split a hot list across tasks; a bucket-local scan cannot)
+      // split a hot list across tasks; a bucket-local scan cannot).
+      // The third clause is the engine obeying its own measurements
+      // (r9 scale sweep, encoded in GraftConf.fusedMinProbedRows): a
+      // round whose estimated scan volume (probed lists × mean list
+      // size) sits below the crossover routes to the salted cogroup
+      // even on a fused-eligible layout — small bucketed corpora
+      // otherwise paid ~60% on every bounded query for a layout choice
+      // that only helps at serving scale.
       val joinOk = nBuckets.exists { nb =>
         counts.values.max <= maxProbesPerBucket &&
-          counts.values.sum / nb <= maxProbesPerBucket
+          counts.values.sum / nb <= maxProbesPerBucket &&
+          counts.size * meanListSize >= graft.GraftConf.fusedMinProbedRows
       }
+      lastScanRoute.set(if (joinOk) "fused" else "cogroup")
       if (joinOk) scanListsJoin(ivfData, met, p, counts.keys.toSeq.sorted, k)
       else scanListsCogroup(ivfData, met, p, counts, k)
     }
@@ -432,19 +449,24 @@ object BoundedSearch {
     * vector + one TopK heap per probe); this caps how many probes one
     * task may hold. A hot list under a skewed query distribution —
     * every query ranking the same list first — would otherwise
-    * concentrate ALL query vectors in a single executor task. Test
-    * hook: the `graft.cogroup.maxProbes` system property. */
-  private def maxProbesPerTask: Int =
-    sys.props.get("graft.cogroup.maxProbes").map(_.toInt).getOrElse(8192)
+    * concentrate ALL query vectors in a single executor task.
+    * Override: the `graft.cogroup.maxProbes` system property
+    * ([[graft.GraftConf.cogroupMaxProbes]]). */
+  private def maxProbesPerTask: Int = graft.GraftConf.cogroupMaxProbes
 
   /** Per-list probe bound for the bucket-local path (see `scanRound`
     * in [[searchDistributed]]): list groups are consumed one at a time,
     * so a task's peak state is one list's probe array — the default is
-    * 8× the cogroup's per-task bound (~40 MB peak at d=64, k=10). Test
-    * hook: `graft.join.maxProbesPerBucket`. */
-  private def maxProbesPerBucket: Int =
-    sys.props.get("graft.join.maxProbesPerBucket").map(_.toInt)
-      .getOrElse(8 * maxProbesPerTask)
+    * 8× the cogroup's per-task bound (~40 MB peak at d=64, k=10).
+    * Override: `graft.join.maxProbesPerBucket`
+    * ([[graft.GraftConf.joinMaxProbesPerBucket]]). */
+  private def maxProbesPerBucket: Int = graft.GraftConf.joinMaxProbesPerBucket
+
+  /** Test hook: which scan route ("fused" | "cogroup") the last
+    * distributed round on this thread took — the router's crossover
+    * guard is pinned by observing the decision at its real site
+    * (BoundedBucketSpec's router tests) rather than re-deriving it. */
+  private[graft] val lastScanRoute = new ThreadLocal[String]
 
   /** Salt sub-keys per list are capped so the key packing below stays
     * within the 24 bits reserved for the salt — at maxProbesPerTask's
@@ -580,11 +602,15 @@ object BoundedSearch {
     * Measured crossover (`tools/evidence/r9_scale_sweep.log`, constant
     * list size n/nlist = 9766, resident arms): this path is 1.61×
     * SLOWER than the salted cogroup at 2.5M rows and wins at every
-    * point from 10M up (0.89×/0.72×/0.85× at 10M/20M/40M, with 45–64%
-    * fewer shuffle bytes). Choosing this path is a LAYOUT decision:
-    * pre-bucket / resident-distribute an index only at serving scale,
-    * where the elided Exchange (network on a real cluster) dominates
-    * the bucket-local path's fixed per-round cost. */
+    * point from 10M up — 11–28% faster (0.89×/0.72×/0.85× at
+    * 10M/20M/40M) with 45–64% fewer shuffle bytes. The router ENFORCES
+    * that crossover (`scanRound`'s [[graft.GraftConf.fusedMinProbedRows]]
+    * guard): a bucketed/resident layout is necessary but not sufficient
+    * — rounds whose estimated scan volume sits below the measured
+    * crossover still take the salted cogroup, so bucketing a small
+    * index costs nothing. Pre-bucket / resident-distribute at serving
+    * scale, where the elided Exchange (network on a real cluster)
+    * dominates the bucket-local path's fixed per-round cost. */
   private[graft] def scanListsJoin(ivfData: DataFrame, metric: String,
       probes: org.apache.spark.sql.Dataset[(Int, Long, Array[Float])],
       probedLists: Seq[Int], k: Int): DataFrame = {

@@ -70,9 +70,9 @@ object FlatSearch {
   /** The reference's own driver contract holds all queries in RAM
     * (`Auncel/dist/worker.cpp` serves batches from memory); past this
     * size we keep the query batch in a DataFrame instead
-    * ([[knnLarge]]) — same constant as BoundedSearch's distributed
-    * threshold. */
-  private val DistributedMinQueries = 131072
+    * ([[knnLarge]]) — same threshold as BoundedSearch's distributed
+    * routing ([[graft.GraftConf.distributedMinQueries]]). */
+  private def DistributedMinQueries = graft.GraftConf.distributedMinQueries
 
   /** Query-DataFrame-resident brute force for batches past the driver
     * contract — the flat twin of BoundedSearch's fully-distributed path

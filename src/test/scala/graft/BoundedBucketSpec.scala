@@ -107,10 +107,55 @@ class BoundedBucketSpec extends SparkSpec {
         .as[(Long, Long, Double, Int)].collect().sortBy(x => (x._1, x._4)),
         r.stats.sortBy(_.qid))
     }
-    val (rowsB, statsB) = run(spark.table(bucketedTable))
-    val (rowsP, statsP) = run(spark.read.parquet(dir))
-    assert(rowsB.sameElements(rowsP), "bucketed results differ from cogroup")
-    assert(statsB == statsP, "bucketed decisions differ from cogroup")
+    // zero the crossover guard so this 3000-row table actually exercises
+    // the fused arm (the router would otherwise — correctly — route a
+    // corpus this small to the cogroup; the guard itself is pinned by
+    // the router tests below)
+    System.setProperty("graft.join.minProbedRows", "0")
+    try {
+      val (rowsB, statsB) = run(spark.table(bucketedTable))
+      assert(BoundedSearch.lastScanRoute.get() == "fused")
+      val (rowsP, statsP) = run(spark.read.parquet(dir))
+      assert(BoundedSearch.lastScanRoute.get() == "cogroup")
+      assert(rowsB.sameElements(rowsP), "bucketed results differ from cogroup")
+      assert(statsB == statsP, "bucketed decisions differ from cogroup")
+    } finally System.clearProperty("graft.join.minProbedRows")
+  }
+
+  test("router obeys the measured crossover: small bucketed corpora take the cogroup") {
+    import spark.implicits._
+    val qdf = pool.slice(3150, 3182).zipWithIndex
+      .map { case (v, i) => (i.toLong, v, 0.85f) }
+      .toSeq.toDF("qid", "vec", "required_recall")
+    def route(): String = {
+      BoundedSearch.lastScanRoute.remove()
+      BoundedSearch.search(spark.table(bucketedTable), model, traces, qdf,
+        k, multiplier = 8.0f, stdM = 1.5f, forceDistributed = true)
+        .results.count()
+      BoundedSearch.lastScanRoute.get()
+    }
+    // default guard (5M estimated probed rows/round): this 3000-row
+    // corpus never qualifies — the layout alone must NOT select the
+    // fused arm (its measured 1.61× loss at small scale,
+    // tools/evidence/r9_scale_sweep.log)
+    assert(route() == "cogroup",
+      "small bucketed corpus must route to the salted cogroup")
+    // a threshold at/below the corpus's per-round scan estimate flips
+    // the SAME layout to the fused arm: est = probedLists × meanListSize
+    // ≤ 3000 here, so 1 row qualifies every non-empty round
+    System.setProperty("graft.join.minProbedRows", "1")
+    try assert(route() == "fused",
+      "above-crossover estimate must route to the fused bucket-local arm")
+    finally System.clearProperty("graft.join.minProbedRows")
+    // and an unbucketed layout never routes fused, whatever the guard
+    System.setProperty("graft.join.minProbedRows", "0")
+    try {
+      BoundedSearch.lastScanRoute.remove()
+      BoundedSearch.search(assigned, model, traces, qdf, k,
+        multiplier = 8.0f, stdM = 1.5f, forceDistributed = true)
+        .results.count()
+      assert(BoundedSearch.lastScanRoute.get() == "cogroup")
+    } finally System.clearProperty("graft.join.minProbedRows")
   }
 
   test("memory-resident list_no distribution serves the Exchange-free join") {
@@ -173,8 +218,14 @@ class BoundedBucketSpec extends SparkSpec {
       }
       val dir = java.nio.file.Files.createTempDirectory("ivf_mem").toString
       IVFIndex.write(assigned, dir)
-      assert(run(mem).sameElements(run(spark.read.parquet(dir))),
-        "cached-distribution results differ from cogroup")
+      // zero the crossover guard so the resident arm actually runs fused
+      System.setProperty("graft.join.minProbedRows", "0")
+      try {
+        val rMem = run(mem)
+        assert(BoundedSearch.lastScanRoute.get() == "fused")
+        assert(rMem.sameElements(run(spark.read.parquet(dir))),
+          "cached-distribution results differ from cogroup")
+      } finally System.clearProperty("graft.join.minProbedRows")
     } finally mem.unpersist()
   }
 
@@ -225,14 +276,18 @@ class BoundedBucketSpec extends SparkSpec {
         .collect().sortBy(x => (x._1, x._4))
       System.clearProperty("graft.cogroup.maxProbes")
       System.clearProperty("graft.join.maxProbesPerBucket")
+      // zero the crossover guard so the comparison run takes the fused arm
+      System.setProperty("graft.join.minProbedRows", "0")
       val r2 = BoundedSearch.search(spark.table(bucketedTable), model, traces,
         qdf, k, multiplier = 8.0f, stdM = 1.5f, forceDistributed = true)
+      assert(BoundedSearch.lastScanRoute.get() == "fused")
       val rJoin = r2.results.as[(Long, Long, Double, Int)]
         .collect().sortBy(x => (x._1, x._4))
       assert(rSalted.sameElements(rJoin))
     } finally {
       System.clearProperty("graft.cogroup.maxProbes")
       System.clearProperty("graft.join.maxProbesPerBucket")
+      System.clearProperty("graft.join.minProbedRows")
     }
   }
 }
