@@ -72,7 +72,48 @@ object Bench {
       name -> (if (xs.isEmpty) -1.0 else xs(xs.length / 2))
     }
     println(renderLine(results, buildSec, sfDir))
+    // second line AFTER the main one: the 10 worst rows, so the
+    // harvester's 2000-char tail capture keeps per-query evidence for
+    // exactly the rows a reviewer asks about (a01–a03's times fell off
+    // the r9 tail). Ratios vs the per-query pins when BASELINE.md is
+    // readable, absolute medians otherwise.
+    val pins =
+      try parsePins(java.nio.file.Files.readString(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md"))))
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
+    println(renderWorstLine(results, pins))
     spark.stop()
+  }
+
+  /** Per-query pins from BASELINE.md's "Per-query reference" block:
+    * short-name float pairs like `a01 0.80,` / `s03 1.7`. FIRST
+    * occurrence wins — the canonical pin list precedes any historical
+    * mentions in the prose. */
+  private[graft] def parsePins(text: String): Map[String, Double] = {
+    val re = """\b(mm\d{2}|[adqstv]\d{2}) (\d+(?:\.\d+)?)""".r
+    re.findAllMatchIn(text).foldLeft(Map.empty[String, Double]) { (m, x) =>
+      if (m.contains(x.group(1))) m else m + (x.group(1) -> x.group(2).toDouble)
+    }
+  }
+
+  /** One compact JSON line with the 10 worst rows — by measured/pin
+    * ratio when pins are available ("basis":"ratio_vs_pin"), by median
+    * seconds otherwise ("basis":"sec"). Failed rows (−1) always lead. */
+  private[graft] def renderWorstLine(
+      results: Seq[(String, Double)], pins: Map[String, Double]): String = {
+    def pinOf(name: String): Option[Double] =
+      pins.get(name.takeWhile(_ != '_')).filter(_ > 0)
+    val usable = results.filter(_._2 >= 0)
+    val (basis, scored) =
+      if (usable.nonEmpty && usable.forall(r => pinOf(r._1).isDefined))
+        ("ratio_vs_pin",
+          usable.map { case (n, v) => (n, v / pinOf(n).get) })
+      else ("sec", usable)
+    val worst = results.filter(_._2 < 0).map(_._1 -> -1.0) ++
+      scored.sortBy(-_._2)
+    val rows = worst.take(10)
+      .map { case (n, v) => "\"" + n + f"\":$v%.3f" }.mkString("{", ",", "}")
+    s"""{"worst":$rows,"basis":"$basis"}"""
   }
 
   /** Renders the one-line JSON artifact. The verdict fields (`value`,

@@ -207,16 +207,29 @@ object Eval {
         // per-query loop of the reference maps to micro-batches here)
         val byBudget = evalQ.indices.groupBy(i => perQBudget(i)).toSeq.sortBy(_._1)
         val lines = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
-        println("budget_ms  achieved_ms  mean_nprobe  queries")
+        println("budget_ms  achieved_ms  mean_nprobe  recall_mean  recall_min  queries")
         byBudget.foreach { case (b, idxs) =>
           val qdf = idxs.map(i => (i.toLong, evalQ(i), b))
             .toSeq.toDF("qid", "vec", "budget_ms")
           val t2 = now()
           val res = BoundedSearch.timeSearch(assigned, model, qdf, K, costPerProbeMs)
-          res.results.count()
+          // materialize through collect so the recall column reuses the
+          // same (timed) execution's rows
+          val got = res.results.select(col("qid"), col("dist"))
+            .as[(Long, Double)].collect()
+            .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
           val achieved = (now() - t2) * 1000.0 / idxs.size
           val meanNp = res.stats.map(_.nprobeUsed).sum.toDouble / res.stats.size
-          println(f"$b%9.0f  $achieved%11.2f  $meanNp%11.1f  ${idxs.size}%7d")
+          // the quality the budget bought (distance-threshold recall vs
+          // exact GT) — validates the calibrated per-probe cost model on
+          // both axes: did we stay inside the budget, and what recall
+          // did that probe budget buy
+          val recs = idxs.map { i =>
+            val kd = kth(i.toLong)
+            got.getOrElse(i.toLong, Array.empty).count(_ <= kd * 1.0005).toDouble / K
+          }
+          println(f"$b%9.0f  $achieved%11.2f  $meanNp%11.1f  " +
+            f"${recs.sum / recs.size}%11.3f  ${recs.min}%10.3f  ${idxs.size}%7d")
           idxs.foreach(i => lines += ((i, b, achieved)))
         }
         // `Effective_time_<p>.log` parity (`effect_time.cpp:300-311`):

@@ -38,32 +38,31 @@ object Relational {
     * (schema resolution rejects INT64(TIMESTAMP_NANOS) without it) and
     * — for ns fixtures only — must STAY on until the query executes,
     * because the parquet scan re-reads it from the session conf when
-    * the file reader is built (execution time, not `read` time). So a
-    * full save/restore here would break the legacy path at collect().
-    * Compromise: restore the caller's setting whenever the fixture is
-    * NOT legacy-ns (every current fixture), and keep it set only on
-    * the legacy branch, where it is load-bearing for the returned
-    * plan's whole lifetime. */
+    * the file reader is built (execution time, not `read` time). The
+    * sniff therefore runs on an ISOLATED `newSession()` (shared
+    * SparkContext/catalog/cache, its own conf copy): on the legacy-ns
+    * branch the conf stays set THERE for the returned plan's whole
+    * lifetime, and the caller's session conf is never touched on any
+    * branch (InventorySpec asserts both). The µs branch re-reads
+    * through the caller's session so current-fixture plans carry the
+    * caller's own conf; the second footer read is metadata-cached. */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = s.conf.getOption(key)
-    def restore(): Unit = prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
-    }
-    s.conf.set(key, "true")
-    val raw =
-      try s.read.parquet(s"$dir/events.parquet")
-      catch { case e: Throwable => restore(); throw e }
+    val iso = s.newSession()
+    iso.conf.set(key, "true")
+    val raw = iso.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // integral division: ns values (~2^60) overflow double's mantissa,
-        // so a float divide would drift by ±1 µs on some rows
+        // so a float divide would drift by ±1 µs on some rows.
+        // Deliberately iso-bound: event queries build FROM this frame,
+        // so their actions execute under iso's conf, where the
+        // load-bearing legacy flag lives
         raw.withColumn("ts",
           timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
       case _ =>
-        restore()
-        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        s.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", col("ts").cast("timestamp_ntz"))
     }
   }
 

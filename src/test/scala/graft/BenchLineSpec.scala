@@ -37,6 +37,32 @@ class BenchLineSpec extends AnyFunSuite {
       "a run with failures must not report a partial total as the value")
   }
 
+  test("worst-rows line ranks by ratio against parsed pins") {
+    // pin block in BASELINE.md's shape, including a historical mention
+    // AFTER the canonical value (first occurrence must win) and prose
+    // numbers that must not parse as pins
+    val pins = Bench.parsePins(
+      """Per-query reference (sec, warm):
+        |q01 0.50, q02 1.00, q03 2.0, s03 1.7 (s03 is a streaming row;
+        |q03 4.00 → 2.0 was the r5 re-pin; r4 47.1 total; sift10M 7530)
+        |""".stripMargin)
+    assert(pins == Map("q01" -> 0.50, "q02" -> 1.00, "q03" -> 2.0, "s03" -> 1.7))
+    val results = Seq("q01_a" -> 0.25, "q02_b" -> 3.0, "q03_c" -> 2.0,
+      "s03_d" -> 1.7)
+    val line = Bench.renderWorstLine(results, pins)
+    // q02 at 3.0× leads; q01 at 0.5× trails
+    assert(line.startsWith("""{"worst":{"q02_b":3.000"""), line)
+    assert(line.contains(""""basis":"ratio_vs_pin""""), line)
+    assert(line.indexOf("q01_a") > line.indexOf("s03_d"), line)
+  }
+
+  test("worst-rows line falls back to seconds without pins, failures lead") {
+    val results = Seq("q01_a" -> 0.25, "q02_b" -> -1.0, "q03_c" -> 5.0)
+    val line = Bench.renderWorstLine(results, Map.empty)
+    assert(line.startsWith("""{"worst":{"q02_b":-1.000,"q03_c":5.000"""), line)
+    assert(line.contains(""""basis":"sec""""), line)
+  }
+
   test("trailer agrees with the head fields") {
     val mixed = many.updated(3, "q04_name_of_query" -> -1.0)
     val line = Bench.renderLine(mixed, buildSec = 1.0, sfDir = "/x")

@@ -56,6 +56,12 @@ class InventorySpec extends SparkSpec {
       .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
     val legacy = Relational.events(spark, tmp)
+    // the legacy-ns branch runs on an isolated newSession — the
+    // CALLER's conf must come through a legacy-fixture read unchanged
+    // (pre-r10 the reader left nanosAsLong=true set on the shared
+    // session as a load-bearing side effect)
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false",
+      "legacy-fixture read mutated the caller session's nanosAsLong conf")
     val current = Relational.events(spark, real)
     assert(legacy.schema("ts").dataType == current.schema("ts").dataType)
     assert(legacy.schema("ts").dataType ==
@@ -96,7 +102,7 @@ class InventorySpec extends SparkSpec {
       s"ns→µs drifted from DuckDB truncation semantics: got ${got.toList}")
   }
 
-  test("events reader restores the caller's nanosAsLong conf on the µs path") {
+  test("events reader never mutates the caller's nanosAsLong conf (µs path)") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val real = sf("sf0.001")
     val before = spark.conf.getOption(key)
@@ -111,8 +117,10 @@ class InventorySpec extends SparkSpec {
       Relational.events(spark, real).collect()
       assert(spark.conf.get(key) == "false",
         "explicit caller setting must survive a µs-fixture read")
-      // the legacy-ns branch intentionally KEEPS the conf set — the scan
-      // re-reads it at execution time (see Relational.events scaladoc)
+      // the legacy-ns branch keeps the conf set on its own isolated
+      // newSession instead of the caller's (see Relational.events
+      // scaladoc); the caller-side assertion for THAT branch lives in
+      // the "normalizes both generator timestamp encodings" test
     } finally {
       before match {
         case Some(v) => spark.conf.set(key, v)
