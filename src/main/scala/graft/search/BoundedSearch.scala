@@ -352,6 +352,16 @@ object BoundedSearch {
     var ctrl: org.apache.spark.sql.Dataset[CtrlD] = queries
       .select(col("qid").cast("long"), col("vec"),
         col("required_recall").cast("float"))
+      // the map below does O(nq × nlist × d) work (full centroid ranking
+      // per query) — by far the heaviest narrow transform on this path —
+      // and inherits the INPUT's partitioning. A query batch arriving as
+      // few partitions (e.g. through a GlobalLimit, which collapses to
+      // ONE) would serialize it: the r10 task-time instrumentation found
+      // a single 263-s task at 20M/200k doing exactly this in every arm.
+      // The repartition is O(nq × d) bytes — noise against the ranking
+      // work it parallelizes — and per-qid decisions are order-
+      // independent, so results are unchanged.
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Float], Float)]
       .map { case (qid, v0, req) =>
         val m = bm.value
