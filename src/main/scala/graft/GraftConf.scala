@@ -14,7 +14,7 @@ package graft
   * | `graft.distributed.minQueries` | 131072 | batch size beyond which queries stay in a DataFrame end-to-end (BoundedSearch / FlatSearch / BinaryHash large-batch twins) |
   * | `graft.cogroup.maxProbes` | 8192 | per-task probe bound of the salted cogroup scan; hot lists beyond it are salted across sub-keys |
   * | `graft.join.maxProbesPerBucket` | 8 × cogroupMaxProbes | per-LIST probe bound of the fused bucket-local scan (its tasks stream one list group at a time) |
-  * | `graft.join.minProbedRows` | 5000000 | estimated probed data rows per round (probed lists × mean list size) below which the fused bucket-local arm is skipped in favor of the salted cogroup — the measured ~10M-corpus crossover of `tools/evidence/r9_scale_sweep.log` (fused 1.61× slower at 2.5M, wins from 10M up); 0 forces the fused arm wherever the layout allows it |
+  * | `graft.join.minProbedRows` | 28000000 | estimated probed data rows per round (probed lists × mean list size) below which the fused bucket-local arm is skipped in favor of the salted cogroup — the measured post-fix crossover (see [[fusedMinProbedRows]]); 0 forces the fused arm wherever the layout allows it |
   */
 object GraftConf {
 
@@ -48,12 +48,23 @@ object GraftConf {
   def joinMaxProbesPerBucket: Int =
     intProp("graft.join.maxProbesPerBucket", 8 * cogroupMaxProbes)
 
-  /** The measured crossover guard (r9 scale sweep): the fused
-    * bucket-local arm only wins once a round scans enough data rows to
-    * amortize its coarser task granularity — below this estimate the
-    * salted cogroup's finer load balancing wins even on a fused-eligible
-    * layout. Default sits between the measured 2.5M-lose and 10M-win
-    * points (geometric mean). */
+  /** The measured crossover guard: the fused bucket-local arm only wins
+    * once a round scans enough data rows to amortize its coarser task
+    * granularity — below this estimate the salted cogroup's finer load
+    * balancing wins even on a fused-eligible layout.
+    *
+    * Measurement history, because the default moved once already: the
+    * r9 sweep put the crossover near 10M rows and this guard first
+    * shipped at 5M. The r10 task-time instrumentation then found a
+    * serialized control-build stage inflating BOTH arms of that sweep
+    * (fixed in `searchDistributed`); re-measured post-fix at the same
+    * configs, the cogroup wins the 20M point (2.16 vs 1.68 ms/q) and
+    * the fused arm wins the 40M point (2.60 vs 3.56 ms/q, 45% fewer
+    * shuffle bytes) — `tools/evidence/r10_scale_ab_{20m100k,40m100k}
+    * .log`. Default = the geometric mean of the post-fix lose/win
+    * points. On a network-bound cluster the fused arm's 45–64%
+    * shuffle-byte reduction argues for LOWERING this; local wall-clock
+    * argues for nothing below ~28M. */
   def fusedMinProbedRows: Long =
-    longProp("graft.join.minProbedRows", 5000000L)
+    longProp("graft.join.minProbedRows", 28000000L)
 }

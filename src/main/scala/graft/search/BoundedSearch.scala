@@ -609,18 +609,22 @@ object BoundedSearch {
     * EnsureRequirements re-adds the Exchange if the distribution is
     * not actually satisfied (plan-asserted by BoundedBucketSpec).
     *
-    * Measured crossover (`tools/evidence/r9_scale_sweep.log`, constant
-    * list size n/nlist = 9766, resident arms): this path is 1.61×
-    * SLOWER than the salted cogroup at 2.5M rows and wins at every
-    * point from 10M up — 11–28% faster (0.89×/0.72×/0.85× at
-    * 10M/20M/40M) with 45–64% fewer shuffle bytes. The router ENFORCES
-    * that crossover (`scanRound`'s [[graft.GraftConf.fusedMinProbedRows]]
-    * guard): a bucketed/resident layout is necessary but not sufficient
-    * — rounds whose estimated scan volume sits below the measured
-    * crossover still take the salted cogroup, so bucketing a small
-    * index costs nothing. Pre-bucket / resident-distribute at serving
-    * scale, where the elided Exchange (network on a real cluster)
-    * dominates the bucket-local path's fixed per-round cost. */
+    * Measured crossover (constant list size n/nlist = 9766, resident
+    * arms; r10 POST-fix numbers — the r9 sweep's 10M-crossover reading
+    * was distorted by the serialized control-build stage both arms
+    * carried, see the `searchDistributed` repartition comment): the
+    * salted cogroup wins up to and including the 20M point (fused
+    * 1.29× slower there), the fused arm wins from the 40M point (0.73×,
+    * 45% fewer shuffle bytes) — `tools/evidence/
+    * r10_scale_ab_{20m100k,40m100k}.log`. The router ENFORCES that
+    * crossover per round (`scanRound`'s
+    * [[graft.GraftConf.fusedMinProbedRows]] guard): a bucketed/resident
+    * layout is necessary but not sufficient — rounds whose estimated
+    * scan volume sits below the crossover still take the salted
+    * cogroup, so bucketing a small index costs nothing. Pre-bucket /
+    * resident-distribute at serving scale; on a real cluster the
+    * elided Exchange is network, which argues for lowering the
+    * threshold there. */
   private[graft] def scanListsJoin(ivfData: DataFrame, metric: String,
       probes: org.apache.spark.sql.Dataset[(Int, Long, Array[Float])],
       probedLists: Seq[Int], k: Int): DataFrame = {

@@ -298,8 +298,8 @@ object ScaleDemo {
       // the join arm drowned in per-task overhead — 2.6× slower than
       // the cogroup it was meant to beat)
       val nBuckets = 64
-      // at ≥10M the router picks the fused arm on its own (the whole
-      // point of the crossover guard); for sub-crossover sweep points
+      // above the crossover the router picks the fused arm on its own
+      // (the whole point of the guard); for sub-crossover sweep points
       // SCALE_FORCE_FUSED=1 pins the arm so the A/B still measures it
       if (sys.env.get("SCALE_FORCE_FUSED").contains("1"))
         System.setProperty("graft.join.minProbedRows", "0")

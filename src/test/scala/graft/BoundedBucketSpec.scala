@@ -134,10 +134,11 @@ class BoundedBucketSpec extends SparkSpec {
         .results.count()
       BoundedSearch.lastScanRoute.get()
     }
-    // default guard (5M estimated probed rows/round): this 3000-row
-    // corpus never qualifies — the layout alone must NOT select the
-    // fused arm (its measured 1.61× loss at small scale,
-    // tools/evidence/r9_scale_sweep.log)
+    // default guard (28M estimated probed rows/round, the measured
+    // post-fix crossover): this 3000-row corpus never qualifies — the
+    // layout alone must NOT select the fused arm (measured slower than
+    // the cogroup at every sub-crossover scale,
+    // tools/evidence/r10_scale_ab_20m100k.log)
     assert(route() == "cogroup",
       "small bucketed corpus must route to the salted cogroup")
     // a threshold at/below the corpus's per-round scan estimate flips
