@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins GraftConf's operator contract: every routing threshold reads
+  * its system property at USE time (a long-lived driver can re-tune
+  * between queries), falls back to its documented default, and the
+  * derived default (joinMaxProbesPerBucket = 8× cogroup bound) follows
+  * an override of its base. */
+class GraftConfSpec extends AnyFunSuite {
+
+  private def withProp[A](key: String, v: String)(body: => A): A = {
+    System.setProperty(key, v)
+    try body finally System.clearProperty(key)
+  }
+
+  test("documented defaults") {
+    assert(GraftConf.eagerMaxQueries == 4096)
+    assert(GraftConf.distributedMinQueries == 131072)
+    assert(GraftConf.cogroupMaxProbes == 8192)
+    assert(GraftConf.joinMaxProbesPerBucket == 8 * 8192)
+    assert(GraftConf.fusedMinProbedRows == 28000000L)
+  }
+
+  test("overrides are read at use time and revert on clear") {
+    withProp("graft.eager.maxQueries", "16") {
+      assert(GraftConf.eagerMaxQueries == 16)
+    }
+    assert(GraftConf.eagerMaxQueries == 4096)
+    withProp("graft.join.minProbedRows", "0") {
+      assert(GraftConf.fusedMinProbedRows == 0L)
+    }
+    assert(GraftConf.fusedMinProbedRows == 28000000L)
+  }
+
+  test("per-bucket bound follows an override of the cogroup bound") {
+    withProp("graft.cogroup.maxProbes", "100") {
+      assert(GraftConf.joinMaxProbesPerBucket == 800)
+      // an explicit per-bucket override still wins over the derivation
+      withProp("graft.join.maxProbesPerBucket", "42") {
+        assert(GraftConf.joinMaxProbesPerBucket == 42)
+      }
+    }
+  }
+}
