@@ -58,11 +58,13 @@ object GraftConf {
     * shipped at 5M. The r10 task-time instrumentation then found a
     * serialized control-build stage inflating BOTH arms of that sweep
     * (fixed in `searchDistributed`); re-measured post-fix at the same
-    * configs, the cogroup wins the 20M point (2.16 vs 1.68 ms/q) and
-    * the fused arm wins the 40M point (2.60 vs 3.56 ms/q, 45% fewer
-    * shuffle bytes) — `tools/evidence/r10_scale_ab_{20m100k,40m100k}
-    * .log`. Default = the geometric mean of the post-fix lose/win
-    * points. On a network-bound cluster the fused arm's 45–64%
+    * configs, the cogroup wins 2.5M (1.49× fused) and the 20M point
+    * reads cogroup-ahead-to-parity across two runs (fused 1.29× / 1.02×
+    * — 20M sits close to the true crossover), while the fused arm
+    * clearly wins the 40M point (2.60 vs 3.56 ms/q, 45% fewer shuffle
+    * bytes) — `tools/evidence/r10_scale_ab_{2m5,20m100k,20m_named,
+    * 40m100k}.log`. Default = the geometric mean of the 20M/40M
+    * points. On a network-bound cluster the fused arm's 45–78%
     * shuffle-byte reduction argues for LOWERING this; local wall-clock
     * argues for nothing below ~28M. */
   def fusedMinProbedRows: Long =

@@ -320,6 +320,10 @@ object ScaleDemo {
         val bytes = new java.util.concurrent.atomic.AtomicLong
         val tasks =
           new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]
+        // stage id → callsite name, so the worst-stage report says WHAT
+        // ran, not just a number (r10's unlabeled 32-task stage cost an
+        // analysis round-trip)
+        val names = new java.util.concurrent.ConcurrentHashMap[Int, String]
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = te.taskMetrics
@@ -327,6 +331,9 @@ object ScaleDemo {
           if (te.taskInfo != null)
             tasks.add((te.stageId, te.taskInfo.duration))
         }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          names.put(sc.stageInfo.stageId, sc.stageInfo.name.takeWhile(_ != '\n'))
       }
       spark.sparkContext.addSparkListener(meter)
       def pct(xs: Array[Long], p: Double): Long =
@@ -362,11 +369,12 @@ object ScaleDemo {
           f"${pct(all, 0.95)}/${pct(all, 1.0)} ms, core-time " +
           f"$coreSec%.0fs = ${100 * coreSec / (sec * 32)}%.0f%% of 32 cores")
         byStage.toSeq
-          .sortBy { case (_, ts) => -ts.map(_._2).max }.take(3)
+          .sortBy { case (_, ts) => -ts.map(_._2).sum }.take(5)
           .foreach { case (sid, ts) =>
             val ds = ts.map(_._2).sorted
-            println(f"  worst stage $sid: ${ds.length} tasks p50/p95/max = " +
-              f"${pct(ds, 0.5)}/${pct(ds, 0.95)}/${pct(ds, 1.0)} ms")
+            println(f"  costly stage $sid: ${ds.length} tasks p50/p95/max = " +
+              f"${pct(ds, 0.5)}/${pct(ds, 0.95)}/${pct(ds, 1.0)} ms, " +
+              f"sum ${ds.sum / 1000.0}%.0fs [${meter.names.getOrDefault(sid, "?")}]")
           }
       }
       // SCALE_AB=disk|cached|all (default all) selects arms. The
