@@ -86,12 +86,16 @@ object Bench {
   }
 
   /** Per-query pins from BASELINE.md's "Per-query reference" block:
-    * short-name float pairs like `a01 0.80,` / `s03 1.7`. FIRST
-    * occurrence wins — the canonical pin list precedes any historical
-    * mentions in the prose. */
+    * short-name float pairs like `a01 0.80,` / `s03 1.7`. Parsing is
+    * ANCHORED to that header — prose added above it can't shadow a
+    * pin — and within the block first occurrence wins. */
   private[graft] def parsePins(text: String): Map[String, Double] = {
+    val anchored = text.indexOf("Per-query reference") match {
+      case -1 => text // no header: fall back to whole-document scan
+      case i  => text.substring(i)
+    }
     val re = """\b(mm\d{2}|[adqstv]\d{2}) (\d+(?:\.\d+)?)""".r
-    re.findAllMatchIn(text).foldLeft(Map.empty[String, Double]) { (m, x) =>
+    re.findAllMatchIn(anchored).foldLeft(Map.empty[String, Double]) { (m, x) =>
       if (m.contains(x.group(1))) m else m + (x.group(1) -> x.group(2).toDouble)
     }
   }

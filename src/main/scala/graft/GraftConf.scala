@@ -18,11 +18,22 @@ package graft
   */
 object GraftConf {
 
+  // Fail fast, naming the offending key: a malformed override (e.g.
+  // -Dgraft.join.minProbedRows=28M) should abort at startup-adjacent
+  // first use with a clear message, not surface as a bare
+  // NumberFormatException deep inside a search round.
+  private def parsed[T](key: String, raw: String, parse: String => T): T =
+    try parse(raw.trim)
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"malformed system property $key='$raw' (expected an integer)")
+    }
+
   private def intProp(key: String, default: => Int): Int =
-    sys.props.get(key).map(_.trim.toInt).getOrElse(default)
+    sys.props.get(key).map(parsed(key, _, _.toInt)).getOrElse(default)
 
   private def longProp(key: String, default: => Long): Long =
-    sys.props.get(key).map(_.trim.toLong).getOrElse(default)
+    sys.props.get(key).map(parsed(key, _, _.toLong)).getOrElse(default)
 
   /** Above this query-batch size the eager path's driver collect
     * (≤ nq × nlist/8 × k partial rows) stops being "small"; the lazy

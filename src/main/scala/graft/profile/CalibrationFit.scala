@@ -43,16 +43,11 @@ object CalibrationFit {
                        meanNprobe: Double, met: Boolean,
                        swept: Seq[Candidate])
 
-  /** Worst-case acceptance recall (`eval/bound.cpp:400-414`): fraction
-    * of a query's returned distances within the exact k-th distance
-    * (small tolerance for float noise, direction-aware so it stays a
-    * RELAXATION for the negated-IP convention too). */
+  /** Worst-case acceptance recall — shared with the figure-10 compare
+    * harness ([[graft.CompareMetrics.thresholdRecall]]). */
   private def thresholdRecall(got: Map[Long, Array[Double]],
                               kth: Map[Long, Double], k: Int): Map[Long, Double] =
-    kth.map { case (qid, kd) =>
-      val tol = if (kd >= 0) kd * 1.0005 else kd * 0.9995
-      qid -> got.getOrElse(qid, Array.empty).count(_ <= tol).toDouble / k
-    }
+    graft.CompareMetrics.thresholdRecall(got, kth, k)
 
   /** Sweep the grid and return the cheapest bound-holding pair.
     *

@@ -49,6 +49,14 @@ object Relational {
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val iso = s.newSession()
+    // newSession() starts from SparkContext defaults, NOT the caller's
+    // runtime SQL confs — copy them over first so a legacy-ns frame
+    // executes with the caller's settings (shuffle.partitions, ANSI,
+    // timezone, …) and ONLY the nanos flag differs. Settable-only copy:
+    // getAll includes static/spark-core entries newSession rejects.
+    s.conf.getAll.foreach { case (k, v) =>
+      if (s.conf.isModifiable(k)) iso.conf.set(k, v)
+    }
     iso.conf.set(key, "true")
     val raw = iso.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {

@@ -318,11 +318,13 @@ object BoundedSearch {
     // measured crossover — for rounds too small to amortize the fused
     // arm's coarser task granularity.
     val nBuckets = listNoBuckets(ivfData)
-    // mean list size for the crossover guard: one count job per search
-    // call, only on fused-eligible layouts (cached for the resident
-    // layout, metadata-fast for parquet)
+    // mean list size for the crossover guard — layout metadata, so the
+    // count job runs once per table per session (IndexCache.rowCount
+    // memo), not once per search call; only fused-eligible layouts ask
     val meanListSize: Double =
-      if (nBuckets.isDefined) ivfData.count().toDouble / nlist else 0.0
+      if (nBuckets.isDefined)
+        graft.index.IndexCache.rowCount(ivfData).toDouble / nlist
+      else 0.0
     def scanRound(p: org.apache.spark.sql.Dataset[(Int, Long, Array[Float])],
                   counts: Map[Int, Long]): DataFrame = {
       // the bucket-local kernel streams one list group at a time, so

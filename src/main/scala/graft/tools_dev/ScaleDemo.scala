@@ -103,7 +103,13 @@ object ScaleDemo {
     val (calM, calS) =
       if (sys.env.get("SCALE_CAL").contains("fixed")) (4.0f, 1.0f)
       else {
-        val holdQ = baseDF.filter(col("id") % 1009 === 3).limit(200)
+        // residue class 3 mod 1009, EXCLUDING the evalQ prefix
+        // (ids < nq — id=3 is in it) and bigQ's 0-mod-997 class, so
+        // the fitted pair is never evaluated on a query it saw.
+        val holdQ = baseDF
+          .filter(col("id") >= nq && col("id") % 1009 === 3 &&
+            col("id") % 997 =!= 0)
+          .limit(200)
           .select(col("id").as("qid"), col("vec"))
         t = System.nanoTime()
         val gtH = FlatSearch.knn(flatTbl, holdQ, k)
@@ -324,6 +330,46 @@ object ScaleDemo {
         // ran, not just a number (r10's unlabeled 32-task stage cost an
         // analysis round-trip)
         val names = new java.util.concurrent.ConcurrentHashMap[Int, String]
+        // SQL-stage attribution (VERDICT r10 #3): SQL stages inherit the
+        // execution pool's callsite, so the callsite name alone can't say
+        // which PLAN node ran. The SQL UI's own mechanism fixes that:
+        // each plan node's metrics are accumulators, the execution-start
+        // (and every AQE re-plan) event carries the accumId→node map,
+        // and a stage's accumulables say which nodes executed in it.
+        val accNode = new java.util.concurrent.ConcurrentHashMap[Long, String]
+        def indexPlan(p: org.apache.spark.sql.execution.SparkPlanInfo): Unit = {
+          p.metrics.foreach(m => accNode.put(m.accumulatorId, p.nodeName))
+          p.children.foreach(indexPlan)
+        }
+        override def onOtherEvent(
+            e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            indexPlan(s.sparkPlanInfo)
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLAdaptiveExecutionUpdate =>
+            indexPlan(s.sparkPlanInfo)
+          case _ => ()
+        }
+        // plumbing nodes that appear in nearly every stage and label nothing
+        private val boring = Set("WholeStageCodegen", "InputAdapter",
+          "Project", "Filter", "ColumnarToRow", "AQEShuffleRead",
+          "ShuffleQueryStage", "ResultQueryStage", "Exchange", "Sort",
+          "SerializeFromObject", "DeserializeToObject", "MapPartitions")
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val callsite = sc.stageInfo.name.takeWhile(_ != '\n')
+          val nodes = sc.stageInfo.accumulables.values
+            .flatMap(a => Option(accNode.get(a.id))).toSeq.distinct
+          // prefer the load-bearing nodes (scans, joins, aggregates,
+          // cogroups); fall back to whatever's left so AQE shuffle-read
+          // stages still label
+          val interesting = nodes.filterNot(n =>
+            boring.exists(b => n.startsWith(b)))
+          val shown = (if (interesting.nonEmpty) interesting else nodes)
+            .take(3).mkString("+")
+          names.put(sc.stageInfo.stageId,
+            if (shown.isEmpty) callsite else s"$callsite | $shown")
+          ()
+        }
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = te.taskMetrics
@@ -331,9 +377,6 @@ object ScaleDemo {
           if (te.taskInfo != null)
             tasks.add((te.stageId, te.taskInfo.duration))
         }
-        override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-          names.put(sc.stageInfo.stageId, sc.stageInfo.name.takeWhile(_ != '\n'))
       }
       spark.sparkContext.addSparkListener(meter)
       def pct(xs: Array[Long], p: Double): Long =

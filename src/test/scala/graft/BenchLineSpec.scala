@@ -47,6 +47,13 @@ class BenchLineSpec extends AnyFunSuite {
         |q03 4.00 → 2.0 was the r5 re-pin; r4 47.1 total; sift10M 7530)
         |""".stripMargin)
     assert(pins == Map("q01" -> 0.50, "q02" -> 1.00, "q03" -> 2.0, "s03" -> 1.7))
+    // prose ABOVE the header must not shadow a pin (parsing is anchored)
+    val shadowed = Bench.parsePins(
+      """In r4 q01 9.99 was a contended reading, since re-pinned.
+        |Per-query reference (sec, warm):
+        |q01 0.50, q02 1.00
+        |""".stripMargin)
+    assert(shadowed == Map("q01" -> 0.50, "q02" -> 1.00))
     val results = Seq("q01_a" -> 0.25, "q02_b" -> 3.0, "q03_c" -> 2.0,
       "s03_d" -> 1.7)
     val line = Bench.renderWorstLine(results, pins)

@@ -159,6 +159,58 @@ class BoundedBucketSpec extends SparkSpec {
     } finally System.clearProperty("graft.join.minProbedRows")
   }
 
+  test("meanListSize is layout metadata: repeat searches run no count job") {
+    import spark.implicits._
+    val qdf = pool.slice(3150, 3166).zipWithIndex
+      .map { case (v, i) => (i.toLong, v, 0.85f) }
+      .toSeq.toDF("qid", "vec", "required_recall")
+    val tbl = spark.table(bucketedTable)
+    def go(): Unit =
+      BoundedSearch.search(tbl, model, traces, qdf, k,
+        multiplier = 8.0f, stdM = 1.5f, forceDistributed = true)
+        .results.count()
+    go() // may pay the memo's one count job
+    val before = graft.index.IndexCache.rowCountComputes.get()
+    // QueryExecutionListener-level proof on top of the memo counter: no
+    // Dataset.count ACTION on the corpus table during repeat searches.
+    // (The search itself counts its small ctrl dataset — we match on
+    // the action's plan touching the bucketed table's relation.)
+    val counted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        // a corpus count is count(1) DIRECTLY over the table — the
+        // search's own result/ctrl counts aggregate derived plans and
+        // must not match
+        qe.analyzed match {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+              if funcName == "count" &&
+                a.child.sameResult(tbl.queryExecution.analyzed) =>
+            counted.incrementAndGet(); ()
+          case _ => ()
+        }
+      override def onFailure(funcName: String, qe:
+          org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      go(); go()
+      // listener delivery is async — a sentinel count at the END proves
+      // delivery happened before we read the counter: if the searches
+      // had counted the corpus, those events precede the sentinel's
+      tbl.count()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (counted.get() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    } finally spark.listenerManager.unregister(listener)
+    assert(graft.index.IndexCache.rowCountComputes.get() == before,
+      "repeat search must reuse the memoized corpus count")
+    assert(counted.get() == 1,
+      "only the sentinel count action may touch the corpus table")
+  }
+
   test("memory-resident list_no distribution serves the Exchange-free join") {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import spark.implicits._

@@ -33,6 +33,18 @@ class GraftConfSpec extends AnyFunSuite {
     assert(GraftConf.fusedMinProbedRows == 28000000L)
   }
 
+  test("malformed override fails fast, naming the key and value") {
+    withProp("graft.join.minProbedRows", "28M") {
+      val e = intercept[IllegalArgumentException](GraftConf.fusedMinProbedRows)
+      assert(e.getMessage.contains("graft.join.minProbedRows"))
+      assert(e.getMessage.contains("28M"))
+    }
+    withProp("graft.eager.maxQueries", "lots") {
+      val e = intercept[IllegalArgumentException](GraftConf.eagerMaxQueries)
+      assert(e.getMessage.contains("graft.eager.maxQueries"))
+    }
+  }
+
   test("per-bucket bound follows an override of the cogroup bound") {
     withProp("graft.cogroup.maxProbes", "100") {
       assert(GraftConf.joinMaxProbesPerBucket == 800)
