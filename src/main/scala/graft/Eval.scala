@@ -26,6 +26,18 @@ import graft.search.{BoundedSearch, FlatSearch, IVFSearch}
   *              `graft_effective_time_<k>.log` lines
   *              `<budget_ms> <achieved_ms>` mirroring
   *              `Effective_time_<p>.log` (`effect_time.cpp:300-311`)
+  *   compare  — the paper's headline three-way comparison
+  *              (`figures/overall/figure10-1.py:36-82`): BoundedSearch
+  *              with a CalibrationFit-FITTED pair vs LAET search_mode=2
+  *              GBT vs the bounded-case fixed-nprobe faiss baseline
+  *              (AutoTune sweep, worst-case selection), all at the
+  *              reference's config (k=100, ε=0.1; IVF1024 at 10M —
+  *              `run.sh:5`); same eval micro-batches for every engine;
+  *              reports mean latency, p99/mean tail, per-query slowdown
+  *              vs BoundedSearch, probe budget in the LAET anchor unit,
+  *              and worst-case recall vs the bound; writes
+  *              `graft_compare_<engine>_latency.log` (figure-10 input
+  *              shape) — metric math in [[CompareMetrics]]
   *   dist     — distributed-deployment twin of figure 16
   *              (`figures/dist/figure16.py:17-19`): shard the corpus
   *              over W workers, each owning an IVF index and an error
@@ -43,7 +55,7 @@ import graft.search.{BoundedSearch, FlatSearch, IVFSearch}
   * per-query latency is amortized within timed micro-batches of 10
   * queries — same file shape, honest batch semantics.
   *
-  * Usage: runMain graft.Eval [bound|effect|overhead|time|dist] [outDir] [nb]
+  * Usage: runMain graft.Eval [bound|effect|overhead|time|compare|dist] [outDir] [nb]
   * (`nb` overrides the corpus size — dist's worker scaling is visible
   * once per-worker scan time dominates the per-batch job overhead,
   * e.g. nb ≥ 200000; the default 20k is overhead-bound.)
@@ -103,16 +115,16 @@ object Eval {
     // corpus (the ScaleDemo cap)
     def trainInput(b: DataFrame, n: Long): DataFrame =
       if (n <= DriverMaxRows) b
-      else b.sample(math.min(0.25, math.max(0.05, 800.0 * NLIST / n)), 42L)
+      else b.sample(math.min(0.25, math.max(0.05, 800.0 * nl / n)), 42L)
     val t0 = now()
-    val model = IVFIndex.train(trainInput(baseDF, nb), NLIST)
+    val model = IVFIndex.train(trainInput(baseDF, nb), nl)
     val assigned = IVFIndex.assign(baseDF, model).cache()
     assigned.count()
     val tBuild = now() - t0
 
     val t1 = now()
-    val gt = FlatSearch.knn(baseDF, df(trainQ, "qid"), K).cache()
-    val traces = ProfileTrainer.train(assigned, model, df(trainQ, "qid"), gt, K, bs = 100)
+    val gt = FlatSearch.knn(baseDF, df(trainQ, "qid"), kk).cache()
+    val traces = ProfileTrainer.train(assigned, model, df(trainQ, "qid"), gt, kk, bs = 100)
     val tProfile = now() - t1
 
     // exact k-th GT distance per eval query: in-driver loop at driver
@@ -121,11 +133,11 @@ object Eval {
     lazy val kthMap: Map[Long, Double] =
       if (nb <= DriverMaxRows)
         evalQ.zipWithIndex.map { case (q, i) =>
-          (i.toLong, base.map(v => Kernels.l2Sqr(q, v)).sorted.apply(K - 1))
+          (i.toLong, base.map(v => Kernels.l2Sqr(q, v)).sorted.apply(kk - 1))
         }.toMap
       else
-        FlatSearch.knn(baseDF, df(evalQ, "qid"), K)
-          .filter(col("rank") === K)
+        FlatSearch.knn(baseDF, df(evalQ, "qid"), kk)
+          .filter(col("rank") === kk)
           .select(col("qid"), col("dist")).as[(Long, Double)]
           .collect().toMap
     def kth(i: Long): Double = kthMap(i)
@@ -246,6 +258,138 @@ object Eval {
           lines.sortBy(_._1).map { case (_, b, a) => f"$b%.0f $a%.3f" }
             .mkString("", "\n", "\n"))
         println(s"wrote $outDir/graft_effective_time_$K.log")
+
+      case "compare" =>
+        // figure-10 three-way twin. ε=0.1 (the reference's err=10), all
+        // engines share the corpus, index, and eval micro-batches. The
+        // committed anchors this prints against: LAET sift10M k=100
+        // err=10 budget 7530 nprobe·100 units = mean 75.3 lists/query
+        // on IVF1024 (`LAET/benchs/learned_termination/run.sh:3-5`).
+        import graft.baselines.LAET
+        import graft.operators.AutoTune
+        val eps = 0.1
+        val req = (1 - eps).toFloat
+
+        // (a) BoundedSearch with a FITTED (multiplier, stdM) — the
+        // production flow, not a demo constant. Holdout disjoint from
+        // trainQ/evalQ by construction (fresh draws from the stream).
+        val holdQ = mk(200)
+        val tF = now()
+        val holdGt = FlatSearch.knn(baseDF, df(holdQ, "qid"), kk)
+        val fit = graft.profile.CalibrationFit.fit(assigned, model, traces,
+          df(holdQ, "qid"), holdGt, kk, requiredRecall = req,
+          multipliers = Seq(2f, 4f, 8f, 16f), stdMs = Seq(0.5f, 1f, 2f))
+        println(f"calibration fit: (${fit.multiplier}, ${fit.stdM}) " +
+          f"holdout min recall ${fit.minRecall}%.3f met=${fit.met} " +
+          f"(${now() - tF}%.1fs)")
+
+        // (b) LAET search_mode=2: GBT with one intermediate checkpoint
+        // (rich features at stages 0-1 = top-k after 1 and 2 lists)
+        val tL = now()
+        val laet = LAET.train(assigned, model, df(trainQ, "qid"), gt, kk,
+          targetRecall = req, cpStages = 1)
+        println(f"LAET GBT trained (cpStages=1): ${now() - tL}%.1fs")
+
+        // (c) bounded-case fixed-nprobe (the reference's modified-faiss
+        // AutoTune baseline): cheapest sweep point whose WORST-case
+        // train recall holds the bound — early-stopped, recall is
+        // monotone in nprobe
+        val tA = now()
+        val points = AutoTune.sweep(assigned, model, df(trainQ, "qid"), kk,
+          stopAtMinRecall = Some(req))
+        val op = AutoTune.select(points, req)
+        println(f"fixed-nprobe sweep: nprobe=${op.nprobe} " +
+          f"(train minRecall ${op.minRecall}%.3f, ${points.size} points, " +
+          f"${now() - tA}%.1fs)")
+
+        def collectDists(dfr: DataFrame): Map[Long, Array[Double]] =
+          dfr.select(col("qid").cast("long"), col("dist"))
+            .as[(Long, Double)].collect()
+            .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+
+        type Batch = Seq[(Long, Array[Float])]
+        type Run = (Map[Long, Array[Double]], Map[Long, Int])
+        def qdfOf(b: Batch) = b.toDF("qid", "vec")
+
+        def runBounded(b: Batch): Run = {
+          val cdf = b.map { case (q, v) => (q, v, req) }
+            .toDF("qid", "vec", "required_recall")
+          val r = BoundedSearch.search(assigned, model, traces, cdf, kk,
+            fit.multiplier, fit.stdM)
+          (collectDists(r.results),
+            r.stats.map(s => s.qid -> s.nprobeUsed).toMap)
+        }
+        // the search_mode=2 flow with honest incremental cost: probe the
+        // checkpoint lists (1 then 2), predict, search with the budget.
+        // (LAET.search's stagedTopK computes ALL stages for training
+        // convenience — timing that would overcharge LAET, so the eval
+        // flow probes exactly the checkpoints the features need; the
+        // ≤3 re-scanned lists vs the reference's continue-from-
+        // checkpoint are noise against the predicted budgets.)
+        def runLaet(b: Batch): Run = {
+          val qdf = qdfOf(b)
+          val st0 = collectDists(LAET.searchPerQueryNprobe(
+            assigned, model, qdf, kk, b.map(_._1 -> 1).toMap))
+          val st1 = collectDists(LAET.searchPerQueryNprobe(
+            assigned, model, qdf, kk, b.map(_._1 -> 2).toMap))
+          val budgets = b.map { case (qid, v) =>
+            val stages = Map(
+              0 -> st0.getOrElse(qid, Array.empty[Double]),
+              1 -> st1.getOrElse(qid, Array.empty[Double]))
+            val lvl = math.max(laet.cpStages,
+              LAET.predictLevel(laet, model, v, stages, kk))
+            qid -> math.min(model.nlist, 1 << lvl)
+          }.toMap
+          (collectDists(LAET.searchPerQueryNprobe(
+            assigned, model, qdf, kk, budgets)), budgets)
+        }
+        def runFixed(b: Batch): Run =
+          (collectDists(IVFSearch.search(assigned, model, qdfOf(b), kk,
+            op.nprobe)), b.map(_._1 -> op.nprobe).toMap)
+
+        val batches: Seq[Batch] = evalQ.zipWithIndex
+          .map { case (v, i) => (i.toLong, v) }.grouped(10)
+          .map(_.toSeq).toSeq
+        val engines: Seq[(String, Batch => Run)] = Seq(
+          ("bounded", runBounded), ("laet", runLaet), ("fixed", runFixed))
+        engines.foreach { case (_, f) => f(batches.head) } // JIT warmup
+
+        val measured = engines.map { case (name, f) =>
+          val lat = Vector.newBuilder[Double]
+          val got = Map.newBuilder[Long, Array[Double]]
+          val nps = Map.newBuilder[Long, Int]
+          batches.foreach { b =>
+            val t = now()
+            val (g, np) = f(b)
+            val per = (now() - t) / b.size
+            b.foreach(_ => lat += per)
+            got ++= g; nps ++= np
+          }
+          (name, lat.result(), got.result(), nps.result())
+        }
+
+        val baseLat = measured.head._2
+        println("engine    mean_ms/q  p99/mean  slow_vs_bounded  " +
+          "total_probes  mean_np  frac_nlist  worst_recall  bound")
+        measured.foreach { case (name, lat, got, nps) =>
+          val worst = CompareMetrics.thresholdRecall(got, kthMap, kk)
+            .values.min
+          val (tot, meanNp, frac) = CompareMetrics.probeBudget(
+            evalQ.indices.map(i => nps(i.toLong)), model.nlist)
+          println(f"$name%-9s ${CompareMetrics.meanMs(lat)}%9.2f  " +
+            f"${CompareMetrics.tailRatio(lat)}%8.2f  " +
+            f"${CompareMetrics.slowdownVs(baseLat, lat)}%15.2f  " +
+            f"$tot%12d  $meanNp%7.1f  $frac%10.4f  $worst%12.3f  " +
+            (if (worst >= req) "HELD" else "BROKEN"))
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/graft_compare_${name}_latency.log"),
+            lat.map(l => f"$l%.6f").mkString("", "\n", "\n"))
+        }
+        println(f"anchor (run.sh:5 sift10M k=100 err=10): LAET budget " +
+          f"7530 units = mean 75.3 lists/q on IVF1024 = frac 0.0735; " +
+          f"the paper's claim: only the profile-bounded engine HOLDS " +
+          f"the worst-case bound, at a budget below the learned " +
+          f"baseline's")
 
       case "dist" =>
         // Workers execute sequentially here, each getting the whole

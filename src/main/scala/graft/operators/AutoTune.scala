@@ -20,22 +20,35 @@ object AutoTune {
                                   minRecall: Double, cost: Double)
 
   /** Sweep power-of-2 nprobe values (plus nlist). Cost model: fraction
-    * of lists probed (∝ bytes scanned at scale). */
+    * of lists probed (∝ bytes scanned at scale).
+    *
+    * @param stopAtMinRecall when set, the sweep ends at the first point
+    *   whose worst-case recall reaches the target. Id-set recall is
+    *   MONOTONE in nprobe (a larger probe set's top-k comes from a
+    *   superset of candidates), so that point is also the cheapest
+    *   passing one — large-corpus sweeps skip the expensive deep points
+    *   they'd never select. */
   def sweep(ivfData: DataFrame, model: IVFModel, queries: DataFrame,
-            k: Int): Seq[OperatingPoint] = {
+            k: Int, stopAtMinRecall: Option[Double] = None): Seq[OperatingPoint] = {
     import ivfData.sparkSession.implicits._
     val exact = exactIdSets(ivfData.select(col("id"), col("vec")), queries, k)
     val points = Iterator.iterate(1)(_ * 2).takeWhile(_ < model.nlist).toSeq :+ model.nlist
-    points.map { np =>
-      val got = IVFSearch.search(ivfData, model, queries, k, np)
-        .select(col("qid"), col("id")).as[(Long, Long)].collect()
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      val recalls = exact.map { case (q, ids) =>
-        (got.getOrElse(q, Set.empty) & ids).size.toDouble / k
-      }.toSeq
-      OperatingPoint(np, recalls.sum / recalls.size, recalls.min,
-        np.toDouble / model.nlist)
+    val out = Vector.newBuilder[OperatingPoint]
+    var done = false
+    points.foreach { np =>
+      if (!done) {
+        val got = IVFSearch.search(ivfData, model, queries, k, np)
+          .select(col("qid"), col("id")).as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val recalls = exact.map { case (q, ids) =>
+          (got.getOrElse(q, Set.empty) & ids).size.toDouble / k
+        }.toSeq
+        out += OperatingPoint(np, recalls.sum / recalls.size, recalls.min,
+          np.toDouble / model.nlist)
+        if (stopAtMinRecall.exists(recalls.min >= _)) done = true
+      }
     }
+    out.result()
   }
 
   /** Pareto front: drop points dominated in (cost ↓, recall ↑).
