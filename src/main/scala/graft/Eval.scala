@@ -385,6 +385,17 @@ object Eval {
             java.nio.file.Paths.get(s"$outDir/graft_compare_${name}_latency.log"),
             lat.map(l => f"$l%.6f").mkString("", "\n", "\n"))
         }
+        // the micro-batch table above carries the figure's latency
+        // SHAPE but also Spark's per-job floor (a staged-round engine
+        // pays levels × job overhead per 10-query batch); one full-batch
+        // pass per engine shows the amortized throughput the floor hides
+        val fullBatch: Batch = evalQ.zipWithIndex
+          .map { case (v, i) => (i.toLong, v) }.toSeq
+        println(s"full-batch throughput (${fullBatch.size} queries, one batch):")
+        engines.foreach { case (name, f) =>
+          val t = now(); f(fullBatch)
+          println(f"  $name%-9s ${(now() - t) * 1000 / fullBatch.size}%8.2f ms/q amortized")
+        }
         println(f"anchor (run.sh:5 sift10M k=100 err=10): LAET budget " +
           f"7530 units = mean 75.3 lists/q on IVF1024 = frac 0.0735; " +
           f"the paper's claim: only the profile-bounded engine HOLDS " +

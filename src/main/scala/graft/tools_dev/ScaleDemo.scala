@@ -49,7 +49,11 @@ object ScaleDemo {
     // coarse k-means needs ~hundreds of points per centroid, not the
     // corpus: cap the sample so 10M-row runs don't pay 2.5M-row Lloyd
     val frac = math.min(0.25, math.max(0.05, 800.0 * nlist / n))
-    val model = IVFIndex.train(baseDF.sample(frac, 42L), nlist)
+    // SCALE_METRIC=ip runs the whole demo in angle space (the
+    // IndexIVF.cpp:101-110 analog) — IP-metric spot-checks of routing
+    // decisions measured on L2 (VERDICT r10 #5)
+    val metric = sys.env.getOrElse("SCALE_METRIC", "l2")
+    val model = IVFIndex.train(baseDF.sample(frac, 42L), nlist, metric)
     println(f"kmeans train (${(n * frac).toInt} sample): ${(System.nanoTime() - t) / 1e9}%.1fs")
 
     t = System.nanoTime()
@@ -63,7 +67,7 @@ object ScaleDemo {
     val queries = baseDF.limit(nq).select(col("id").as("qid"), col("vec"))
 
     t = System.nanoTime()
-    val flat = FlatSearch.knn(flatTbl, queries, k)
+    val flat = FlatSearch.knn(flatTbl, queries, k, metric)
     flat.count()
     val tFlat = (System.nanoTime() - t) / 1e9
 
@@ -89,7 +93,7 @@ object ScaleDemo {
     val trainQ = baseDF.orderBy(col("id").desc).limit(200)
       .select(col("id").as("qid"), col("vec"))
     t = System.nanoTime()
-    val gt = FlatSearch.knn(flatTbl, trainQ, k)
+    val gt = FlatSearch.knn(flatTbl, trainQ, k, metric)
     val traces = ProfileTrainer.train(ivf, model, trainQ, gt, k)
     println(f"profile training (200 queries): ${(System.nanoTime() - t) / 1e9}%.1fs")
 
@@ -112,7 +116,7 @@ object ScaleDemo {
           .limit(200)
           .select(col("id").as("qid"), col("vec"))
         t = System.nanoTime()
-        val gtH = FlatSearch.knn(flatTbl, holdQ, k)
+        val gtH = FlatSearch.knn(flatTbl, holdQ, k, metric)
         val fit = graft.profile.CalibrationFit.fit(ivf, model, traces,
           holdQ, gtH, k, requiredRecall = 0.9f,
           multipliers = Seq(2f, 4f, 8f, 16f), stdMs = Seq(0.5f, 1f, 2f))
