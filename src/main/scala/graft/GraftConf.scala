@@ -69,15 +69,19 @@ object GraftConf {
     * shipped at 5M. The r10 task-time instrumentation then found a
     * serialized control-build stage inflating BOTH arms of that sweep
     * (fixed in `searchDistributed`); re-measured post-fix at the same
-    * configs, the cogroup wins 2.5M (1.49× fused) and the 20M point
-    * reads cogroup-ahead-to-parity across two runs (fused 1.29× / 1.02×
-    * — 20M sits close to the true crossover), while the fused arm
+    * configs, the cogroup wins 2.5M (1.49× fused), while the fused arm
     * clearly wins the 40M point (2.60 vs 3.56 ms/q, 45% fewer shuffle
     * bytes) — `tools/evidence/r10_scale_ab_{2m5,20m100k,20m_named,
-    * 40m100k}.log`. Default = the geometric mean of the 20M/40M
-    * points. On a network-bound cluster the fused arm's 45–78%
-    * shuffle-byte reduction argues for LOWERING this; local wall-clock
-    * argues for nothing below ~28M. */
+    * 40m100k}.log`. The 20M point is PARITY: three quiet-host readings
+    * of fused/cogroup wall-clock 1.29× / 1.02× / 0.99× (the third:
+    * `r11_scale_ab_20m_third.log`), geometric mean 1.09× — the
+    * crossover sits at-to-just-above 20M, and near it either route
+    * costs ≤5% of the other while fused saves ~61% of shuffle bytes,
+    * so a point threshold (no hysteresis) is the right shape: the
+    * penalty surface is flat where the decision is uncertain. Default
+    * = the geometric mean of the 20M/40M points. On a network-bound
+    * cluster the fused arm's 45–78% shuffle-byte reduction argues for
+    * LOWERING this; local wall-clock argues for nothing below ~20M. */
   def fusedMinProbedRows: Long =
     longProp("graft.join.minProbedRows", 28000000L)
 }
