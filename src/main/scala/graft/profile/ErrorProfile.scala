@@ -136,6 +136,14 @@ object ErrorProfile {
       * (σ of the last partial bucket divides by bs, as the reference
       * does), then reverse to ascending. */
     def sortAndBatch(nprobe: Int, points: Seq[(Float, Float)], bs: Int = 250): Trace = {
+      // a stage with NO training points (pathological GT — e.g. ground
+      // truth computed under a different distance convention than the
+      // staged scan) must degrade, not crash at first lookup: a
+      // single-bucket trace predicting recall 0 makes the bounded
+      // search distrust this stage and probe deeper — conservative
+      // w.r.t. the error bound, never unsafe
+      if (points.isEmpty)
+        return Trace(nprobe, Array(1f), Array(0f), Array(0f))
       val sorted = points.toArray.sortBy { case (phi, _) => -phi }
       val size = sorted.count { case (p, u) => !(p < 0 && u < 0) }
       val sz = (size + bs - 1) / bs

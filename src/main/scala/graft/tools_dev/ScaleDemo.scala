@@ -60,8 +60,20 @@ object ScaleDemo {
     IVFIndex.write(IVFIndex.assign(baseDF, model), s"$dir/ivf")
     println(f"assign+write partitioned: ${(System.nanoTime() - t) / 1e9}%.1fs")
 
-    // flat baseline reads unpartitioned parquet — same storage medium
-    baseDF.write.mode("overwrite").parquet(s"$dir/flat")
+    // flat baseline reads unpartitioned parquet — same storage medium.
+    // Under ip the ENGINE's convention is angle search on normalized
+    // ingest (IVFIndex.assign rewrites vec normalized), while
+    // FlatSearch "ip" is raw inner product — on unnormalized synthetic
+    // data those rank DIFFERENT neighbors, so the GT table must be the
+    // normalized corpus for the recall columns to measure the engine's
+    // own objective (unit-norm real embeddings make the two coincide).
+    val flatSrc =
+      if (metric == "ip") {
+        val normU = udf { a: Seq[Float] =>
+          graft.functions.Kernels.l2Normalize(a.toArray) }
+        baseDF.withColumn("vec", normU(col("vec")))
+      } else baseDF
+    flatSrc.write.mode("overwrite").parquet(s"$dir/flat")
     val flatTbl = spark.read.parquet(s"$dir/flat")
     val ivf = spark.read.parquet(s"$dir/ivf")
     val queries = baseDF.limit(nq).select(col("id").as("qid"), col("vec"))

@@ -64,6 +64,18 @@ class ErrorProfileSpec extends SparkSpec {
     assert(ErrorProfile.curNum(dists, dB, t, 0, 10, 0f) == 10)
   }
 
+  test("empty point set degrades to a predict-zero trace, not a crash") {
+    // pathological GT (e.g. wrong distance convention) can leave a
+    // stage with zero (phi, U) points — the trace must predict recall
+    // 0 at every lookup (forcing deeper probing, bound-safe), never
+    // throw or return NaN
+    val t = ErrorProfile.Trace.sortAndBatch(4, Seq.empty)
+    for (phi <- Seq(0f, 0.5f, 1f, 100f); m <- Seq(0f, 1.5f)) {
+      val u = t.search(phi, m)
+      assert(u == 0f, s"phi=$phi stdM=$m -> $u")
+    }
+  }
+
   test("boundaryDistances mirrors set_online layout") {
     val nlist = 16
     val cd = Array.tabulate(nlist)(i => (i + 1).toFloat)
