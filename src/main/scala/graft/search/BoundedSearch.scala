@@ -147,15 +147,26 @@ object BoundedSearch {
     val bDBs = spark.sparkContext.broadcast(
       qVecs.indices.map(i => (qVecs(i)._1, dBs(i))).toMap)
 
-    // eager covers nlist ≤ 128 (levels ≤ 4): the one-pass scan reads at
-    // most the reference's own nlist/8 hard-cap lists per query — over-
-    // probing vs adaptive stop is bounded by that cap, and one job
-    // beats ~2·levels round-trips for driver-collectable batches (the
-    // reference's overhead experiment is the yardstick here)
-    if (levels <= 4 && nq <= EagerMaxQueries && !forceLazy)
-      return searchEagerStaged(ivfData, model, qVecs,
-        ranks, new Decider(nq, k, model.metric, traces, dBs,
-          qVecs.map(_._3), multiplier, stdM, levels), k)
+    // driver-collectable batches decide DRIVER-side (shared Decider,
+    // bit-identical to the lazy path's executor-side decisions):
+    //  - levels ≤ 4 (nlist ≤ 128): eager one-pass scan of all staged
+    //    lists (≤ nlist/8 per query) — over-probing vs adaptive stop is
+    //    bounded by that cap, and one job beats per-round round-trips
+    //  - deeper schedules: adaptive per-round scans like the lazy path,
+    //    but ONE action per round (scan + top-k merge, collected) and
+    //    no per-round ctrl caching/joins — the lazy loop's ~3 actions +
+    //    cache churn per round were the measured job floor on the
+    //    figure-10 compare twin (r11_compare_10m.log: 7-round schedules
+    //    at 10-200-query batches paid more scheduling than scanning)
+    if (nq <= EagerMaxQueries && !forceLazy) {
+      val decider = new Decider(nq, k, model.metric, traces, dBs,
+        qVecs.map(_._3), multiplier, stdM, levels)
+      return if (levels <= 4)
+        searchEagerStaged(ivfData, model, qVecs, ranks, decider, k)
+      else
+        searchStagedDriver(ivfData, model, qVecs, ranks, decider, k,
+          shallowDepth)
+    }
 
     var state: DataFrame = spark.emptyDataset[(Long, Long, Double)]
       .toDF("qid", "id", "dist")
@@ -835,6 +846,87 @@ object BoundedSearch {
     val stats = (0 until nq).map { qi2 =>
       QueryStats(qVecs(qi2)._1, math.min(decider.myNprobe(qi2), nlist),
         decider.predicted(qi2), decider.decidedStage(qi2))
+    }
+    Result(FlatSearch.mergeTopK(state, k), stats)
+  }
+
+  /** Deep-schedule driver-decided rounds (levels > 4, nq ≤
+    * [[EagerMaxQueries]]): the adaptive probing schedule of the lazy
+    * path — round j scans centroid ranks (2^(j−1), 2^j] for still-
+    * active queries only — but the per-query decision state lives in
+    * the shared [[Decider]]'s O(nq) driver arrays instead of a cached
+    * control Dataset. Each round is exactly ONE Spark action: the
+    * probed-list partial scan merged to per-query round top-k
+    * (bounded collect of ≤ active × k rows); the cumulative top-k
+    * merge, recall prediction, and [[decideStep]] transition run on
+    * the driver. Decisions are bit-identical to the lazy path by
+    * construction: same rankings, same boundary windows, same
+    * [[predictedRecall]] on the same cumulative sorted distances, same
+    * transition — pinned by BoundedSearchSpec's deep-schedule
+    * equivalence test. The lazy path remains the production route for
+    * batches past the driver contract (4096 < nq ≤ 131072). */
+  private def searchStagedDriver(ivfData: DataFrame, model: IVFModel,
+      qVecs: Array[(Long, Array[Float], Float)],
+      ranks: Array[Array[(Int, Float)]], decider: Decider, k: Int,
+      shallowDepth: Int): Result = {
+    val spark = ivfData.sparkSession
+    import spark.implicits._
+    val nq = qVecs.length
+    val nlist = model.nlist
+    val levels = decider.nLevels
+    val qv = qVecs.map(v => (v._1, v._2))
+    val qidToIdx: Map[Long, Int] = qv.map(_._1).zipWithIndex.toMap
+    // cumulative decision-time top-k per query; stops growing once the
+    // query leaves the active set — exactly the rows the lazy path's
+    // state DataFrame would hold for it
+    val cum = Array.fill(nq)(Array.empty[(Double, Long)])
+    var j = 0
+    var allDecided = false
+    while (j < levels && !allDecided) {
+      val lo = if (j == 0) 0 else 1 << (j - 1)
+      val hi = 1 << j
+      val active = (0 until nq).filter(decider.myNprobe(_) == 0)
+      if (active.isEmpty) allDecided = true
+      else {
+        val probeMap: Map[Int, Array[Int]] = active.flatMap { qi =>
+          ranks(qi).slice(lo, hi).map { case (l, _) => (l, qi) }
+        }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }
+        // merge partials to per-query top-k INSIDE the job so the
+        // collect is ≤ active × k rows whatever the round's fan-out
+        val roundTopK = FlatSearch.mergeTopK(
+          scanLists(ivfData, model.metric, probeMap, qv, k), k)
+          .select(col("qid").cast("long"), col("id").cast("long"),
+            col("dist"))
+          .as[(Long, Long, Double)].collect()
+        val byQi = roundTopK.groupBy(r => qidToIdx(r._1))
+        active.foreach { qi =>
+          byQi.get(qi).foreach { rows =>
+            val add = rows.map(r => (r._3, r._2))
+            cum(qi) = (cum(qi) ++ add)
+              .sortBy { case (d, id) => (d, id) }.take(k)
+          }
+          // like the lazy path, only queries with at least one scanned
+          // row ever reach the decision transition
+          if (cum(qi).nonEmpty) decider.evaluate(qi, j, cum(qi).map(_._1))
+        }
+      }
+      j += 1
+    }
+
+    var state = (0 until nq).flatMap { qi =>
+      cum(qi).map { case (d, id) => (qv(qi)._1, id, d) }
+    }.toDF("qid", "id", "dist")
+
+    // finishing pass: decisionStage → stage × multiplier, shared with
+    // the other driver-decided path
+    val extraMap = finishingProbeMap(spark, model, qv, ranks, shallowDepth,
+      qi => (decider.decidedStage(qi), math.min(decider.myNprobe(qi), nlist)))
+    if (extraMap.nonEmpty)
+      state = state.unionByName(scanLists(ivfData, model.metric, extraMap,
+        qv, k))
+    val stats = (0 until nq).map { qi =>
+      QueryStats(qv(qi)._1, math.min(decider.myNprobe(qi), nlist),
+        decider.predicted(qi), decider.decidedStage(qi))
     }
     Result(FlatSearch.mergeTopK(state, k), stats)
   }

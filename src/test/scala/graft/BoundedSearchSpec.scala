@@ -229,6 +229,39 @@ class BoundedSearchSpec extends SparkSpec {
     assert(eager.stats == lazyR.stats)
   }
 
+  test("deep-schedule driver-decided path is bit-identical to the lazy rounds path") {
+    import spark.implicits._
+    // nlist=256 → levels 6 → the searchStagedDriver route (one action
+    // per round, driver-side decisions); forceLazy reruns the cached-
+    // ctrl per-round controller on the identical inputs. Both must
+    // agree on rows AND stats for every query — the decisions share
+    // rankings, boundary windows, predictedRecall, and decideStep by
+    // construction, and this pins the plumbing around them.
+    val b = clusteredVecs(5120, d, nClusters = 48, seed = 91)
+    val bDF = vecDF(b)
+    val m256 = IVFIndex.train(bDF, nlist = 256, seed = 42L)
+    val a256 = IVFIndex.assign(bDF, m256).cache()
+    val tq = vecDF(clusteredVecs(5270, d, nClusters = 48, seed = 91).drop(5120), "qid")
+    val gt = FlatSearch.knn(bDF, tq, k)
+    val tr = ProfileTrainer.train(a256, m256, tq, gt, maxTopk = k, bs = 50)
+    assert(tr.length > 4, "config must exercise the deep (levels > 4) route")
+    val qdf = clusteredVecs(5310, d, nClusters = 48, seed = 91).drop(5270)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v, 0.8f) }
+      .toSeq.toDF("qid", "vec", "required_recall")
+    def run(forceLazy: Boolean) = {
+      val r = BoundedSearch.search(a256, m256, tr, qdf, k,
+        multiplier = 4.0f, stdM = 1.0f, forceLazy = forceLazy)
+      (r.results.select(col("qid"), col("rank"), col("id"), col("dist"))
+        .as[(Long, Int, Long, Double)].collect().sortBy(x => (x._1, x._2)),
+        r.stats.sortBy(_.qid))
+    }
+    val (hRows, hStats) = run(forceLazy = false)
+    val (lRows, lStats) = run(forceLazy = true)
+    assert(hRows.sameElements(lRows),
+      "driver-decided rows differ from lazy rows")
+    assert(hStats == lStats, "driver-decided stats differ from lazy stats")
+  }
+
   test("fully-distributed (cogroup) path is bit-identical to lazy and eager") {
     import spark.implicits._
     val b = clusteredVecs(2000, d, nClusters = 24, seed = 55)
