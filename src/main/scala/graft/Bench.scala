@@ -90,9 +90,14 @@ object Bench {
     * ANCHORED to that header — prose added above it can't shadow a
     * pin — and within the block first occurrence wins. */
   private[graft] def parsePins(text: String): Map[String, Double] = {
-    val anchored = text.indexOf("Per-query reference") match {
-      case -1 => text // no header: fall back to whole-document scan
-      case i  => text.substring(i)
+    // line-START header match: a prose mention of the phrase mid-line
+    // ("see the Per-query reference table below; q01 9.99 was …") must
+    // not become the anchor, or it would re-introduce the shadowing
+    // this anchor exists to prevent
+    val anchored = """(?m)^Per-query reference""".r
+      .findFirstMatchIn(text) match {
+      case None    => text // no header: fall back to whole-document scan
+      case Some(m) => text.substring(m.start)
     }
     val re = """\b(mm\d{2}|[adqstv]\d{2}) (\d+(?:\.\d+)?)""".r
     re.findAllMatchIn(anchored).foldLeft(Map.empty[String, Double]) { (m, x) =>

@@ -295,8 +295,15 @@ object Eval {
         // train recall holds the bound — early-stopped, recall is
         // monotone in nprobe
         val tA = now()
+        // the sweep scores against the SAME exact GT already computed
+        // for profile training — reuse it instead of paying a second
+        // full-corpus exact k-NN scan (the mode's costliest job at 10M)
+        val trainExact: Map[Long, Set[Long]] = gt
+          .select(col("qid").cast("long"), col("id").cast("long"))
+          .as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
         val points = AutoTune.sweep(assigned, model, df(trainQ, "qid"), kk,
-          stopAtMinRecall = Some(req))
+          stopAtMinRecall = Some(req), precomputedExact = Some(trainExact))
         val op = AutoTune.select(points, req)
         println(f"fixed-nprobe sweep: nprobe=${op.nprobe} " +
           f"(train minRecall ${op.minRecall}%.3f, ${points.size} points, " +

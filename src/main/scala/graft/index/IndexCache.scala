@@ -162,7 +162,15 @@ object IndexCache {
     * every call, but corpus size is LAYOUT metadata — pay the count job
     * once per distinct table per session, not per search (VERDICT r10
     * note 1). A hash collision only re-counts (sameResult re-check), it
-    * can never return a wrong value. */
+    * can never return a wrong value.
+    *
+    * Contract: counts are LAYOUT metadata, like every artifact in this
+    * cache — rewriting the data under the same path in a live session
+    * (re-ingest, delete-and-overwrite) requires [[clear]]`()`, exactly
+    * as it would for the cached model/assignment entries above. A stale
+    * count can only misroute the fused/cogroup arm choice (both arms
+    * are result-identical); it can never change results. The map holds
+    * one entry per distinct corpus table (a handful per session). */
   def rowCount(df: DataFrame): Long = {
     val plan = df.queryExecution.analyzed
     val h = Integer.valueOf(plan.semanticHash())

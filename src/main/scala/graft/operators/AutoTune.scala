@@ -27,11 +27,17 @@ object AutoTune {
     *   MONOTONE in nprobe (a larger probe set's top-k comes from a
     *   superset of candidates), so that point is also the cheapest
     *   passing one — large-corpus sweeps skip the expensive deep points
-    *   they'd never select. */
+    *   they'd never select.
+    * @param precomputedExact exact id sets already in hand (e.g. a GT
+    *   table computed for profile training) — passing them skips the
+    *   sweep's own full-corpus exact k-NN scan, the most expensive job
+    *   here at 10M+ */
   def sweep(ivfData: DataFrame, model: IVFModel, queries: DataFrame,
-            k: Int, stopAtMinRecall: Option[Double] = None): Seq[OperatingPoint] = {
+            k: Int, stopAtMinRecall: Option[Double] = None,
+            precomputedExact: Option[Map[Long, Set[Long]]] = None): Seq[OperatingPoint] = {
     import ivfData.sparkSession.implicits._
-    val exact = exactIdSets(ivfData.select(col("id"), col("vec")), queries, k)
+    val exact = precomputedExact.getOrElse(
+      exactIdSets(ivfData.select(col("id"), col("vec")), queries, k))
     val points = Iterator.iterate(1)(_ * 2).takeWhile(_ < model.nlist).toSeq :+ model.nlist
     val out = Vector.newBuilder[OperatingPoint]
     var done = false

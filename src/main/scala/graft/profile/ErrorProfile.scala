@@ -138,12 +138,14 @@ object ErrorProfile {
     def sortAndBatch(nprobe: Int, points: Seq[(Float, Float)], bs: Int = 250): Trace = {
       // a stage with NO training points (pathological GT — e.g. ground
       // truth computed under a different distance convention than the
-      // staged scan) must degrade, not crash at first lookup: a
-      // single-bucket trace predicting recall 0 makes the bounded
-      // search distrust this stage and probe deeper — conservative
-      // w.r.t. the error bound, never unsafe
+      // staged scan) must degrade, not crash at first lookup. U is a
+      // multiplicative RANK-INFLATION factor (curNum treats current
+      // rank r as true rank ~r·U — SMALL U means high confidence), so
+      // the conservative degenerate value is a huge U: curNum then
+      // predicts 0 hits, the bounded search distrusts this stage and
+      // probes deeper — never unsafe w.r.t. the error bound
       if (points.isEmpty)
-        return Trace(nprobe, Array(1f), Array(0f), Array(0f))
+        return Trace(nprobe, Array(1f), Array(Float.MaxValue), Array(0f))
       val sorted = points.toArray.sortBy { case (phi, _) => -phi }
       val size = sorted.count { case (p, u) => !(p < 0 && u < 0) }
       val sz = (size + bs - 1) / bs

@@ -67,16 +67,23 @@ object ScaleDemo {
     // data those rank DIFFERENT neighbors, so the GT table must be the
     // normalized corpus for the recall columns to measure the engine's
     // own objective (unit-norm real embeddings make the two coincide).
-    val flatSrc =
+    // ... and the QUERY side of every GT scan must be normalized too:
+    // FlatSearch does not normalize queries, so a raw |q|~8 query
+    // against the normalized corpus scales every GT distance by |q| —
+    // the ID sets stay correct (positive per-query scaling) but all
+    // distance-threshold math (kscaling point generation, calibration
+    // thresholdRecall) silently mismatches the engine's -cos scale.
+    // Normalization is idempotent, so the engine paths are unaffected.
+    val qBase =
       if (metric == "ip") {
         val normU = udf { a: Seq[Float] =>
           graft.functions.Kernels.l2Normalize(a.toArray) }
-        baseDF.withColumn("vec", normU(col("vec")))
+        baseDF.withColumn("vec", normU(col("vec"))).cache()
       } else baseDF
-    flatSrc.write.mode("overwrite").parquet(s"$dir/flat")
+    qBase.write.mode("overwrite").parquet(s"$dir/flat")
     val flatTbl = spark.read.parquet(s"$dir/flat")
     val ivf = spark.read.parquet(s"$dir/ivf")
-    val queries = baseDF.limit(nq).select(col("id").as("qid"), col("vec"))
+    val queries = qBase.limit(nq).select(col("id").as("qid"), col("vec"))
 
     t = System.nanoTime()
     val flat = FlatSearch.knn(flatTbl, queries, k, metric)
@@ -102,7 +109,7 @@ object ScaleDemo {
     // partitioned table (profile trained on 200 held-out queries)
     import graft.profile.ProfileTrainer
     import graft.search.BoundedSearch
-    val trainQ = baseDF.orderBy(col("id").desc).limit(200)
+    val trainQ = qBase.orderBy(col("id").desc).limit(200)
       .select(col("id").as("qid"), col("vec"))
     t = System.nanoTime()
     val gt = FlatSearch.knn(flatTbl, trainQ, k, metric)
@@ -122,9 +129,11 @@ object ScaleDemo {
         // residue class 3 mod 1009, EXCLUDING the evalQ prefix
         // (ids < nq — id=3 is in it) and bigQ's 0-mod-997 class, so
         // the fitted pair is never evaluated on a query it saw.
-        val holdQ = baseDF
-          .filter(col("id") >= nq && col("id") % 1009 === 3 &&
-            col("id") % 997 =!= 0)
+        // also below n-200: trainQ is the TOP-200 ids, and the scaladoc
+        // 'disjoint from trainQ' claim must hold at every n
+        val holdQ = qBase
+          .filter(col("id") >= nq && col("id") < n - 200 &&
+            col("id") % 1009 === 3 && col("id") % 997 =!= 0)
           .limit(200)
           .select(col("id").as("qid"), col("vec"))
         t = System.nanoTime()
@@ -158,7 +167,7 @@ object ScaleDemo {
 
     // throughput: a real batch (1000 queries) amortizes the fixed
     // staged-rounds job overhead — report per-query amortized latency
-    val bigQ = baseDF.filter(col("id") % 997 === 0).limit(1000)
+    val bigQ = qBase.filter(col("id") % 997 === 0).limit(1000)
       .select(col("id").as("qid"), col("vec"))
       .withColumn("required_recall", lit(0.9f))
     val nBig = bigQ.count()
@@ -256,7 +265,7 @@ object ScaleDemo {
     // (e.g. 1000000 exercises the cogroup path).
     if (n >= 1000000 && sys.env.get("SCALE_ONLY").forall(s => s == "bounded")) {
       val nHuge = if (args.length > 2) args(2).toInt else 100000
-      val hugeQ = baseDF.filter(col("id") % (n / nHuge) === 0).limit(nHuge)
+      val hugeQ = qBase.filter(col("id") % (n / nHuge) === 0).limit(nHuge)
         .select(col("id").as("qid"), col("vec"))
         .withColumn("required_recall", lit(0.9f))
       val nH = hugeQ.count()
@@ -310,7 +319,7 @@ object ScaleDemo {
     // asserted. SCALE_ONLY=bucket runs just this section.
     if (n >= 1000000 && sys.env.get("SCALE_ONLY").forall(_ == "bucket")) {
       val nAB = if (args.length > 2) args(2).toInt else 200000
-      val abQ = baseDF.filter(col("id") % (n / nAB) === 0).limit(nAB)
+      val abQ = qBase.filter(col("id") % (n / nAB) === 0).limit(nAB)
         .select(col("id").as("qid"), col("vec"))
         .withColumn("required_recall", lit(0.9f)).cache()
       val nQ = abQ.count()

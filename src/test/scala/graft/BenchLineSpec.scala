@@ -54,6 +54,14 @@ class BenchLineSpec extends AnyFunSuite {
         |q01 0.50, q02 1.00
         |""".stripMargin)
     assert(shadowed == Map("q01" -> 0.50, "q02" -> 1.00))
+    // ... and a MID-LINE prose mention of the header phrase above the
+    // real header must not become the anchor either (line-start match)
+    val midline = Bench.parsePins(
+      """see the Per-query reference table below; q01 9.99 was contended.
+        |Per-query reference (sec, warm):
+        |q01 0.50, q02 1.00
+        |""".stripMargin)
+    assert(midline == Map("q01" -> 0.50, "q02" -> 1.00))
     val results = Seq("q01_a" -> 0.25, "q02_b" -> 3.0, "q03_c" -> 2.0,
       "s03_d" -> 1.7)
     val line = Bench.renderWorstLine(results, pins)

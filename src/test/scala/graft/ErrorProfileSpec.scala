@@ -64,16 +64,25 @@ class ErrorProfileSpec extends SparkSpec {
     assert(ErrorProfile.curNum(dists, dB, t, 0, 10, 0f) == 10)
   }
 
-  test("empty point set degrades to a predict-zero trace, not a crash") {
+  test("empty point set degrades to a predict-ZERO-RECALL trace, not a crash") {
     // pathological GT (e.g. wrong distance convention) can leave a
-    // stage with zero (phi, U) points — the trace must predict recall
-    // 0 at every lookup (forcing deeper probing, bound-safe), never
-    // throw or return NaN
+    // stage with zero (phi, U) points. U is a rank-INFLATION factor
+    // (small = confident), so the degenerate trace must return a HUGE
+    // U — curNum then predicts 0 hits at every lookup (forcing deeper
+    // probing, bound-safe) — and must never throw or return NaN.
+    // (The first version of this guard returned U=0, which curNum's
+    // fast path reads as FULL recall — the exact opposite.)
     val t = ErrorProfile.Trace.sortAndBatch(4, Seq.empty)
     for (phi <- Seq(0f, 0.5f, 1f, 100f); m <- Seq(0f, 1.5f)) {
       val u = t.search(phi, m)
-      assert(u == 0f, s"phi=$phi stdM=$m -> $u")
+      assert(u >= Float.MaxValue && !u.isNaN, s"phi=$phi stdM=$m -> $u")
     }
+    // end-to-end: k sorted distances + any boundary window → 0 hits
+    val dists = Array.tabulate(10)(i => 0.1f * (i + 1))
+    val dB = Array.fill(30)(0.5f)
+    assert(ErrorProfile.curNum(dists, dB, t, 2, 10, 1.5f) == 0)
+    assert(graft.search.BoundedSearch.predictedRecall(
+      dists.map(_.toDouble), dB, t, 2, 10, 1.5f, "l2") == 0f)
   }
 
   test("boundaryDistances mirrors set_online layout") {
