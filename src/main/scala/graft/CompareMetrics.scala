@@ -49,11 +49,16 @@ object CompareMetrics {
   /** Worst-case acceptance recall (`eval/bound.cpp:400-414`): fraction
     * of a query's returned distances within the exact k-th distance
     * (small tolerance for float noise, direction-aware so it stays a
-    * RELAXATION for the negated-IP convention too). */
+    * RELAXATION for the negated-IP convention too). The multiplicative
+    * term alone collapses to zero tolerance at kd = 0 (duplicate /
+    * identical vectors); the reference's inter_sec (bound.cpp:117-126)
+    * uses an additive ±1e-6 that still relaxes there, so the additive
+    * floor is kept alongside the relative term. */
   def thresholdRecall(got: Map[Long, Array[Double]],
                       kth: Map[Long, Double], k: Int): Map[Long, Double] =
     kth.map { case (qid, kd) =>
-      val tol = if (kd >= 0) kd * 1.0005 else kd * 0.9995
+      val rel = if (kd >= 0) kd * 1.0005 else kd * 0.9995
+      val tol = math.max(rel, kd + 1e-6)
       qid -> got.getOrElse(qid, Array.empty).count(_ <= tol).toDouble / k
     }
 }

@@ -62,7 +62,11 @@ import graft.search.{BoundedSearch, FlatSearch, IVFSearch}
   */
 object Eval {
   val D = 32; val K = 20; val NLIST = 64
-  val NB = 20000; val NTRAIN = 300; val NEVAL = 200
+  val NB = 20000; val NTRAIN = 300
+  // GRAFT_NEVAL grows the eval set for tail studies (the compare mode's
+  // scan-work distribution wants thousands of queries for a stable p99;
+  // the micro-batch latency table stays capped at 200 regardless)
+  val NEVAL: Int = sys.env.get("GRAFT_NEVAL").map(_.toInt).getOrElse(200)
   val MULT = 8.0f; val STDM = 1.5f
 
   def main(args: Array[String]): Unit = {
@@ -354,7 +358,10 @@ object Eval {
           (collectDists(IVFSearch.search(assigned, model, qdfOf(b), kk,
             op.nprobe)), b.map(_._1 -> op.nprobe).toMap)
 
-        val batches: Seq[Batch] = evalQ.zipWithIndex
+        // micro-batch table stays at ≤200 queries (its per-batch cost is
+        // job-floor dominated); the amortized/scan-work table below uses
+        // the FULL eval set, which GRAFT_NEVAL can grow for tail studies
+        val batches: Seq[Batch] = evalQ.zipWithIndex.take(200)
           .map { case (v, i) => (i.toLong, v) }.grouped(10)
           .map(_.toSeq).toSeq
         val engines: Seq[(String, Batch => Run)] = Seq(
@@ -376,13 +383,23 @@ object Eval {
         }
 
         val baseLat = measured.head._2
-        println("engine    mean_ms/q  p99/mean  slow_vs_bounded  " +
-          "total_probes  mean_np  frac_nlist  worst_recall  bound")
-        measured.foreach { case (name, lat, got, nps) =>
-          val worst = CompareMetrics.thresholdRecall(got, kthMap, kk)
+        // only the micro-batched qids (≤200 of a possibly larger
+        // GRAFT_NEVAL set) are in this table — the recall/budget math
+        // must not treat unmeasured queries as 0-recall rows
+        val mQids = batches.flatMap(_.map(_._1))
+        val mQidSet = mQids.toSet
+        val kthMicro = kthMap.filter { case (q, _) => mQidSet(q) }
+        // (name, lat, total probes, mean nprobe, frac of nlist, worst recall)
+        val summary = measured.map { case (name, lat, got, nps) =>
+          val worst = CompareMetrics.thresholdRecall(got, kthMicro, kk)
             .values.min
           val (tot, meanNp, frac) = CompareMetrics.probeBudget(
-            evalQ.indices.map(i => nps(i.toLong)), model.nlist)
+            mQids.map(nps), model.nlist)
+          (name, lat, tot, meanNp, frac, worst)
+        }
+        println("engine    mean_ms/q  p99/mean  slow_vs_bounded  " +
+          "total_probes  mean_np  frac_nlist  worst_recall  bound")
+        summary.foreach { case (name, lat, tot, meanNp, frac, worst) =>
           println(f"$name%-9s ${CompareMetrics.meanMs(lat)}%9.2f  " +
             f"${CompareMetrics.tailRatio(lat)}%8.2f  " +
             f"${CompareMetrics.slowdownVs(baseLat, lat)}%15.2f  " +
@@ -394,28 +411,81 @@ object Eval {
         }
         // the micro-batch table above carries the figure's latency
         // SHAPE but also Spark's per-job floor (a staged-round engine
-        // pays levels × job overhead per 10-query batch); one full-batch
-        // pass per engine shows the amortized throughput the floor hides
+        // pays levels × job overhead per 10-query batch; its p99/mean
+        // column reflects SCHEDULING variance, not the engines'
+        // termination behavior — r11 read 2.04 and 1.22 for the same
+        // fixed engine across two runs). The per-query axis the
+        // reference's figure actually varies (`figure10-1.py:36-82`) is
+        // each query's SCAN WORK — how many rows its termination
+        // decision probes. At a full (amortizing) batch the wall-clock
+        // is throughput-accurate and each query's probed-row count is
+        // exact, so the tail (p99/mean) and per-query slowdown columns
+        // below are computed on the per-query probed-row distribution —
+        // scan-work dispersion, not scheduler noise. (LAET's rows are
+        // its predicted budget, the reference's continue-from-checkpoint
+        // semantics — the ≤3 checkpoint lists are not double-billed.)
+        val listSizes: Map[Int, Long] = assigned.groupBy("list_no").count()
+          .as[(Int, Long)].collect().toMap
+        def scanRows(v: Array[Float], np: Int): Long =
+          model.rankCentroids(v).take(np)
+            .map { case (l, _) => listSizes.getOrElse(l, 0L) }.sum
         val fullBatch: Batch = evalQ.zipWithIndex
           .map { case (v, i) => (i.toLong, v) }.toSeq
-        println(s"full-batch throughput (${fullBatch.size} queries, one batch):")
-        engines.foreach { case (name, f) =>
-          val t = now(); f(fullBatch)
-          println(f"  $name%-9s ${(now() - t) * 1000 / fullBatch.size}%8.2f ms/q amortized")
+        println(s"full batch (${fullBatch.size} queries, one batch) — " +
+          "per-query scan-work distribution:")
+        println("engine    amortized_ms/q  rows_mean  rows_p99/mean  " +
+          "slow_vs_bounded(work)  worst_recall")
+        val fullRuns = engines.map { case (name, f) =>
+          val t = now()
+          val (got, nps) = f(fullBatch)
+          val sec = now() - t
+          val rows = fullBatch.map { case (qid, v) =>
+            scanRows(v, nps(qid)).toDouble }
+          (name, sec, rows, got)
+        }
+        val baseRows = fullRuns.head._3
+        fullRuns.foreach { case (name, sec, rows, got) =>
+          val worst = CompareMetrics.thresholdRecall(got, kthMap, kk)
+            .values.min
+          println(f"$name%-9s ${sec * 1000 / fullBatch.size}%14.2f  " +
+            f"${rows.sum / rows.size}%9.0f  " +
+            f"${CompareMetrics.tailRatio(rows)}%13.2f  " +
+            f"${CompareMetrics.slowdownVs(baseRows, rows)}%21.2f  " +
+            f"$worst%12.3f")
         }
         println(f"anchor (run.sh:5 sift10M k=100 err=10): LAET budget " +
-          f"7530 units = mean 75.3 lists/q on IVF1024 = frac 0.0735; " +
-          f"the paper's claim: only the profile-bounded engine HOLDS " +
-          f"the worst-case bound, at a budget below the learned " +
-          f"baseline's")
+          f"7530 units = mean 75.3 lists/q on IVF1024 = frac 0.0735")
+        // closing verdict DERIVED from the measured table — a static
+        // restatement of the paper's claim here misread as this run's
+        // result whenever the run differed (r11: fixed also printed
+        // HELD, and bounded's budget exceeded LAET's broken one)
+        val held = summary.collect { case (n, _, _, _, _, w) if w >= req => n }
+        val broke = summary.collect { case (n, _, _, _, _, w) if w < req => n }
+        val budgets = summary.map(s => f"${s._1}=${s._3}%d").mkString(", ")
+        val boundedTot = summary.find(_._1 == "bounded").map(_._3)
+        val cheapestHolder = summary.filter(s => held.contains(s._1))
+          .sortBy(_._3).headOption.map(_._1)
+        val budgetNote = (cheapestHolder, boundedTot) match {
+          case (Some("bounded"), _) =>
+            "; bounded is the cheapest bound-holding engine"
+          case (Some(other), Some(bt)) =>
+            s"; NOTE: $other held the bound at a lower budget than bounded ($bt)"
+          case _ => "; NOTE: no engine held the bound"
+        }
+        println(s"this run: bound HELD by [${held.mkString(", ")}]" +
+          (if (broke.nonEmpty) s", BROKEN by [${broke.mkString(", ")}]" else "") +
+          s"; probe budgets (units): $budgets" + budgetNote)
 
       case "dist" =>
         // Workers execute sequentially here, each getting the whole
         // local[16] machine — the per-worker parallelism a real worker
         // node would have; batch latency is the straggler worker plus
-        // the top-k merge. Calibration off = raw profile prediction
-        // (multiplier 1, no σ-margin), the figure's faster-but-weaker
-        // cal_no line.
+        // the top-k merge. Calibration ON = each worker's (multiplier,
+        // stdM) FITTED on its own shard by CalibrationFit against a
+        // shard-local holdout GT — the production flow, per worker,
+        // exactly how a real deployment would calibrate (the figure's
+        // cal line). Calibration off = raw profile prediction
+        // (multiplier 1, no σ-margin), the faster-but-weaker cal_no line.
         // At test scale the straggler term is staged-round JOB COUNT
         // (rounds × ~100 ms scheduling), which does not shrink with W —
         // the 1/W scan term only dominates once shards reach ~10^7 rows
@@ -427,6 +497,10 @@ object Eval {
           .map { case (v, i) => (i.toLong, v, (1 - eps).toFloat) }
           .toSeq.toDF("qid", "vec", "required_recall").cache()
         qdf.count()
+        // holdout for per-shard calibration: fresh draws, disjoint from
+        // trainQ/evalQ by stream construction
+        val holdQ = mk(200)
+        val holdDF = df(holdQ, "qid")
         println("workers  cal  avg_ms/q  straggler_s  merge_s  worst_recall  mean_nprobe/worker")
         var warmed = false
         Seq(2, 4, 8).foreach { w =>
@@ -436,16 +510,28 @@ object Eval {
             val asg = IVFIndex.assign(sh, m).cache(); asg.count()
             val sgt = FlatSearch.knn(sh, df(trainQ, "qid"), K)
             val tr = ProfileTrainer.train(asg, m, df(trainQ, "qid"), sgt, K, bs = 100)
-            (asg, m, tr)
+            // per-worker calibration against the shard's own holdout GT
+            // (untimed — calibration is build-time work, like training)
+            val hgt = FlatSearch.knn(sh, holdDF, K)
+            val fit = graft.profile.CalibrationFit.fit(asg, m, tr, holdDF,
+              hgt, K, requiredRecall = (1 - eps).toFloat,
+              multipliers = Seq(2f, 4f, 8f), stdMs = Seq(0.5f, 1f, 2f))
+            (asg, m, tr, fit)
           }
+          println(s"  w=$w fitted pairs: " + shards.zipWithIndex.map {
+            case ((_, _, _, f), r) =>
+              f"w$r=(${f.multiplier}%.1f,${f.stdM}%.1f,min=${f.minRecall}%.3f,met=${f.met})"
+          }.mkString(" "))
           if (!warmed) { // one untimed pass so JIT/codegen warmup
-            val (asg, m, tr) = shards.head // doesn't land on the first row
+            val (asg, m, tr, _) = shards.head // doesn't land on the first row
             BoundedSearch.search(asg, m, tr, qdf, K, MULT, STDM).results.count()
             warmed = true
           }
-          Seq((MULT, STDM, "on "), (1.0f, 0.0f, "off")).foreach {
-            case (mult, stdM, lbl) =>
-              val perWorker = shards.map { case (asg, m, tr) =>
+          Seq((true, "on "), (false, "off")).foreach {
+            case (cal, lbl) =>
+              val perWorker = shards.map { case (asg, m, tr, fit) =>
+                val (mult, stdM) =
+                  if (cal) (fit.multiplier, fit.stdM) else (1.0f, 0.0f)
                 val t = now()
                 val r = BoundedSearch.search(asg, m, tr, qdf, K, mult, stdM)
                 r.results.cache().count()

@@ -18,9 +18,13 @@ object IndexCache {
     * JVMs (the reference's eval likewise writes the index + profile
     * once and reloads per phase, `Auncel/eval/bound.cpp:265-268`), so
     * a fresh session pays model LOAD, not k-means/profile training.
-    * Override with GRAFT_MODEL_DIR; delete the directory to retrain. */
+    * Override with GRAFT_MODEL_DIR (or the graft.model.dir system
+    * property, which wins — specs isolate a temp dir through it);
+    * delete the directory to retrain. */
   private def diskRoot: String =
-    sys.env.getOrElse("GRAFT_MODEL_DIR", "/tmp/graft_models")
+    sys.props.get("graft.model.dir")
+      .orElse(sys.env.get("GRAFT_MODEL_DIR"))
+      .getOrElse("/tmp/graft_models")
 
   /** Sanitizing alone can collide ('a|b' vs 'a_b'); the raw-key hash
     * suffix keeps distinct cache keys on distinct disk directories. */
@@ -40,15 +44,16 @@ object IndexCache {
       val data = df
       val spark = data.sparkSession
       val path = diskPath(s"$key|$nlist|$metric|$seed|ivf")
+      val loaded = onDisk(path)
       val model =
-        if (onDisk(path)) IVFIndex.loadModel(path, spark)
+        if (loaded) IVFIndex.loadModel(path, spark)
         else {
           val m = IVFIndex.train(data, nlist, metric, seed)
           IVFIndex.saveModel(m, path, spark)
           m
         }
       val assigned = IVFIndex.assign(data, model).cache()
-      rowCount(assigned) // materializes the cache AND seeds the memo
+      countOrSeed(assigned, path, loaded)
       (model, assigned)
     })
 
@@ -60,17 +65,46 @@ object IndexCache {
       val data = df
       val spark = data.sparkSession
       val path = diskPath(s"$key|imi2x$nbits|$seed|ivf")
+      val loaded = onDisk(path)
       val model =
-        if (onDisk(path)) IVFIndex.loadModel(path, spark)
+        if (loaded) IVFIndex.loadModel(path, spark)
         else {
           val m = IMI.train(data, nbits, seed).toIVFModel
           IVFIndex.saveModel(m, path, spark)
           m
         }
       val assigned = IVFIndex.assign(data, model).cache()
-      rowCount(assigned) // materializes the cache AND seeds the memo
+      countOrSeed(assigned, path, loaded)
       (model, assigned)
     })
+
+  /** The corpus row count is LAYOUT metadata (it sizes the bounded
+    * search's fused/cogroup routing), so it persists beside the model:
+    * a build pays the count job once (it also materializes the cache)
+    * and writes the `corpus_rows` sidecar; a fresh session's reload
+    * reads the sidecar and SEEDS the memo — its first distributed
+    * search runs zero count jobs, and the cache materializes inside
+    * that search's own scan. A pre-sidecar model directory falls back
+    * to the count and upgrades itself. The underscore prefix keeps the
+    * parquet reader from treating the sidecar as a data file (the
+    * `_SUCCESS` convention). */
+  private def countOrSeed(assigned: DataFrame, modelPath: String,
+                          loaded: Boolean): Unit = {
+    val sidecar = new java.io.File(modelPath, "_corpus_rows")
+    val persisted =
+      if (loaded && sidecar.exists())
+        scala.util.Try(
+          java.nio.file.Files.readString(sidecar.toPath).trim.toLong).toOption
+      else None
+    persisted match {
+      case Some(n) => seedRowCount(assigned, n)
+      case None =>
+        val n = rowCount(assigned) // materializes the cache AND seeds the memo
+        scala.util.Try(java.nio.file.Files.writeString(
+          sidecar.toPath, n.toString))
+        ()
+    }
+  }
 
   /** Built-once HNSW adjacency (see [[HNSW.buildGraph]]) — search jobs
     * pay beam search, never graph construction; disk-backed like the
@@ -186,6 +220,23 @@ object IndexCache {
 
   private val rowCounts = new ConcurrentHashMap[
     Integer, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long)]()
+
+  /** Seed [[rowCount]]'s memo from persisted layout metadata (the model
+    * reload path) without running a count job. */
+  private[graft] def seedRowCount(df: DataFrame, n: Long): Unit = {
+    val plan = df.queryExecution.analyzed
+    rowCounts.put(Integer.valueOf(plan.semanticHash()), (plan, n))
+    ()
+  }
+
+  /** Drop one memoized count — the targeted form of [[clear]] for when
+    * the corpus is rewritten under the same path mid-session (re-ingest,
+    * delete-and-overwrite) and only the count must refresh. */
+  def invalidate(df: DataFrame): Unit = {
+    rowCounts.remove(
+      Integer.valueOf(df.queryExecution.analyzed.semanticHash()))
+    ()
+  }
 
   /** Count JOBS actually run by [[rowCount]] — spec hook proving the
     * per-search-call count job is gone (misses don't reset it). */

@@ -106,15 +106,24 @@ object ScaleDemo {
     }
 
     // flagship at scale: error-bounded adaptive search over the
-    // partitioned table (profile trained on 200 held-out queries)
+    // partitioned table. Profile-training coverage SCALES with corpus
+    // size (the reference trains ts=5000 at 10M, `eval/run.sh` +
+    // `IVF_pro.h:54`): 200 queries were enough at 200k, but at 20M the
+    // 16-query eval batch exposed a 0.600-recall tail query the
+    // 200-query profile had never seen (r11_scale_ab_20m_ip.log run 4).
+    // GT + staged capture for 200 queries cost 17.8 s at 20M, so 5000
+    // is ~7 min of setup — build-time work, not per-query cost.
+    // SCALE_TRAINQ overrides for comparability reruns.
     import graft.profile.ProfileTrainer
     import graft.search.BoundedSearch
-    val trainQ = qBase.orderBy(col("id").desc).limit(200)
+    val nTrain = sys.env.get("SCALE_TRAINQ").map(_.toInt)
+      .getOrElse(math.min(5000L, math.max(200L, n.toLong / 4000)).toInt)
+    val trainQ = qBase.orderBy(col("id").desc).limit(nTrain)
       .select(col("id").as("qid"), col("vec"))
     t = System.nanoTime()
     val gt = FlatSearch.knn(flatTbl, trainQ, k, metric)
     val traces = ProfileTrainer.train(ivf, model, trainQ, gt, k)
-    println(f"profile training (200 queries): ${(System.nanoTime() - t) / 1e9}%.1fs")
+    println(f"profile training ($nTrain queries): ${(System.nanoTime() - t) / 1e9}%.1fs")
 
     // per-workload calibration, FITTED on a holdout with exact GT
     // (CalibrationFit — the job VERDICT r9 #3 asked for) instead of the
@@ -129,19 +138,25 @@ object ScaleDemo {
         // residue class 3 mod 1009, EXCLUDING the evalQ prefix
         // (ids < nq — id=3 is in it) and bigQ's 0-mod-997 class, so
         // the fitted pair is never evaluated on a query it saw.
-        // also below n-200: trainQ is the TOP-200 ids, and the scaladoc
-        // 'disjoint from trainQ' claim must hold at every n
+        // also below n-nTrain: trainQ is the TOP-nTrain ids, and the
+        // scaladoc 'disjoint from trainQ' claim must hold at every n.
+        // The holdout scales with the corpus alongside trainQ: a
+        // 200-query holdout can read min recall 1.000 while the fitted
+        // pair still misses a 1-in-16 tail query (the r11 ip reading) —
+        // the min over 1000 samples sees the p≈1% tail a 200-sample
+        // min misses half the time.
+        val nHold = math.min(1000L, math.max(200L, n.toLong / 20000)).toInt
         val holdQ = qBase
-          .filter(col("id") >= nq && col("id") < n - 200 &&
+          .filter(col("id") >= nq && col("id") < n - nTrain &&
             col("id") % 1009 === 3 && col("id") % 997 =!= 0)
-          .limit(200)
+          .limit(nHold)
           .select(col("id").as("qid"), col("vec"))
         t = System.nanoTime()
         val gtH = FlatSearch.knn(flatTbl, holdQ, k, metric)
         val fit = graft.profile.CalibrationFit.fit(ivf, model, traces,
           holdQ, gtH, k, requiredRecall = 0.9f,
           multipliers = Seq(2f, 4f, 8f, 16f), stdMs = Seq(0.5f, 1f, 2f))
-        println(f"calibration fit (200-query holdout): (${fit.multiplier}, " +
+        println(f"calibration fit ($nHold-query holdout): (${fit.multiplier}, " +
           f"${fit.stdM}) min recall ${fit.minRecall}%.3f mean nprobe " +
           f"${fit.meanNprobe}%.1f met=${fit.met}: " +
           f"${(System.nanoTime() - t) / 1e9}%.1fs")

@@ -62,6 +62,15 @@ class BenchLineSpec extends AnyFunSuite {
         |q01 0.50, q02 1.00
         |""".stripMargin)
     assert(midline == Map("q01" -> 0.50, "q02" -> 1.00))
+    // a markdown-heading reformat of the header must keep anchoring
+    // (previously fell back to a whole-document scan → shadowing), and
+    // a prose line that merely BEGINS with the phrase must not anchor
+    val heading = Bench.parsePins(
+      """Per-query reference values from r4 are retired; q01 9.99 there.
+        |## Per-query reference (sec, warm):
+        |q01 0.50, q02 1.00
+        |""".stripMargin)
+    assert(heading == Map("q01" -> 0.50, "q02" -> 1.00))
     val results = Seq("q01_a" -> 0.25, "q02_b" -> 3.0, "q03_c" -> 2.0,
       "s03_d" -> 1.7)
     val line = Bench.renderWorstLine(results, pins)
@@ -76,6 +85,23 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.renderWorstLine(results, Map.empty)
     assert(line.startsWith("""{"worst":{"q02_b":-1.000,"q03_c":5.000"""), line)
     assert(line.contains(""""basis":"sec""""), line)
+  }
+
+  test("all-rows line fits a 77-row inventory in the tail capture") {
+    val pins = (1 to 77).map(i => f"q$i%02d" -> 0.5).toMap
+    val line = Bench.renderAllRowsLine(many, pins)
+    assert(line.length < 1100, s"all-rows line too long: ${line.length}")
+    assert(line.contains("\"q01\":"), line.take(60))
+    assert(line.contains("\"q77\":"))
+    assert(line.contains(""""basis":"ratio_vs_pin""""))
+    assert(line.contains(""""n":77"""))
+    // ratio math: q02 median 0.02 / pin 0.5 = 0.04
+    assert(line.contains("\"q02\":0.040"), line)
+    // without pins: seconds basis, failures as -1
+    val noPins = Bench.renderAllRowsLine(
+      Seq("q01_a" -> 0.25, "q02_b" -> -1.0), Map.empty)
+    assert(noPins.contains("\"q01\":0.250") && noPins.contains("\"q02\":-1.000"))
+    assert(noPins.contains(""""basis":"sec""""))
   }
 
   test("trailer agrees with the head fields") {

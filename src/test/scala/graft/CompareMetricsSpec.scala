@@ -55,5 +55,12 @@ class CompareMetricsSpec extends AnyFunSuite {
     // missing query → recall 0
     val r2 = CompareMetrics.thresholdRecall(Map.empty, Map(9L -> 1.0), 4)
     assert(r2(9L) === 0.0)
+    // kd = 0 (duplicate/identical vectors): the multiplicative term
+    // collapses to zero tolerance, but the additive 1e-6 floor (the
+    // reference's inter_sec convention, bound.cpp:117-126) still
+    // accepts float noise just above 0
+    val r3 = CompareMetrics.thresholdRecall(
+      Map(5L -> Array(0.0, 5e-7, 2e-6, 1.0)), Map(5L -> 0.0), 4)
+    assert(r3(5L) === 0.5) // 0.0 and 5e-7 within 0 + 1e-6; 2e-6 and 1.0 not
   }
 }
