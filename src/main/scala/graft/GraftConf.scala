@@ -35,10 +35,19 @@ object GraftConf {
   private def longProp(key: String, default: => Long): Long =
     sys.props.get(key).map(parsed(key, _, _.toLong)).getOrElse(default)
 
-  /** Above this query-batch size the eager path's driver collect
-    * (≤ nq × nlist/8 × k partial rows) stops being "small"; the lazy
-    * path keeps everything distributed. */
-  def eagerMaxQueries: Int = intProp("graft.eager.maxQueries", 4096)
+  /** Above this query-batch size the driver-batch paths (eager
+    * one-pass, driver-staged rounds) hand off to the lazy path, which
+    * keeps all per-query decision state distributed. The 4096 default
+    * predated `searchStagedDriver` (one action per adaptive round);
+    * the r12 A/B (`tools/evidence/r12_staged_driver_ab.log`: 2M×64d,
+    * nlist=512, both arms bit-identical by construction) measured the
+    * driver arm FASTER at every size below 64k — 1.53× at 2k, 1.26×
+    * at 4k/8k, ~1.1× at 16–32k — and parity from 64k up. 32768 takes
+    * the whole measured win; past it the lazy path's zero-driver-state
+    * is free. Driver state at the cap: nq × shallow-rank depth
+    * (nlist/8+20 pairs) + one active×k collect per round — ~35 MB at
+    * 32k/nlist=512. */
+  def eagerMaxQueries: Int = intProp("graft.eager.maxQueries", 32768)
 
   /** Above this batch size even the lazy path's driver-held structures
     * (query vectors, centroid rankings, per-round broadcast probe maps

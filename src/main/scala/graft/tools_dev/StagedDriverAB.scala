@@ -85,8 +85,11 @@ object StagedDriverAB {
     run(warmQ, lazyArm = false); run(warmQ, lazyArm = true)
     warmQ.unpersist()
 
+    // third arg overrides the nq ladder (comma-separated)
+    val sizes = if (args.length > 2) args(2).split(",").toSeq.map(_.trim.toInt)
+      else Seq(2048, 4096, 8192, 16384)
     println("nq      arm     run1_s  run2_s  best_ms/q  mean_nprobe")
-    for (nq <- Seq(2048, 4096, 8192, 16384)) {
+    for (nq <- sizes) {
       val qdf = baseDF.filter(col("id") % (n / nq) === 0).limit(nq)
         .select(col("id").as("qid"), col("vec"))
         .withColumn("required_recall", lit(0.9f)).cache()

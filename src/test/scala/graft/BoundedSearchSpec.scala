@@ -344,8 +344,14 @@ class BoundedSearchSpec extends SparkSpec {
     val qvecs = clusteredVecs(nq, d, nClusters = 24, seed = 78)
     val qdf = qvecs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0.8f) }
       .toSeq.toDF("qid", "vec", "required_recall")
-    val lazyR = BoundedSearch.search(a32, m32, tr32, qdf, k = 10,
-      multiplier = 4.0f, stdM = 1.0f)
+    // the default cap moved to 32768 (r12 A/B) — pin it below nq here
+    // so this test still proves the nq-over-cap ROUTING takes the lazy
+    // path (not forceLazy, which would bypass the router under test)
+    System.setProperty("graft.eager.maxQueries", "4096")
+    val lazyR =
+      try BoundedSearch.search(a32, m32, tr32, qdf, k = 10,
+        multiplier = 4.0f, stdM = 1.0f)
+      finally System.clearProperty("graft.eager.maxQueries")
     val lazyRows = lazyR.results
       .select(col("qid"), col("rank"), col("id"), col("dist"))
       .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))

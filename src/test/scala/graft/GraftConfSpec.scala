@@ -15,7 +15,10 @@ class GraftConfSpec extends AnyFunSuite {
   }
 
   test("documented defaults") {
-    assert(GraftConf.eagerMaxQueries == 4096)
+    // 32768 from the r12 driver-staged/lazy A/B
+    // (tools/evidence/r12_staged_driver_ab.log): driver arm faster at
+    // every size below 64k, parity above — the cap takes the whole win
+    assert(GraftConf.eagerMaxQueries == 32768)
     assert(GraftConf.distributedMinQueries == 131072)
     assert(GraftConf.cogroupMaxProbes == 8192)
     assert(GraftConf.joinMaxProbesPerBucket == 8 * 8192)
@@ -26,7 +29,7 @@ class GraftConfSpec extends AnyFunSuite {
     withProp("graft.eager.maxQueries", "16") {
       assert(GraftConf.eagerMaxQueries == 16)
     }
-    assert(GraftConf.eagerMaxQueries == 4096)
+    assert(GraftConf.eagerMaxQueries == 32768)
     withProp("graft.join.minProbedRows", "0") {
       assert(GraftConf.fusedMinProbedRows == 0L)
     }
