@@ -144,6 +144,12 @@ object Bench {
     def short(name: String): String = name.takeWhile(_ != '_')
     def pinOf(name: String): Option[Double] =
       pins.get(short(name)).filter(_ > 0)
+    // two result names sharing a short prefix would emit duplicate JSON
+    // keys (later silently shadows earlier in most parsers) and "n"
+    // would overcount the visible rows — fall back to full names then
+    val shorts = results.map(r => short(r._1))
+    val key: String => String =
+      if (shorts.distinct.size == shorts.size) short else identity
     val usable = results.filter(_._2 >= 0)
     val basis =
       if (usable.nonEmpty && usable.forall(r => pinOf(r._1).isDefined))
@@ -154,7 +160,7 @@ object Bench {
         if (v < 0) -1.0
         else if (basis == "ratio_vs_pin") v / pinOf(n).get
         else v
-      "\"" + short(n) + f"\":$x%.3f"
+      "\"" + key(n) + f"\":$x%.3f"
     }.mkString("{", ",", "}")
     s"""{"rows":$rows,"basis":"$basis","n":${results.size}}"""
   }

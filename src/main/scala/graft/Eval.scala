@@ -157,11 +157,10 @@ object Eval {
         val got = res.results.select(col("qid"), col("dist"))
           .as[(Long, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
         val tSearch = now() - t2
-        val recalls = evalQ.zipWithIndex.map { case (q, i) =>
-          val kd = kth(i.toLong)
-          got.getOrElse(i.toLong, Array.empty).count(_ <= kd * 1.0005).toDouble / K
-        }
-        val worst = recalls.min
+        // one recall definition for every mode: CompareMetrics
+        // .thresholdRecall (relative tolerance + the additive 1e-6
+        // floor for kd = 0 duplicate-vector rows)
+        val worst = CompareMetrics.thresholdRecall(got, kthMap, K).values.min
         val probes = res.stats.map(_.nprobeUsed)
         val log = res.stats.map(s =>
           s"${s.qid} ${s.nprobeUsed} ${s.predictedRecall}").mkString("\n")
@@ -196,11 +195,8 @@ object Eval {
         val res = BoundedSearch.search(assigned, model, traces, qdf, K, MULT, STDM)
         val got = res.results.select(col("qid"), col("dist"))
           .as[(Long, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-        val rows = evalQ.zipWithIndex.map { case (q, i) =>
-          val kd = kth(i.toLong)
-          val ach = got.getOrElse(i.toLong, Array.empty).count(_ <= kd * 1.0005).toDouble / K
-          (reqs(i), ach)
-        }
+        val recallByQid = CompareMetrics.thresholdRecall(got, kthMap, K)
+        val rows = evalQ.indices.map(i => (reqs(i), recallByQid(i.toLong)))
         rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (r, xs) =>
           val achieved = xs.map(_._2)
           println(f"required $r%.1f → achieved mean ${achieved.sum / achieved.size}%.3f min ${achieved.min}%.3f (${xs.size} queries)")
@@ -247,10 +243,9 @@ object Eval {
           // exact GT) — validates the calibrated per-probe cost model on
           // both axes: did we stay inside the budget, and what recall
           // did that probe budget buy
-          val recs = idxs.map { i =>
-            val kd = kth(i.toLong)
-            got.getOrElse(i.toLong, Array.empty).count(_ <= kd * 1.0005).toDouble / K
-          }
+          val kthBucket = idxs.map(i => i.toLong -> kth(i.toLong)).toMap
+          val recByQid = CompareMetrics.thresholdRecall(got, kthBucket, K)
+          val recs = idxs.map(i => recByQid(i.toLong))
           println(f"$b%9.0f  $achieved%11.2f  $meanNp%11.1f  " +
             f"${recs.sum / recs.size}%11.3f  ${recs.min}%10.3f  ${idxs.size}%7d")
           idxs.foreach(i => lines += ((i, b, achieved)))
@@ -444,23 +439,32 @@ object Eval {
           (name, sec, rows, got)
         }
         val baseRows = fullRuns.head._3
-        fullRuns.foreach { case (name, sec, rows, got) =>
-          val worst = CompareMetrics.thresholdRecall(got, kthMap, kk)
-            .values.min
+        val fullWorst: Map[String, Double] = fullRuns.map {
+          case (name, _, _, got) =>
+            name -> CompareMetrics.thresholdRecall(got, kthMap, kk).values.min
+        }.toMap
+        fullRuns.foreach { case (name, sec, rows, _) =>
           println(f"$name%-9s ${sec * 1000 / fullBatch.size}%14.2f  " +
             f"${rows.sum / rows.size}%9.0f  " +
             f"${CompareMetrics.tailRatio(rows)}%13.2f  " +
             f"${CompareMetrics.slowdownVs(baseRows, rows)}%21.2f  " +
-            f"$worst%12.3f")
+            f"${fullWorst(name)}%12.3f")
         }
         println(f"anchor (run.sh:5 sift10M k=100 err=10): LAET budget " +
           f"7530 units = mean 75.3 lists/q on IVF1024 = frac 0.0735")
-        // closing verdict DERIVED from the measured table — a static
+        // closing verdict DERIVED from the measured tables — a static
         // restatement of the paper's claim here misread as this run's
         // result whenever the run differed (r11: fixed also printed
-        // HELD, and bounded's budget exceeded LAET's broken one)
-        val held = summary.collect { case (n, _, _, _, _, w) if w >= req => n }
-        val broke = summary.collect { case (n, _, _, _, _, w) if w < req => n }
+        // HELD, and bounded's budget exceeded LAET's broken one). It
+        // covers BOTH tables: the micro-batch summary (≤200 queries)
+        // AND the full-batch run over the entire (GRAFT_NEVAL-growable)
+        // eval set — a tail query that breaks the bound only in the
+        // full batch flips the verdict too
+        val worstBy: Map[String, Double] = summary.map {
+          case (n, _, _, _, _, w) => n -> math.min(w, fullWorst.getOrElse(n, w))
+        }.toMap
+        val held = summary.map(_._1).filter(n => worstBy(n) >= req)
+        val broke = summary.map(_._1).filter(n => worstBy(n) < req)
         val budgets = summary.map(s => f"${s._1}=${s._3}%d").mkString(", ")
         val boundedTot = summary.find(_._1 == "bounded").map(_._3)
         val cheapestHolder = summary.filter(s => held.contains(s._1))
@@ -474,6 +478,7 @@ object Eval {
         }
         println(s"this run: bound HELD by [${held.mkString(", ")}]" +
           (if (broke.nonEmpty) s", BROKEN by [${broke.mkString(", ")}]" else "") +
+          " (worst recall over BOTH the micro-batch and full-batch tables)" +
           s"; probe budgets (units): $budgets" + budgetNote)
 
       case "dist" =>
@@ -555,11 +560,11 @@ object Eval {
                 .select(col("qid"), col("dist")).as[(Long, Double)].collect()
                 .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
               val tMerge = now() - tm
-              val recalls = evalQ.zipWithIndex.map { case (q, i) =>
-                val kd = kth(i.toLong)
-                got.getOrElse(i.toLong, Array.empty)
-                  .count(_ <= kd * 1.0005).toDouble / K
-              }
+              // merged recall shares the compare mode's definition
+              // (CompareMetrics.thresholdRecall — relative tolerance
+              // plus the 1e-6 additive floor), not a private variant
+              val recalls =
+                CompareMetrics.thresholdRecall(got, kthMap, K).values
               val nps = perWorker.flatMap(_._2.stats.map(_.nprobeUsed))
               val avgMs = (straggler + tMerge) * 1000.0 / NEVAL
               println(f"$w%7d  $lbl  $avgMs%8.2f  $straggler%11.2f  $tMerge%7.2f" +

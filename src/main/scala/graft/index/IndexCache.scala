@@ -104,6 +104,12 @@ object IndexCache {
           sidecar.toPath, n.toString))
         ()
     }
+    // remember where this plan's count is persisted so invalidate() can
+    // retire the sidecar along with the in-memory memo
+    rowCountSidecars.put(
+      Integer.valueOf(assigned.queryExecution.analyzed.semanticHash()),
+      sidecar.getPath)
+    ()
   }
 
   /** Built-once HNSW adjacency (see [[HNSW.buildGraph]]) — search jobs
@@ -231,12 +237,26 @@ object IndexCache {
 
   /** Drop one memoized count — the targeted form of [[clear]] for when
     * the corpus is rewritten under the same path mid-session (re-ingest,
-    * delete-and-overwrite) and only the count must refresh. */
+    * delete-and-overwrite) and only the count must refresh. If the count
+    * was persisted beside a saved model (the `_corpus_rows` sidecar),
+    * the sidecar is deleted too, so the recompute is not undone by a
+    * later session re-seeding the stale value on reload. The MODEL in
+    * that directory is equally stale after a corpus rewrite — a
+    * cross-session fix for the index itself still means deleting the
+    * model directory (retrain), which also removes the sidecar. */
   def invalidate(df: DataFrame): Unit = {
-    rowCounts.remove(
-      Integer.valueOf(df.queryExecution.analyzed.semanticHash()))
+    val h = Integer.valueOf(df.queryExecution.analyzed.semanticHash())
+    rowCounts.remove(h)
+    Option(rowCountSidecars.remove(h)).foreach { p =>
+      scala.util.Try(java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(p)))
+    }
     ()
   }
+
+  /** Sidecar file backing each persisted count, by plan hash — lets
+    * [[invalidate]] retire the on-disk copy with the memo. */
+  private val rowCountSidecars = new ConcurrentHashMap[Integer, String]()
 
   /** Count JOBS actually run by [[rowCount]] — spec hook proving the
     * per-search-call count job is gone (misses don't reset it). */
@@ -246,5 +266,6 @@ object IndexCache {
   def clear(): Unit = {
     models.clear(); graphs.clear(); traces.clear(); frames.clear()
     pqModels.clear(); objects.clear(); rowCounts.clear()
+    rowCountSidecars.clear()
   }
 }

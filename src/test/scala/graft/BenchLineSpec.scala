@@ -104,6 +104,22 @@ class BenchLineSpec extends AnyFunSuite {
     assert(noPins.contains(""""basis":"sec""""))
   }
 
+  test("all-rows line falls back to full names on short-name collision") {
+    // "q01_warm" and "q01_cold" share the short key "q01" — short keys
+    // would emit duplicate JSON keys (later shadows earlier in most
+    // parsers) while "n" still said 2
+    val line = Bench.renderAllRowsLine(
+      Seq("q01_warm" -> 0.25, "q01_cold" -> 0.75), Map.empty)
+    assert(line.contains("\"q01_warm\":0.250") &&
+      line.contains("\"q01_cold\":0.750"), line)
+    assert(!line.contains("\"q01\":"), line)
+    assert(line.contains(""""n":2"""))
+    // collision-free inventories keep the compact short keys
+    val ok = Bench.renderAllRowsLine(
+      Seq("q01_warm" -> 0.25, "q02_cold" -> 0.75), Map.empty)
+    assert(ok.contains("\"q01\":0.250") && ok.contains("\"q02\":0.750"), ok)
+  }
+
   test("trailer agrees with the head fields") {
     val mixed = many.updated(3, "q04_name_of_query" -> -1.0)
     val line = Bench.renderLine(mixed, buildSec = 1.0, sfDir = "/x")

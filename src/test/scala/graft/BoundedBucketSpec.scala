@@ -249,6 +249,22 @@ class BoundedBucketSpec extends SparkSpec {
       assert(IndexCache.rowCountComputes.get() == before,
         "reload + first distributed search must run ZERO count jobs " +
           "(corpus_rows sidecar seeds the memo)")
+      // same-path corpus rewrite: invalidate must retire BOTH the memo
+      // and the persisted sidecar — otherwise a later session's reload
+      // re-seeds the stale count that invalidate just discarded
+      val sidecar = new java.io.File(modelDir).listFiles()
+        .filter(_.isDirectory)
+        .map(d => new java.io.File(d, "_corpus_rows"))
+        .find(_.exists())
+        .getOrElse(fail("no _corpus_rows sidecar found under the model dir"))
+      IndexCache.invalidate(a2)
+      assert(!sidecar.exists(),
+        "invalidate must delete the persisted _corpus_rows sidecar")
+      val afterInval = IndexCache.rowCountComputes.get()
+      assert(IndexCache.rowCount(a2) == base.length,
+        "post-invalidate recount must see the corpus")
+      assert(IndexCache.rowCountComputes.get() == afterInval + 1,
+        "invalidate must force exactly one fresh count job")
     } finally {
       System.clearProperty("graft.model.dir")
       // temp-dir-backed cache entries must not leak into later suites
