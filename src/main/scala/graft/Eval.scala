@@ -449,6 +449,12 @@ object Eval {
             f"${CompareMetrics.tailRatio(rows)}%13.2f  " +
             f"${CompareMetrics.slowdownVs(baseRows, rows)}%21.2f  " +
             f"${fullWorst(name)}%12.3f")
+          // figure-shaped artifact (one value per query, query order)
+          // for the scan-work axis, beside the latency logs — the tail
+          // table above can be recomputed from these
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/graft_compare_${name}_scanrows.log"),
+            rows.map(r => f"$r%.0f").mkString("", "\n", "\n"))
         }
         println(f"anchor (run.sh:5 sift10M k=100 err=10): LAET budget " +
           f"7530 units = mean 75.3 lists/q on IVF1024 = frac 0.0735")
