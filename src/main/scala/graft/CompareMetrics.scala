@@ -61,4 +61,14 @@ object CompareMetrics {
       val tol = math.max(rel, kd + 1e-6)
       qid -> got.getOrElse(qid, Array.empty).count(_ <= tol).toDouble / k
     }
+
+  /** Per-engine verdict recall: the worst over BOTH measured tables —
+    * the micro-batch summary (≤200 queries) and the full-batch run
+    * over the entire eval set. A tail query that breaks the bound only
+    * in the full batch must flip the closing HELD/BROKE verdict; an
+    * engine missing from the full table (not run there) is judged on
+    * its micro-batch worst alone. */
+  def verdictWorst(micro: Map[String, Double],
+                   full: Map[String, Double]): Map[String, Double] =
+    micro.map { case (name, w) => name -> math.min(w, full.getOrElse(name, w)) }
 }

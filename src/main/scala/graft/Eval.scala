@@ -466,9 +466,8 @@ object Eval {
         // AND the full-batch run over the entire (GRAFT_NEVAL-growable)
         // eval set — a tail query that breaks the bound only in the
         // full batch flips the verdict too
-        val worstBy: Map[String, Double] = summary.map {
-          case (n, _, _, _, _, w) => n -> math.min(w, fullWorst.getOrElse(n, w))
-        }.toMap
+        val worstBy = CompareMetrics.verdictWorst(
+          summary.map { case (n, _, _, _, _, w) => n -> w }.toMap, fullWorst)
         val held = summary.map(_._1).filter(n => worstBy(n) >= req)
         val broke = summary.map(_._1).filter(n => worstBy(n) < req)
         val budgets = summary.map(s => f"${s._1}=${s._3}%d").mkString(", ")

@@ -63,4 +63,19 @@ class CompareMetricsSpec extends AnyFunSuite {
       Map(5L -> Array(0.0, 5e-7, 2e-6, 1.0)), Map(5L -> 0.0), 4)
     assert(r3(5L) === 0.5) // 0.0 and 5e-7 within 0 + 1e-6; 2e-6 and 1.0 not
   }
+
+  test("verdictWorst takes the min over both tables, micro-only engines unchanged") {
+    val micro = Map("bounded" -> 0.94, "laet" -> 0.84, "fixed" -> 1.0)
+    // bounded's tail query only appears in the full batch; laet improves
+    // there (min must NOT rise); fixed absent from the full table
+    val full = Map("bounded" -> 0.90, "laet" -> 0.95)
+    val w = CompareMetrics.verdictWorst(micro, full)
+    assert(w("bounded") === 0.90) // full-batch tail governs
+    assert(w("laet") === 0.84)    // micro worst still counts
+    assert(w("fixed") === 1.0)    // judged on micro alone
+    // a full-batch break below the bound flips a micro HELD
+    val w2 = CompareMetrics.verdictWorst(
+      Map("bounded" -> 0.94), Map("bounded" -> 0.85))
+    assert(w2("bounded") === 0.85)
+  }
 }
