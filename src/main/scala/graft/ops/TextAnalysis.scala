@@ -180,4 +180,53 @@ object TextAnalysis {
     }
     docs.select(col(idCol), fpU(col(textCol)).as("fingerprint"))
   }
+
+  /** Gopher-style intra-document repetition signals over word bigrams:
+    * per document, the total and distinct bigram counts, the duplicate
+    * fraction `(n − distinct) / n`, the top-bigram frequency fraction
+    * `max_count / n`, and a `repetitive` flag (either fraction over its
+    * threshold) — the standard cheap filter for boilerplate/spam pages
+    * whose text loops (Rae et al. 2021 "Scaling Language Models",
+    * table A1's duplicate/top n-gram fraction rules).
+    *
+    * Fused scalar kernel (the shingleU/v16 precedent): one pass per
+    * document counts bigrams in a local hash map — the
+    * explode-bigrams + two-level groupBy form shuffles every bigram of
+    * the corpus on (doc_id, bigram); this shuffles nothing per doc and
+    * emits one row. Bigrams split on a single space, exactly the
+    * shingle convention (`shingleSqlCte`), so the DuckDB oracle
+    * replays it verbatim. Documents with fewer than two words have no
+    * bigrams and are dropped (both engines). Fractions are exact-int
+    * IEEE divisions — bit-identical across engines. */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        dupThreshold: Double = 0.2,
+                        topThreshold: Double = 0.1): DataFrame = {
+    val repU = udf { (text: String) =>
+      val ws = text.split(" ", -1)
+      if (ws.length < 2) None
+      else {
+        val m = new java.util.HashMap[String, Integer]()
+        var top = 0
+        var i = 0
+        while (i < ws.length - 1) {
+          val c = m.merge(ws(i) + " " + ws(i + 1), Integer.valueOf(1),
+            (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+          if (c.intValue > top) top = c.intValue
+          i += 1
+        }
+        Some((ws.length - 1L, m.size.toLong, top.toLong))
+      }
+    }
+    docs.select(col(idCol), repU(col(textCol)).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col(idCol),
+        col("r._1").as("n_bigrams"),
+        col("r._2").as("n_distinct"),
+        ((col("r._1") - col("r._2")).cast("double") / col("r._1"))
+          .as("dup_frac"),
+        (col("r._3").cast("double") / col("r._1")).as("top_frac"))
+      .withColumn("repetitive",
+        col("dup_frac") > dupThreshold || col("top_frac") > topThreshold)
+  }
 }

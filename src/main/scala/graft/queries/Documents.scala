@@ -588,6 +588,70 @@ object Documents {
       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** Dataset mixing: deterministic per-source weighted sampling plus a
+    * hash-disjoint train/val split (`ops.Sampling`) — the op that turns
+    * a curated corpus into a training mixture. Reported per (source,
+    * split): kept docs, kept chars, first kept id. Membership is pure
+    * id arithmetic (no RNG), so the subset is reproducible across
+    * runs, retries and engines; the whole selection is a map-side
+    * filter — zero shuffles before the final tiny aggregate at any
+    * corpus size. */
+  def d07SourceMix(s: SparkSession, dir: String): DataFrame = {
+    val sampled = graft.ops.Sampling.stratifiedSample(
+      docs(s, dir), "source", "doc_id", MixRates, MixDefaultRate)
+    sampled
+      .withColumn("split", graft.ops.Sampling.trainValSplit(col("doc_id"), 9000))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  /** The d07 mixing spec: a handful of explicitly-weighted sources plus
+    * a default — permyriad keep rates. */
+  val MixRates: Map[String, Int] =
+    Map("src0" -> 9000, "src1" -> 5000, "src2" -> 2500, "src3" -> 1000)
+  val MixDefaultRate = 6000
+
+  val d07Sql: String = {
+    val cases = MixRates.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+    s"""WITH b AS (
+       |  SELECT doc_id, source, n_chars,
+       |    (doc_id * ${graft.ops.Sampling.SampleMult}) % ${graft.ops.Sampling.HashMod} % 10000 AS b1,
+       |    (doc_id * ${graft.ops.Sampling.SplitMult}) % ${graft.ops.Sampling.HashMod} % 10000 AS b2,
+       |    CASE source $cases ELSE $MixDefaultRate END AS rate
+       |  FROM documents)
+       |SELECT source, CASE WHEN b2 < 9000 THEN 'train' ELSE 'val' END AS split,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       |  MIN(doc_id) AS first_doc
+       |FROM b WHERE b1 < rate
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Intra-document repetition signals (Gopher-style duplicate / top
+    * bigram fractions) — `TextAnalysis.repetitionSignals`'s fused
+    * kernel; the oracle replays the bigram counting declaratively. */
+  def t09Repetition(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.repetitionSignals(docs(s, dir))
+      .orderBy(col("doc_id"))
+
+  val t09Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |       i -> ws[i] || ' ' || ws[i+1])) AS g FROM w),
+      |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |        COUNT(*) AS n_distinct, MAX(c) AS top_count FROM cnt GROUP BY 1)
+      |SELECT doc_id, n_bigrams, n_distinct,
+      |  (n_bigrams - n_distinct)::DOUBLE / n_bigrams AS dup_frac,
+      |  top_count::DOUBLE / n_bigrams AS top_frac,
+      |  ((n_bigrams - n_distinct)::DOUBLE / n_bigrams > 0.2
+      |    OR top_count::DOUBLE / n_bigrams > 0.1) AS repetitive
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t06_rolling_fp" -> t06RollingFp _,
     "t07_lang_id" -> t07LangId _,
@@ -602,6 +666,8 @@ object Documents {
     "d04_jaccard_top" -> d04JaccardTop _,
     "d05_minhash_estimate" -> d05MinhashEstimate _,
     "d06_curation_pipeline" -> d06CurationPipeline _,
+    "d07_source_mix" -> d07SourceMix _,
+    "t09_repetition" -> t09Repetition _,
     "t01_text_stats" -> t01TextStats _,
     "t02_quality_score" -> t02QualityScore _,
     "t03_token_count" -> t03TokenCount _,
@@ -622,6 +688,8 @@ object Documents {
     "d04_jaccard_top" -> d04Sql,
     "d05_minhash_estimate" -> d05Sql,
     "d06_curation_pipeline" -> d06Sql,
+    "d07_source_mix" -> d07Sql,
+    "t09_repetition" -> t09Sql,
     "t01_text_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,

@@ -62,6 +62,49 @@ object Vector {
        |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** Streaming vector-search serving (a REAL Structured Streaming run):
+    * the query set is staged to parquet, read back as a file stream
+    * admission-capped to 3 files per trigger (so AvailableNow genuinely
+    * runs several micro-batches), and each micro-batch is served by the
+    * exact batch k-NN kernel via [[graft.streaming.EventStream.knnServe]].
+    * Per-query results are independent of the micro-batching, so the
+    * parquet sink's union equals the one-shot batch answer bit-exactly
+    * — which is why a plain v01-style SQL oracle verifies a streaming
+    * run. */
+  def s05StreamKnn(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_stream/${new java.io.File(dir).getName}"
+    val staged = s"$root/s05_queries.parquet"
+    val outDir = s"$root/s05_out.parquet"
+    qs(s, dir, "vec_id < 64").repartition(8)
+      .write.mode("overwrite").parquet(staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    val schema = s.read.parquet(staged).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "3").parquet(staged)
+    val q = graft.streaming.EventStream.knnServe(stream, base(s, dir),
+      k = 10, outDir)
+    require(q.awaitTermination(300000),
+      "s05 streaming query did not finish within 300s — partial sink")
+    // the row exists to verify STREAMING serving — assert it actually
+    // micro-batched (3-file admission over 8 staged files) so a future
+    // staging change can't silently turn this into a one-batch run
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 2,
+      s"s05 ran in $dataBatches micro-batches (expected >= 2)")
+    s.read.parquet(outDir).orderBy(col("qid"), col("rank"))
+  }
+
+  val s05Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 64),
+       |d AS (SELECT q.qid, b.vec_id AS id, $l2SqlFrag AS dist
+       |      FROM q CROSS JOIN embeddings b)
+       |SELECT qid, id, dist, rank FROM (
+       |  SELECT qid, id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   /** O2 — k-NN restricted to an id subset (label = 3). */
   def v02KnnSubset(s: SparkSession, dir: String): DataFrame = {
     val b = base(s, dir)
@@ -1340,6 +1383,7 @@ object Vector {
     "v09_sq8_error" -> v09Sq8Error _,
     "v10_sharded_knn" -> v10ShardedKnn _,
     "v01_knn_flat" -> v01KnnFlat _,
+    "s05_stream_knn" -> s05StreamKnn _,
     "v02_knn_subset" -> v02KnnSubset _,
     "v03_range_search" -> v03Range _,
     "v04_cosine_topk" -> v04CosineTopK _,
@@ -1386,6 +1430,7 @@ object Vector {
     "v09_sq8_error" -> v09Sql,
     "v10_sharded_knn" -> v10Sql,
     "v01_knn_flat" -> v01Sql,
+    "s05_stream_knn" -> s05Sql,
     "v02_knn_subset" -> v02Sql,
     "v03_range_search" -> v03Sql,
     "v04_cosine_topk" -> v04Sql,

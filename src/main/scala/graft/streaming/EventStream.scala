@@ -34,6 +34,34 @@ object EventStream {
   def assignStream(vectors: DataFrame, model: IVFModel, batchId: Long): DataFrame =
     IVFIndex.assign(vectors, model).withColumn("batch_id", lit(batchId))
 
+  /** Streaming vector-search serving: queries arrive as a stream, each
+    * micro-batch runs the exact batch k-NN kernel against the static
+    * corpus, and results append to a parquet sink. The standard
+    * continuous-serving pattern — `foreachBatch` reuses
+    * [[graft.search.FlatSearch.knn]] verbatim, so per-query results are
+    * BIT-IDENTICAL to a batch run regardless of how the stream is
+    * micro-batched (each query's top-k depends only on that query and
+    * the corpus; the union over micro-batches IS the batch answer —
+    * pinned by PipelineOpsSpec and the s05 oracle). Swap the kernel for
+    * `IVFSearch.topk` / `BoundedSearch.search` for approximate/bounded
+    * serving — the plumbing is identical; at cluster scale the static
+    * corpus side stays partition-parallel per micro-batch while query
+    * arrival drives scheduling.
+    *
+    * @return the started query — caller awaits termination (default
+    *         trigger AvailableNow: drain the backlog, then stop). */
+  def knnServe(queryStream: DataFrame, corpus: DataFrame, k: Int,
+               outDir: String,
+               trigger: org.apache.spark.sql.streaming.Trigger =
+                 org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val fn: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) =>
+      if (!batch.isEmpty)
+        graft.search.FlatSearch.knn(corpus, batch, k)
+          .write.mode("append").parquet(outDir)
+    queryStream.writeStream.foreachBatch(fn).trigger(trigger).start()
+  }
+
   /** Streaming exact dedup — the streaming twin of d01 for continuous
     * training-data ingest: fingerprint the normalized text, then keep
     * the first arrival of each fingerprint, with state bounded by the

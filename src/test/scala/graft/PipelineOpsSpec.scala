@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Sampling, TextAnalysis}
+import graft.queries.{Documents, Vector => VQ}
+import graft.search.FlatSearch
+
+/** Dataset-mixing sampling, repetition signals, and streaming k-NN
+  * serving — the round-13 training-data-pipeline additions. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+
+  test("stratifiedSample: deterministic, rate-accurate, map-side only") {
+    val rates = Map("src0" -> 10000, "src1" -> 0)
+    val a = Sampling.stratifiedSample(docs, "source", "doc_id", rates, 5000)
+    val b = Sampling.stratifiedSample(
+      docs.repartition(7), "source", "doc_id", rates, 5000)
+    // membership is a property of the row — identical under any
+    // partitioning / execution order
+    assert(a.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      b.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    val bySrc = a.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == totals("src0"), "rate 10000 keeps everything")
+    assert(!bySrc.contains("src1"), "rate 0 keeps nothing")
+    // default-rate sources land near 50% (binomial tolerance on the
+    // small sf0.001 strata)
+    val defKept = bySrc.filter(kv => kv._1 != "src0" && kv._1 != "src1").values.sum
+    val defTotal = totals.filter(kv => kv._1 != "src0" && kv._1 != "src1").values.sum
+    val frac = defKept.toDouble / defTotal
+    assert(frac > 0.3 && frac < 0.7, s"default-rate fraction $frac")
+    // the selection itself is one map-side filter: no shuffle in the plan
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling plan shuffles:\n$plan")
+  }
+
+  test("trainValSplit: total, disjoint, independent of the sample hash") {
+    val split = docs.select(col("doc_id"),
+      Sampling.trainValSplit(col("doc_id"), 9000).as("split"))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(counts.values.sum == n, "every row assigned")
+    val trainFrac = counts.getOrElse("train", 0L).toDouble / n
+    assert(trainFrac > 0.8 && trainFrac < 0.98, s"train fraction $trainFrac")
+    // independence from the sampling bucketing: among rows the sampler
+    // keeps at 50%, the split fraction stays near 90% (same multiplier
+    // would make the val set a deterministic function of membership)
+    val sampled = Sampling.stratifiedSample(docs, "source", "doc_id",
+      Map.empty, 5000).select(col("doc_id"),
+      Sampling.trainValSplit(col("doc_id"), 9000).as("split"))
+    val sCounts = sampled.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sFrac = sCounts.getOrElse("train", 0L).toDouble / sCounts.values.sum
+    assert(sFrac > 0.8 && sFrac < 0.98, s"train fraction within sample $sFrac")
+  }
+
+  test("repetitionSignals matches a naive per-doc count") {
+    val rows = TextAnalysis.repetitionSignals(docs).collect()
+    assert(rows.nonEmpty)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val ws = texts(r.getLong(0)).split(" ", -1)
+      val grams = ws.sliding(2).map(_.mkString(" ")).toSeq
+      assert(r.getLong(1) == grams.size, s"n_bigrams doc ${r.getLong(0)}")
+      assert(r.getLong(2) == grams.distinct.size, s"n_distinct doc ${r.getLong(0)}")
+      val top = grams.groupBy(identity).values.map(_.size).max
+      assert(r.getDouble(4) == top.toDouble / grams.size, s"top_frac doc ${r.getLong(0)}")
+      assert(r.getDouble(3) ==
+        (grams.size - grams.distinct.size).toDouble / grams.size)
+    }
+    // docs with fewer than two words are out of domain (no bigrams)
+    val nShort = docs.filter(size(split(col("text"), " ", -1)) < 2).count()
+    assert(rows.length == texts.size - nShort)
+  }
+
+  test("repetitive flag fires on looped text and not on distinct text") {
+    val crafted = Seq(
+      (1L, ("spam ham " * 30).trim),             // one bigram dominates
+      (2L, (1 to 60).map(i => s"w$i").mkString(" ")) // all distinct
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(crafted).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out(1L) && !out(2L))
+  }
+
+  test("s05 streaming serve ≡ one-shot batch knn, and actually micro-batches") {
+    val dir = sf("sf0.001")
+    val streamed = VQ.s05StreamKnn(spark, dir).collect()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val batch = FlatSearch.knn(
+      emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      emb.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("qid"), col("embedding").as("vec")),
+      k = 10).orderBy(col("qid"), col("rank")).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0) && s.getLong(1) == b.getLong(1) &&
+        s.getDouble(2) == b.getDouble(2) && s.getInt(3) == b.getInt(3))
+    }
+  }
+}
