@@ -238,18 +238,25 @@ object Documents {
       |  FROM corpus)
       |GROUP BY fp ORDER BY fp""".stripMargin
 
+  /** The d03 LSH candidate set as a reusable CTE chain (consumed by
+    * both the d03 oracle and d08's recursive component closure). */
+  private val lshCandCte =
+    """sig AS (SELECT doc_id, MIN(md5('0|' || s)) AS mh0, MIN(md5('1|' || s)) AS mh1,
+      |        MIN(md5('2|' || s)) AS mh2, MIN(md5('3|' || s)) AS mh3 FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band_idx, substring(mh0, 1, 4) AS band_key FROM sig UNION ALL
+      |  SELECT doc_id, 1, substring(mh1, 1, 4) FROM sig UNION ALL
+      |  SELECT doc_id, 2, substring(mh2, 1, 4) FROM sig UNION ALL
+      |  SELECT doc_id, 3, substring(mh3, 1, 4) FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+      |  WHERE x.doc_id < y.doc_id)""".stripMargin
+
   val d03Sql: String =
     s"""WITH $shingleSqlCte,
-       |sig AS (SELECT doc_id, MIN(md5('0|' || s)) AS mh0, MIN(md5('1|' || s)) AS mh1,
-       |        MIN(md5('2|' || s)) AS mh2, MIN(md5('3|' || s)) AS mh3 FROM sh GROUP BY doc_id),
-       |bands AS (
-       |  SELECT doc_id, 0 AS band_idx, substring(mh0, 1, 4) AS band_key FROM sig UNION ALL
-       |  SELECT doc_id, 1, substring(mh1, 1, 4) FROM sig UNION ALL
-       |  SELECT doc_id, 2, substring(mh2, 1, 4) FROM sig UNION ALL
-       |  SELECT doc_id, 3, substring(mh3, 1, 4) FROM sig)
-       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-       |WHERE x.doc_id < y.doc_id ORDER BY a, b""".stripMargin
+       |$lshCandCte
+       |SELECT a, b FROM cand ORDER BY a, b""".stripMargin
 
   /** Shingles appearing in more than this many documents are dropped
     * before the d04 self-join (on BOTH engines — it is part of the
@@ -630,6 +637,37 @@ object Documents {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** Near-dup cluster resolution: connected components over the d03
+    * LSH candidate pairs (`ops.Components` min-label propagation), so
+    * transitive near-dups (A≈B, B≈C) land in ONE cluster and the dedup
+    * keeps exactly one representative — the min doc_id, which IS the
+    * component label. Every document gets a row (singletons are their
+    * own component); `is_rep` marks the kept set. The oracle replays
+    * the closure with a recursive CTE over the same candidate pairs. */
+  def d08DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val cand = d03LshCandidates(s, dir)
+    val res = graft.ops.Components.connectedComponents(cand)
+    require(res.converged,
+      s"component propagation did not converge in ${res.rounds} rounds")
+    docs(s, dir).select(col("doc_id"))
+      .join(res.labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("is_rep", col("component") === col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d08Sql: String =
+    s"""WITH RECURSIVE $shingleSqlCte,
+       |$lshCandCte,
+       |e AS (SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand),
+       |cc AS (
+       |  SELECT doc_id AS node, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.b AS node, cc.label AS label FROM cc JOIN e ON e.a = cc.node)
+       |SELECT node AS doc_id, MIN(label) AS component, MIN(label) = node AS is_rep
+       |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin
+
   /** Intra-document repetition signals (Gopher-style duplicate / top
     * bigram fractions) — `TextAnalysis.repetitionSignals`'s fused
     * kernel; the oracle replays the bigram counting declaratively. */
@@ -667,6 +705,7 @@ object Documents {
     "d05_minhash_estimate" -> d05MinhashEstimate _,
     "d06_curation_pipeline" -> d06CurationPipeline _,
     "d07_source_mix" -> d07SourceMix _,
+    "d08_dedup_clusters" -> d08DedupClusters _,
     "t09_repetition" -> t09Repetition _,
     "t01_text_stats" -> t01TextStats _,
     "t02_quality_score" -> t02QualityScore _,
@@ -689,6 +728,7 @@ object Documents {
     "d05_minhash_estimate" -> d05Sql,
     "d06_curation_pipeline" -> d06Sql,
     "d07_source_mix" -> d07Sql,
+    "d08_dedup_clusters" -> d08Sql,
     "t09_repetition" -> t09Sql,
     "t01_text_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,

@@ -6,14 +6,14 @@ import graft.queries.Relational
 /** Guards the driver contract itself (round-7 postmortem): a testdata
   * regeneration flipped `events.ts` from ns-int64 to µs-timestamp and
   * silently dropped 7 driver rows — every query must ANALYZE against the
-  * live fixtures, the inventory must stay at 80 rows, and the events
+  * live fixtures, the inventory must stay at 81 rows, and the events
   * reader must accept both timestamp encodings the generator has used.
   */
 class InventorySpec extends SparkSpec {
 
-  test("driver inventory holds 80 queries, each with an oracle") {
+  test("driver inventory holds 81 queries, each with an oracle") {
     val q = SparkEntry.queries
-    assert(q.size == 80, s"expected 80 driver rows, got ${q.size}")
+    assert(q.size == 81, s"expected 81 driver rows, got ${q.size}")
     val oracles = SparkEntry.oracleSqlFor(sf("sf0.001"))
     val missing = q.keySet -- oracles.keySet
     assert(missing.isEmpty, s"queries without oracle: ${missing.toList.sorted.mkString(",")}")

@@ -89,6 +89,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1L) && !out(2L))
   }
 
+  test("connectedComponents matches union-find on a crafted graph") {
+    // two chains (transitive closure beyond any single edge), a
+    // triangle, and an isolated edge
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), // chain 1-2-3-4
+      (10L, 11L), (11L, 12L),                     // chain 10-11-12
+      (20L, 21L), (21L, 22L), (20L, 22L),         // triangle
+      (30L, 31L)).toDF("a", "b")
+    val res = graft.ops.Components.connectedComponents(edges)
+    assert(res.converged)
+    val got = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L)
+    assert(got == want)
+  }
+
+  test("connectedComponents matches union-find on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 200
+    val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // expected label = min node id per union-find component
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val minOf = nodes.groupBy(x => find(x.toInt))
+      .map { case (r, xs) => r -> xs.min }
+    val expect = nodes.map(x => x -> minOf(find(x.toInt))).toMap
+    val res = graft.ops.Components.connectedComponents(edges.toDF("a", "b"))
+    assert(res.converged)
+    val got = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("maxIter guard reports non-convergence on a long chain") {
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val res = graft.ops.Components.connectedComponents(chain, maxIter = 3)
+    assert(!res.converged && res.rounds == 3)
+  }
+
   test("s05 streaming serve ≡ one-shot batch knn, and actually micro-batches") {
     val dir = sf("sf0.001")
     val streamed = VQ.s05StreamKnn(spark, dir).collect()
