@@ -70,5 +70,13 @@ object CompareMetrics {
     * its micro-batch worst alone. */
   def verdictWorst(micro: Map[String, Double],
                    full: Map[String, Double]): Map[String, Double] =
-    micro.map { case (name, w) => name -> math.min(w, full.getOrElse(name, w)) }
+    // union of both tables' engines: an engine measured in only one
+    // table is judged on that table alone; one measured in both takes
+    // the worse reading. (Eval currently feeds the same engine set to
+    // both, but the contract must not silently drop a full-only row.)
+    (micro.keySet ++ full.keySet).iterator.map { name =>
+      name -> math.min(
+        micro.getOrElse(name, Double.MaxValue),
+        full.getOrElse(name, Double.MaxValue))
+    }.toMap
 }

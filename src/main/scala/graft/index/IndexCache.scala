@@ -105,10 +105,12 @@ object IndexCache {
         ()
     }
     // remember where this plan's count is persisted so invalidate() can
-    // retire the sidecar along with the in-memory memo
-    rowCountSidecars.put(
-      Integer.valueOf(assigned.queryExecution.analyzed.semanticHash()),
-      sidecar.getPath)
+    // retire the sidecar along with the in-memory memo (plan kept for
+    // the same sameResult collision guard rowCounts uses — a colliding
+    // hash must never delete some OTHER model's sidecar)
+    val plan = assigned.queryExecution.analyzed
+    rowCountSidecars.put(Integer.valueOf(plan.semanticHash()),
+      (plan, sidecar.getPath))
     ()
   }
 
@@ -245,18 +247,27 @@ object IndexCache {
     * cross-session fix for the index itself still means deleting the
     * model directory (retrain), which also removes the sidecar. */
   def invalidate(df: DataFrame): Unit = {
-    val h = Integer.valueOf(df.queryExecution.analyzed.semanticHash())
+    val plan = df.queryExecution.analyzed
+    val h = Integer.valueOf(plan.semanticHash())
     rowCounts.remove(h)
-    Option(rowCountSidecars.remove(h)).foreach { p =>
+    // sameResult guard (the rowCounts discipline): on a hash collision
+    // the stored entry may belong to a DIFFERENT plan — deleting that
+    // plan's sidecar would orphan its persisted count while leaving
+    // this plan's stale one alive. Only delete what provably matches.
+    val cached = rowCountSidecars.get(h)
+    if (cached != null && cached._1.sameResult(plan)) {
+      rowCountSidecars.remove(h)
       scala.util.Try(java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(p)))
+        java.nio.file.Paths.get(cached._2)))
     }
     ()
   }
 
-  /** Sidecar file backing each persisted count, by plan hash — lets
-    * [[invalidate]] retire the on-disk copy with the memo. */
-  private val rowCountSidecars = new ConcurrentHashMap[Integer, String]()
+  /** Sidecar file backing each persisted count, by plan hash (plan
+    * retained for the sameResult collision guard) — lets [[invalidate]]
+    * retire the on-disk copy with the memo. */
+  private val rowCountSidecars = new ConcurrentHashMap[
+    Integer, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String)]()
 
   /** Count JOBS actually run by [[rowCount]] — spec hook proving the
     * per-search-call count job is gone (misses don't reset it). */

@@ -198,10 +198,16 @@ object TextAnalysis {
     * replays it verbatim. Documents with fewer than two words have no
     * bigrams and are dropped (both engines). Fractions are exact-int
     * IEEE divisions — bit-identical across engines. */
+  /** Default repetition-flag thresholds (Gopher-ish): duplicate-bigram
+    * fraction and top-bigram frequency fraction. Shared with the t09
+    * oracle SQL so the two engines cannot drift. */
+  val DupThreshold = 0.2
+  val TopThreshold = 0.1
+
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text",
-                        dupThreshold: Double = 0.2,
-                        topThreshold: Double = 0.1): DataFrame = {
+                        dupThreshold: Double = DupThreshold,
+                        topThreshold: Double = TopThreshold): DataFrame = {
     val repU = udf { (text: String) =>
       val ws = text.split(" ", -1)
       if (ws.length < 2) None

@@ -428,7 +428,7 @@ object Relational {
     * double-summed state. */
   def s03StreamSessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val staged = s"/tmp/graft_stream/${new java.io.File(dir).getName}/s03_events.parquet"
+    val staged = s"${Vector.sdir(dir)}/s03_events.parquet"
     events(s, dir)
       .select(col("user_id").as("_1"),
         (dec(col("value")) * 100).cast("double").as("_2"))

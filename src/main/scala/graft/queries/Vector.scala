@@ -30,6 +30,15 @@ object Vector {
     s"/tmp/graft_oracle/${new java.io.File(dir).getName}_$h"
   }
 
+  /** Streaming staging root for a dataset dir — same leaf+full-path-hash
+    * scheme as [[odir]], so two dataset dirs sharing a leaf name (or two
+    * concurrent runs over different fixtures) can never stage into, or
+    * delete, each other's stream directories. */
+  private[queries] def sdir(dir: String): String = {
+    val h = f"${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x"
+    s"/tmp/graft_stream/${new java.io.File(dir).getName}_$h"
+  }
+
   private def base(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"),
       col("label"))
@@ -53,14 +62,19 @@ object Vector {
     FlatSearch.knn(base(s, dir), qs(s, dir, "vec_id < 8"), k = 10)
       .orderBy(col("qid"), col("rank"))
 
-  val v01Sql: String =
-    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+  /** Flat-knn oracle, parameterized on the query predicate — v01 and
+    * s05 share one text by construction (s05's streaming sink is
+    * bit-equal to the batch answer, so its oracle IS v01's). */
+  private def knnFlatSql(pred: String): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE $pred),
        |d AS (SELECT q.qid, b.vec_id AS id, $l2SqlFrag AS dist
        |      FROM q CROSS JOIN embeddings b)
        |SELECT qid, id, dist, rank FROM (
        |  SELECT qid, id, dist,
        |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  val v01Sql: String = knnFlatSql("vec_id < 8")
 
   /** Streaming vector-search serving (a REAL Structured Streaming run):
     * the query set is staged to parquet, read back as a file stream
@@ -72,7 +86,7 @@ object Vector {
     * — which is why a plain v01-style SQL oracle verifies a streaming
     * run. */
   def s05StreamKnn(s: SparkSession, dir: String): DataFrame = {
-    val root = s"/tmp/graft_stream/${new java.io.File(dir).getName}"
+    val root = sdir(dir)
     val staged = s"$root/s05_queries.parquet"
     val outDir = s"$root/s05_out.parquet"
     qs(s, dir, "vec_id < 64").repartition(8)
@@ -96,14 +110,7 @@ object Vector {
     s.read.parquet(outDir).orderBy(col("qid"), col("rank"))
   }
 
-  val s05Sql: String =
-    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 64),
-       |d AS (SELECT q.qid, b.vec_id AS id, $l2SqlFrag AS dist
-       |      FROM q CROSS JOIN embeddings b)
-       |SELECT qid, id, dist, rank FROM (
-       |  SELECT qid, id, dist,
-       |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
-       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  val s05Sql: String = knnFlatSql("vec_id < 64")
 
   /** O2 — k-NN restricted to an id subset (label = 3). */
   def v02KnnSubset(s: SparkSession, dir: String): DataFrame = {

@@ -77,5 +77,10 @@ class CompareMetricsSpec extends AnyFunSuite {
     val w2 = CompareMetrics.verdictWorst(
       Map("bounded" -> 0.94), Map("bounded" -> 0.85))
     assert(w2("bounded") === 0.85)
+    // an engine measured ONLY in the full table must not vanish from
+    // the verdict (the union contract)
+    val w3 = CompareMetrics.verdictWorst(
+      Map("bounded" -> 0.94), Map("bounded" -> 0.92, "extra" -> 0.70))
+    assert(w3("extra") === 0.70 && w3("bounded") === 0.92)
   }
 }
