@@ -139,7 +139,7 @@ object Documents {
     * bucket's min doc_id — which is what the batch SQL oracle replays.
     * The streaming twin of d03 with an exact oracle. */
   def s02StreamLsh(s: SparkSession, dir: String): DataFrame = {
-    val staged = s"/tmp/graft_stream/${new java.io.File(dir).getName}/s02_docs.parquet"
+    val staged = s"${Vector.sdir(dir)}/s02_docs.parquet"
     // multiple staged files: the AvailableNow microbatch parallelizes
     // the signature UDF across them (anchor choice is arrival-order
     // independent — each bucket sorts by event time inside the group)
@@ -190,7 +190,7 @@ object Documents {
     * staged corpus's duplicate count. Event time is doc_id-ordered;
     * state is bounded by the watermark delay (the 100 TB/day knob). */
   def s04StreamDedup(s: SparkSession, dir: String): DataFrame = {
-    val staged = s"/tmp/graft_stream/${new java.io.File(dir).getName}/s04_docs.parquet"
+    val staged = s"${Vector.sdir(dir)}/s04_docs.parquet"
     val epoch = 1767225600L
     val orig = docs(s, dir).select(col("doc_id"), col("text"),
       timestamp_seconds(lit(epoch) + col("doc_id")).as("ts"))
@@ -607,7 +607,8 @@ object Documents {
     val sampled = graft.ops.Sampling.stratifiedSample(
       docs(s, dir), "source", "doc_id", MixRates, MixDefaultRate)
     sampled
-      .withColumn("split", graft.ops.Sampling.trainValSplit(col("doc_id"), 9000))
+      .withColumn("split",
+        graft.ops.Sampling.trainValSplit(col("doc_id"), TrainPermyriad))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("n_chars_total"),
@@ -620,6 +621,7 @@ object Documents {
   val MixRates: Map[String, Int] =
     Map("src0" -> 9000, "src1" -> 5000, "src2" -> 2500, "src3" -> 1000)
   val MixDefaultRate = 6000
+  val TrainPermyriad = 9000
 
   val d07Sql: String = {
     val cases = MixRates.toSeq.sortBy(_._1)
@@ -630,7 +632,7 @@ object Documents {
        |    (doc_id * ${graft.ops.Sampling.SplitMult}) % ${graft.ops.Sampling.HashMod} % 10000 AS b2,
        |    CASE source $cases ELSE $MixDefaultRate END AS rate
        |  FROM documents)
-       |SELECT source, CASE WHEN b2 < 9000 THEN 'train' ELSE 'val' END AS split,
+       |SELECT source, CASE WHEN b2 < $TrainPermyriad THEN 'train' ELSE 'val' END AS split,
        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
        |  MIN(doc_id) AS first_doc
        |FROM b WHERE b1 < rate
@@ -676,19 +678,85 @@ object Documents {
       .orderBy(col("doc_id"))
 
   val t09Sql: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-      |           WHERE len(string_split(text, ' ')) >= 2),
-      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
-      |       i -> ws[i] || ' ' || ws[i+1])) AS g FROM w),
-      |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
-      |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
-      |        COUNT(*) AS n_distinct, MAX(c) AS top_count FROM cnt GROUP BY 1)
-      |SELECT doc_id, n_bigrams, n_distinct,
-      |  (n_bigrams - n_distinct)::DOUBLE / n_bigrams AS dup_frac,
-      |  top_count::DOUBLE / n_bigrams AS top_frac,
-      |  ((n_bigrams - n_distinct)::DOUBLE / n_bigrams > 0.2
-      |    OR top_count::DOUBLE / n_bigrams > 0.1) AS repetitive
-      |FROM agg ORDER BY doc_id""".stripMargin
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 2),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+       |       i -> ws[i] || ' ' || ws[i+1])) AS g FROM w),
+       |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |        COUNT(*) AS n_distinct, MAX(c) AS top_count FROM cnt GROUP BY 1)
+       |SELECT doc_id, n_bigrams, n_distinct,
+       |  (n_bigrams - n_distinct)::DOUBLE / n_bigrams AS dup_frac,
+       |  top_count::DOUBLE / n_bigrams AS top_frac,
+       |  ((n_bigrams - n_distinct)::DOUBLE / n_bigrams > ${graft.ops.TextAnalysis.DupThreshold}
+       |    OR top_count::DOUBLE / n_bigrams > ${graft.ops.TextAnalysis.TopThreshold}) AS repetitive
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination (n-gram overlap): the held-out tenth of
+    * the corpus (doc_id % 10 == 7) stands in for the benchmark set; a
+    * training doc is contaminated if it shares any word 4-gram with it.
+    * Scale shape: benchmark grams broadcast (benchmarks are megabytes),
+    * training side is one map-side gram scan + one groupBy on doc_id —
+    * see [[graft.ops.Decontaminate]]. */
+  def d09Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.ops.Decontaminate.flagContaminated(
+      d.filter(col("doc_id") % 10 =!= BenchResidue),
+      d.filter(col("doc_id") % 10 === BenchResidue),
+      n = DecontamN)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Contamination n-gram length: at the sf corpora's vocabulary, 4 is
+    * the knee — 3-grams flag ~95% of docs, 5-grams only the planted
+    * exact dups. Shared with the d09 oracle text. */
+  val DecontamN = 4
+
+  /** doc_id % 10 residue that plays the benchmark set in d09. */
+  val BenchResidue = 7
+
+  val d09Sql: String = {
+    val n = DecontamN
+    val gram = (1 until n).map(j => s" || ' ' || ws[i+$j]")
+      .mkString(s"ws[i]", "", "")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - ${n - 2}),
+       |       i -> $gram)) AS gram FROM w WHERE len(ws) >= $n),
+       |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+       |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = $BenchResidue),
+       |hit AS (SELECT g.doc_id, COUNT(*) AS n_hit_grams FROM g JOIN ev USING (gram)
+       |        WHERE g.doc_id % 10 <> $BenchResidue GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+       |  COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN hit h USING (doc_id)
+       |WHERE d.doc_id % 10 <> $BenchResidue ORDER BY doc_id""".stripMargin
+  }
+
+  /** Sequence-packing layout: concat-then-chunk token offsets over the
+    * whitespace token stream (the t03 token definition), 512-token
+    * windows. The global prefix sum runs as the distributed two-pass
+    * scan in [[graft.ops.SequencePack]] — never a single-partition
+    * window; the oracle replays it with DuckDB's window cumsum. */
+  def d10SequencePack(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SequencePack.packOffsets(
+      docs(s, dir).withColumn("n_tokens", size(split(col("text"), " "))),
+      "doc_id", "n_tokens", PackWindow)
+      .orderBy(col("doc_id"))
+
+  /** Training context-window size (tokens) for d10. */
+  val PackWindow = 512L
+
+  val d10Sql: String =
+    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+       |p AS (SELECT doc_id, n_tokens,
+       |      CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+       |      FROM t)
+       |SELECT doc_id, n_tokens, start_token,
+       |  start_token // $PackWindow AS window_id,
+       |  (start_token + n_tokens - 1) // $PackWindow AS end_window,
+       |  ((start_token + n_tokens - 1) // $PackWindow) > (start_token // $PackWindow) AS spans_boundary
+       |FROM p ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t06_rolling_fp" -> t06RollingFp _,
@@ -706,6 +774,8 @@ object Documents {
     "d06_curation_pipeline" -> d06CurationPipeline _,
     "d07_source_mix" -> d07SourceMix _,
     "d08_dedup_clusters" -> d08DedupClusters _,
+    "d09_decontaminate" -> d09Decontaminate _,
+    "d10_sequence_pack" -> d10SequencePack _,
     "t09_repetition" -> t09Repetition _,
     "t01_text_stats" -> t01TextStats _,
     "t02_quality_score" -> t02QualityScore _,
@@ -729,6 +799,8 @@ object Documents {
     "d06_curation_pipeline" -> d06Sql,
     "d07_source_mix" -> d07Sql,
     "d08_dedup_clusters" -> d08Sql,
+    "d09_decontaminate" -> d09Sql,
+    "d10_sequence_pack" -> d10Sql,
     "t09_repetition" -> t09Sql,
     "t01_text_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,

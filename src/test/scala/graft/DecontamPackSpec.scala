@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Decontaminate, SequencePack}
+
+/** Benchmark decontamination + sequence-packing layout — the
+  * training-data-pipeline rows d09/d10. */
+class DecontamPackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flagContaminated: known overlaps, short docs, broadcast plan") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "zzz alpha beta gamma delta yyy"), // shares 2 distinct 4-grams? windows: [zzz a b g],[a b g d],[b g d yyy] -> 1 hit
+      (2L, "alpha beta gamma delta epsilon"), // exact copy: 2 bench 4-grams
+      (3L, "totally different words here now"), // clean
+      (4L, "alpha beta gamma"), // 3 words < n: no grams
+      (5L, "alpha beta gamma delta alpha beta gamma delta") // repeated gram counted once
+    ).toDF("doc_id", "text")
+    val res = Decontaminate.flagContaminated(train, bench)
+    val m = res.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(m(1L) == (1L, true))
+    assert(m(2L) == (2L, true))
+    assert(m(3L) == (0L, false))
+    assert(m(4L) == (0L, false), "sub-n doc has no grams")
+    assert(m(5L) == (1L, true), "per-doc distinct grams: repeat counted once")
+    assert(res.count() == 5, "every training doc gets a row")
+    // the corpus-side join must be a broadcast, never a shuffle of grams
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench gram set not broadcast:\n$plan")
+  }
+
+  test("packOffsets: distributed prefix sum == serial scan, any parallelism") {
+    val rnd = new scala.util.Random(42)
+    val rows = Array.tabulate(500)(i => (i.toLong, (1 + rnd.nextInt(90)).toLong))
+    val expectedStarts = rows.map(_._2).scanLeft(0L)(_ + _).init
+    for (parts <- Seq(1, 3, 8)) {
+      val df = rows.toSeq.toDF("doc_id", "n_tokens").repartition(7) // arbitrary input layout
+      val out = SequencePack.packOffsets(df, "doc_id", "n_tokens", 64L, parts)
+        .orderBy("doc_id").collect()
+      assert(out.length == 500)
+      out.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(0) == i.toLong)
+        assert(r.getLong(2) == expectedStarts(i),
+          s"start_token mismatch at doc $i with $parts partitions")
+        val start = r.getLong(2); val tok = r.getLong(1)
+        assert(r.getLong(3) == start / 64, "window_id")
+        assert(r.getLong(4) == (start + tok - 1) / 64, "end_window")
+        assert(r.getBoolean(5) == ((start + tok - 1) / 64 > start / 64), "spans")
+      }
+    }
+  }
+
+  test("packOffsets: spans_boundary marks exactly the chunk-split docs") {
+    // tokens 10 each, window 32: docs at offsets 30,60,... straddle
+    val df = (0L until 20L).map(i => (i, 10L)).toDF("doc_id", "n_tokens")
+    val out = SequencePack.packOffsets(df, "doc_id", "n_tokens", 32L, 4)
+      .orderBy("doc_id").collect()
+    val spans = out.filter(_.getBoolean(5)).map(_.getLong(0)).toSeq
+    // starts: 0,10,20,30,...; doc straddles iff (start%32)+10 > 32
+    val expect = (0L until 20L).filter(i => (i * 10 % 32) + 10 > 32)
+    assert(spans == expect, s"got $spans want $expect")
+  }
+}
