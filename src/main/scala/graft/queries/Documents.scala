@@ -758,6 +758,68 @@ object Documents {
        |  ((start_token + n_tokens - 1) // $PackWindow) > (start_token // $PackWindow) AS spans_boundary
        |FROM p ORDER BY doc_id""".stripMargin
 
+  /** Corpus vocabulary: top-K words by total frequency with document
+    * frequency — the tokenizer-training / vocab-prep aggregation. One
+    * fused per-document count kernel (local word→count map, no
+    * per-token rows into the shuffle), then ONE corpus shuffle keyed by
+    * word with map-side partial aggregation, then a TakeOrdered top-K —
+    * the classic word-count shape that scales to any corpus size. */
+  def d11VocabTop(s: SparkSession, dir: String): DataFrame = {
+    val cntU = udf { text: String =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      text.split(" ", -1).foreach(w => m.update(w, m.getOrElse(w, 0L) + 1L))
+      m.toMap
+    }
+    docs(s, dir)
+      .select(explode(cntU(col("text"))).as(Seq("word", "c")))
+      .groupBy(col("word"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("word"))
+      .limit(VocabTopK)
+  }
+
+  /** Vocabulary size reported by d11 (ties broken by word, so the
+    * cutoff is deterministic). */
+  val VocabTopK = 50
+
+  val d11Sql: String =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |d AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+       |a AS (SELECT word, CAST(SUM(c) AS BIGINT) AS tf, COUNT(*) AS df FROM d GROUP BY 1)
+       |SELECT word, tf, df FROM a ORDER BY tf DESC, word LIMIT $VocabTopK""".stripMargin
+
+  /** Streaming ingest-time decontamination (a REAL Structured Streaming
+    * run): the training split is staged to parquet, streamed back
+    * admission-capped (3 files/trigger over 8 staged files, so
+    * AvailableNow genuinely micro-batches), and every micro-batch is
+    * flagged against the static benchmark gram set by
+    * [[graft.streaming.EventStream.decontamServe]]. Per-document flags
+    * are independent of the micro-batching, so the sink union equals
+    * the batch d09 answer bit-exactly — d09's SQL oracle verifies the
+    * streaming run. */
+  def s06StreamDecontam(s: SparkSession, dir: String): DataFrame = {
+    val root = Vector.sdir(dir)
+    val staged = s"$root/s06_docs.parquet"
+    val outDir = s"$root/s06_out.parquet"
+    val d = docs(s, dir)
+    d.filter(col("doc_id") % 10 =!= BenchResidue).select("doc_id", "text")
+      .repartition(8).write.mode("overwrite").parquet(staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    val schema = s.read.parquet(staged).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "3").parquet(staged)
+    val q = graft.streaming.EventStream.decontamServe(
+      stream, d.filter(col("doc_id") % 10 === BenchResidue), DecontamN, outDir)
+    require(q.awaitTermination(300000),
+      "s06 streaming query did not finish within 300s — partial sink")
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 2,
+      s"s06 ran in $dataBatches micro-batches (expected >= 2)")
+    s.read.parquet(outDir).orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t06_rolling_fp" -> t06RollingFp _,
     "t07_lang_id" -> t07LangId _,
@@ -776,6 +838,8 @@ object Documents {
     "d08_dedup_clusters" -> d08DedupClusters _,
     "d09_decontaminate" -> d09Decontaminate _,
     "d10_sequence_pack" -> d10SequencePack _,
+    "d11_vocab_top" -> d11VocabTop _,
+    "s06_stream_decontam" -> s06StreamDecontam _,
     "t09_repetition" -> t09Repetition _,
     "t01_text_stats" -> t01TextStats _,
     "t02_quality_score" -> t02QualityScore _,
@@ -801,6 +865,8 @@ object Documents {
     "d08_dedup_clusters" -> d08Sql,
     "d09_decontaminate" -> d09Sql,
     "d10_sequence_pack" -> d10Sql,
+    "d11_vocab_top" -> d11Sql,
+    "s06_stream_decontam" -> d09Sql,
     "t09_repetition" -> t09Sql,
     "t01_text_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,

@@ -62,6 +62,25 @@ object EventStream {
     queryStream.writeStream.foreachBatch(fn).trigger(trigger).start()
   }
 
+  /** Streaming ingest-time decontamination: arriving documents are
+    * checked against the (static, broadcast) benchmark n-gram set as
+    * they land — the admission-control shape of the batch d09 operator.
+    * Per-document flags depend only on that document and the benchmark
+    * set, so the sink union over micro-batches is bit-identical to the
+    * batch answer (the same argument as [[knnServe]]) — which lets a
+    * plain batch SQL oracle verify a real streaming run. */
+  def decontamServe(docStream: DataFrame, bench: DataFrame, n: Int,
+                    outDir: String,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val fn: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) =>
+      if (!batch.isEmpty)
+        graft.ops.Decontaminate.flagContaminated(batch, bench, n = n)
+          .write.mode("append").parquet(outDir)
+    docStream.writeStream.foreachBatch(fn).trigger(trigger).start()
+  }
+
   /** Streaming exact dedup — the streaming twin of d01 for continuous
     * training-data ingest: fingerprint the normalized text, then keep
     * the first arrival of each fingerprint, with state bounded by the

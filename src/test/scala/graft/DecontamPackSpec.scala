@@ -52,6 +52,40 @@ class DecontamPackSpec extends SparkSpec {
     }
   }
 
+  test("s06 streaming decontamination == batch d09, genuinely micro-batched") {
+    val dir = sf("sf0.001")
+    val streamed = graft.queries.Documents.s06StreamDecontam(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val batch = graft.queries.Documents.d09Decontaminate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(streamed.sameElements(batch),
+      "streaming sink union must be bit-identical to the batch answer")
+    assert(batch.exists(_._3) && batch.exists(!_._3),
+      "fixture should contain both contaminated and clean docs")
+  }
+
+  test("d11 vocab: top-K by (tf desc, word), deterministic cutoff") {
+    val dir = sf("sf0.001")
+    val rows = graft.queries.Documents.d11VocabTop(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // local oracle over the same fixture
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val tf = scala.collection.mutable.Map.empty[String, Long]
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      val ws = t.split(" ", -1)
+      ws.foreach(w => tf.update(w, tf.getOrElse(w, 0L) + 1))
+      ws.distinct.foreach(w => df.update(w, df.getOrElse(w, 0L) + 1))
+    }
+    // a fixture vocabulary smaller than the cutoff returns whole-vocab
+    assert(rows.length == math.min(graft.queries.Documents.VocabTopK, tf.size))
+    val expect = tf.toSeq.map { case (w, c) => (w, c, df(w)) }
+      .sortBy { case (w, c, _) => (-c, w) }
+      .take(graft.queries.Documents.VocabTopK)
+    assert(rows.toSeq == expect)
+  }
+
   test("packOffsets: spans_boundary marks exactly the chunk-split docs") {
     // tokens 10 each, window 32: docs at offsets 30,60,... straddle
     val df = (0L until 20L).map(i => (i, 10L)).toDF("doc_id", "n_tokens")
