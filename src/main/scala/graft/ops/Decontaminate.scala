@@ -55,6 +55,24 @@ object Decontaminate {
     *                 default — long enough that common phrases do not
     *                 flood the flag, short enough to catch excerpts)
     */
+  /** Just the contaminated document ids — the anti-join input for a
+    * filter-out pipeline (d12). Skips [[flagContaminated]]'s corpus-wide
+    * left join back: only HIT rows enter the shuffle (one distinct on
+    * the id), so the output is sized by the contamination rate, not the
+    * corpus — at normal rates it is broadcastable into the caller's
+    * anti-join (AQE picks that up from the runtime size). */
+  def contaminatedIds(train: DataFrame, bench: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      n: Int = 4): DataFrame = {
+    val grams = gramUdf(n)
+    val benchGrams = bench
+      .select(explode(grams(col(textCol))).as("gram")).distinct()
+    train
+      .select(col(idCol), explode(grams(col(textCol))).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .select(col(idCol)).distinct()
+  }
+
   def flagContaminated(train: DataFrame, bench: DataFrame,
                        idCol: String = "doc_id", textCol: String = "text",
                        n: Int = 4): DataFrame = {

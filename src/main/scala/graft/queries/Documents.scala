@@ -788,6 +788,83 @@ object Documents {
        |a AS (SELECT word, CAST(SUM(c) AS BIGINT) AS tf, COUNT(*) AS df FROM d GROUP BY 1)
        |SELECT word, tf, df FROM a ORDER BY tf DESC, word LIMIT $VocabTopK""".stripMargin
 
+  /** End-to-end training-data preparation — the composed job a
+    * pre-training run actually submits, as ONE declarative DAG:
+    *
+    *   1. quality gate (d06's stopword-ratio + min-length thresholds) —
+    *      map-side only, fused into the scan;
+    *   2. exact dedup keeping the smallest doc_id per normalized-text
+    *      fingerprint — one shuffle on the 16-byte digest;
+    *   3. benchmark decontamination — bench grams broadcast
+    *      (benchmarks are MBs at any corpus scale), then a LEFT ANTI
+    *      join against just the contaminated ids
+    *      ([[graft.ops.Decontaminate.contaminatedIds]] — sized by the
+    *      contamination rate, not the corpus, so AQE broadcasts it);
+    *   4. sequence packing of the survivors into [[PackWindow]]-token
+    *      context windows via the distributed two-pass prefix sum.
+    *
+    * Output: one row per surviving document with its global token
+    * offset and context-window ids — the layout manifest a tokenizer
+    * shard consumes. Every stage is the production-scale shape: the
+    * only corpus-keyed shuffles are the dedup groupBy and the packing
+    * range-partition; decontamination never shuffles corpus text. */
+  def d12PrepareE2e(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val train = d.filter(col("doc_id") % 10 =!= BenchResidue)
+    val bench = d.filter(col("doc_id") % 10 === BenchResidue)
+    val ws = split(col("text"), " ")
+    val sw = array(Seq("the", "a", "of", "and", "or", "is", "to", "in").map(lit): _*)
+    val quality = train
+      .withColumn("wsArr", ws)
+      .withColumn("stop_ratio",
+        size(filter(col("wsArr"), w => array_contains(sw, w))).cast("double") /
+          size(col("wsArr")))
+      .filter(col("stop_ratio") >= 0.02 && size(col("wsArr")) >= 20)
+      .select(col("doc_id"), col("text"),
+        size(col("wsArr")).as("n_tokens"), md5(normText).as("fp"))
+    val keepers = quality.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val deduped = quality.join(keepers, Seq("fp", "doc_id")).drop("fp")
+    val bad = graft.ops.Decontaminate.contaminatedIds(deduped, bench, n = DecontamN)
+    val clean = deduped.join(bad, Seq("doc_id"), "left_anti")
+    graft.ops.SequencePack.packOffsets(clean, "doc_id", "n_tokens", PackWindow)
+      .orderBy(col("doc_id"))
+  }
+
+  val d12Sql: String = {
+    val n = DecontamN
+    val gram = (1 until n).map(j => s" || ' ' || ws[i+$j]").mkString("ws[i]", "", "")
+    s"""WITH scored AS (
+       |  SELECT doc_id, text,
+       |    len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','of','and','or','is','to','in'], w)))::DOUBLE
+       |      / len(string_split(text, ' ')) AS stop_ratio,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents WHERE doc_id % 10 <> $BenchResidue),
+       |q AS (SELECT * FROM scored WHERE stop_ratio >= 0.02 AND n_tokens >= 20),
+       |keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM q GROUP BY fp),
+       |dd AS (SELECT q.doc_id, q.text, q.n_tokens FROM q
+       |       JOIN keep ON q.fp = keep.fp AND q.doc_id = keep.doc_id),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM dd),
+       |g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - ${n - 2}),
+       |      i -> $gram)) AS gram FROM w WHERE len(ws) >= $n),
+       |bw AS (SELECT string_split(text, ' ') AS ws FROM documents
+       |       WHERE doc_id % 10 = $BenchResidue),
+       |ev AS (SELECT DISTINCT unnest(list_transform(range(1, len(ws) - ${n - 2}),
+       |       i -> $gram)) AS gram FROM bw WHERE len(ws) >= $n),
+       |bad AS (SELECT DISTINCT doc_id FROM g JOIN ev USING (gram)),
+       |clean AS (SELECT doc_id, n_tokens FROM dd
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+       |p AS (SELECT doc_id, n_tokens,
+       |      CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+       |      FROM clean)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, start_token,
+       |  start_token // $PackWindow AS window_id,
+       |  (start_token + n_tokens - 1) // $PackWindow AS end_window,
+       |  ((start_token + n_tokens - 1) // $PackWindow) > (start_token // $PackWindow) AS spans_boundary
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   /** Streaming ingest-time decontamination (a REAL Structured Streaming
     * run): the training split is staged to parquet, streamed back
     * admission-capped (3 files/trigger over 8 staged files, so
@@ -839,6 +916,7 @@ object Documents {
     "d09_decontaminate" -> d09Decontaminate _,
     "d10_sequence_pack" -> d10SequencePack _,
     "d11_vocab_top" -> d11VocabTop _,
+    "d12_prepare_e2e" -> d12PrepareE2e _,
     "s06_stream_decontam" -> s06StreamDecontam _,
     "t09_repetition" -> t09Repetition _,
     "t01_text_stats" -> t01TextStats _,
@@ -866,6 +944,7 @@ object Documents {
     "d09_decontaminate" -> d09Sql,
     "d10_sequence_pack" -> d10Sql,
     "d11_vocab_top" -> d11Sql,
+    "d12_prepare_e2e" -> d12Sql,
     "s06_stream_decontam" -> d09Sql,
     "t09_repetition" -> t09Sql,
     "t01_text_stats" -> t01Sql,

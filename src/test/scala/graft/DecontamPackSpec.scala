@@ -86,6 +86,81 @@ class DecontamPackSpec extends SparkSpec {
     assert(rows.toSeq == expect)
   }
 
+  test("contaminatedIds == flagContaminated's flagged set") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "zzz alpha beta gamma delta yyy"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different words here now"),
+      (4L, "alpha beta gamma"),
+      (5L, "alpha beta gamma delta alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val viaFlag = Decontaminate.flagContaminated(train, bench)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val direct = Decontaminate.contaminatedIds(train, bench)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(direct == viaFlag && direct == Seq(1L, 2L, 5L))
+    val plan = Decontaminate.contaminatedIds(train, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench gram set not broadcast:\n$plan")
+  }
+
+  test("d12 prepare e2e: stage invariants over the fixture corpus") {
+    val dir = sf("sf0.001")
+    val D = graft.queries.Documents
+    val out = D.d12PrepareE2e(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty, "e2e output empty — fixture filters too strict?")
+    // packing invariant: contiguous cumsum in doc_id order, starting at 0
+    assert(out.sortBy(_._1).sameElements(out), "output not doc_id-ordered")
+    var run = 0L
+    out.foreach { case (_, tok, start) =>
+      assert(start == run, s"offset gap at start=$start expected $run")
+      run += tok
+    }
+    val outIds = out.map(_._1).toSet
+    // no benchmark-side doc, and every survivor passes the quality gate
+    assert(outIds.forall(_ % 10 != D.BenchResidue))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sw = Set("the", "a", "of", "and", "or", "is", "to", "in")
+    outIds.foreach { id =>
+      val ws = docs(id).split(" ", -1)
+      assert(ws.length >= 20 &&
+        ws.count(sw).toDouble / ws.length >= 0.02, s"doc $id fails quality gate")
+    }
+    // no contaminated survivor: recompute the bad set independently
+    def grams(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < D.DecontamN) Set.empty
+      else ws.sliding(D.DecontamN).map(_.mkString(" ")).toSet
+    }
+    val benchGrams = docs.collect {
+      case (id, t) if id % 10 == D.BenchResidue => grams(t)
+    }.foldLeft(Set.empty[String])(_ ++ _)
+    outIds.foreach { id =>
+      assert(grams(docs(id)).intersect(benchGrams).isEmpty,
+        s"contaminated doc $id survived")
+    }
+    // dedup: survivors' normalized texts are pairwise distinct, and each
+    // survivor is the SMALLEST quality-passing doc_id for its text
+    def norm(t: String) = t.toLowerCase.replaceAll("\\s+", " ").trim
+    val normOf = outIds.map(id => id -> norm(docs(id))).toMap
+    assert(normOf.values.toSeq.distinct.size == outIds.size, "duplicate texts survived")
+    val qualIds = docs.keySet.filter { id =>
+      val ws = docs(id).split(" ", -1)
+      id % 10 != D.BenchResidue && ws.length >= 20 &&
+        ws.count(sw).toDouble / ws.length >= 0.02
+    }
+    outIds.foreach { id =>
+      val minDup = qualIds.filter(q => norm(docs(q)) == normOf(id)).min
+      assert(id == minDup, s"kept $id but smallest duplicate is $minDup")
+    }
+  }
+
   test("packOffsets: spans_boundary marks exactly the chunk-split docs") {
     // tokens 10 each, window 32: docs at offsets 30,60,... straddle
     val df = (0L until 20L).map(i => (i, 10L)).toDF("doc_id", "n_tokens")
