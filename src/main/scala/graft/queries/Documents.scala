@@ -810,23 +810,12 @@ object Documents {
     * range-partition; decontamination never shuffles corpus text. */
   def d12PrepareE2e(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val train = d.filter(col("doc_id") % 10 =!= BenchResidue)
-    val bench = d.filter(col("doc_id") % 10 === BenchResidue)
-    val ws = split(col("text"), " ")
-    val sw = array(Seq("the", "a", "of", "and", "or", "is", "to", "in").map(lit): _*)
-    val quality = train
-      .withColumn("wsArr", ws)
-      .withColumn("stop_ratio",
-        size(filter(col("wsArr"), w => array_contains(sw, w))).cast("double") /
-          size(col("wsArr")))
-      .filter(col("stop_ratio") >= 0.02 && size(col("wsArr")) >= 20)
-      .select(col("doc_id"), col("text"),
-        size(col("wsArr")).as("n_tokens"), md5(normText).as("fp"))
-    val keepers = quality.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-    val deduped = quality.join(keepers, Seq("fp", "doc_id")).drop("fp")
-    val bad = graft.ops.Decontaminate.contaminatedIds(deduped, bench, n = DecontamN)
-    val clean = deduped.join(bad, Seq("doc_id"), "left_anti")
-    graft.ops.SequencePack.packOffsets(clean, "doc_id", "n_tokens", PackWindow)
+    graft.ops.PreparePipeline.run(
+      train = d.filter(col("doc_id") % 10 =!= BenchResidue),
+      bench = d.filter(col("doc_id") % 10 === BenchResidue),
+      stopwords = Seq("the", "a", "of", "and", "or", "is", "to", "in"),
+      minStopRatio = 0.02, minTokens = 20,
+      gramN = DecontamN, windowTokens = PackWindow)
       .orderBy(col("doc_id"))
   }
 

@@ -31,7 +31,8 @@ object PipeScale {
     args.headOption match {
       case Some("pack")     => pack(spark, args(1).toLong)
       case Some("decontam") => decontam(spark, args(1).toLong, args(2).toInt)
-      case _ => sys.error("usage: PipeScale pack N | decontam N B")
+      case Some("e2e")      => e2e(spark, args(1).toLong, args(2).toInt)
+      case _ => sys.error("usage: PipeScale pack N | decontam N B | e2e N B")
     }
     spark.stop()
   }
@@ -80,6 +81,102 @@ object PipeScale {
     require(mismatches == 0L, "distributed offsets differ from serial scan")
     val spans = dist.filter(col("spans_boundary")).count()
     println(s"[pipescale] spans_boundary docs: $spans (${100.0 * spans / n}%)")
+  }
+
+  /** `e2e N B` — the composed prepare pipeline (PreparePipeline.run,
+    * the exact d12 production path) over N synthetic docs with PLANTED
+    * structure whose survivor count has a closed form computable by a
+    * driver-side integer loop (an oracle independent of the DataFrame
+    * pipeline):
+    *
+    *  - sid(id) = id-1 if id%100==1 else id → 1% exact-duplicate pairs
+    *    (text is a pure function of sid);
+    *  - docs whose sid%97==3 are 10 words (fail the min-20 gate),
+    *    everything else 40 words with 'the' at every 10th position
+    *    (stop_ratio 0.1 ≥ 0.02: gate passes);
+    *  - benchmark doc j carries id 211j+5, which the same sid mapping
+    *    turns into state t = sid(211j+5); a targeted state t removes
+    *    EXACTLY ONE survivor iff t<N and t%97 != 3 (its train carrier
+    *    passed the gate — post-mapping t never ≡1 mod 100, so a
+    *    carrier always exists), counting each distinct t once;
+    *  - vocabulary 100k ⇒ accidental cross-state 4-gram collisions
+    *    have expectation ≪ 1 at N=2e7 (≈ (N·37)(B·37)/1e15·phases).
+    *
+    * expected rows = |{s<N : s%100≠1, s%97≠3}|
+    *               − |{t = sid(211j+5) : j<B, t<N, t%97≠3}|
+    * expected total tokens = 40 × expected rows. */
+  def e2e(spark: SparkSession, n: Long, b: Int): Unit = {
+    println(s"[pipescale] e2e n=$n bench=$b")
+    val gen = udf { (sid: Long, nw: Int) =>
+      val sb = new StringBuilder
+      var i = 0
+      while (i < nw) {
+        if (i > 0) sb.append(' ')
+        if (i % 10 == 0) sb.append("the")
+        else {
+          // mixed hash — a LINEAR map of sid would repeat whole texts
+          // with period |vocab| in sid and flood dedup with collisions
+          var h = sid * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL
+          h ^= h >>> 32; h *= 0xD6E8FEB86659FD93L; h ^= h >>> 32
+          sb.append("w").append(Math.floorMod(h, 100000L))
+        }
+        i += 1
+      }
+      sb.result()
+    }
+    def docsOf(ids: org.apache.spark.sql.DataFrame) = ids
+      .withColumn("sid", when(col("doc_id") % 100 === 1, col("doc_id") - 1)
+        .otherwise(col("doc_id")))
+      .withColumn("nw", when(col("sid") % 97 === 3, lit(10)).otherwise(lit(40)))
+      .select(col("doc_id"), gen(col("sid"), col("nw")).as("text"))
+    val train = docsOf(spark.range(n).toDF("doc_id"))
+    val bench = docsOf(spark.range(b.toLong).select((col("id") * 211 + 5)
+      .as("doc_id"))) // replayed states ⇒ planted contamination
+    val out = timed(s"prepare e2e n=$n b=$b") {
+      val r = graft.ops.PreparePipeline.run(
+        train, bench,
+        stopwords = Seq("the", "a", "of", "and", "or", "is", "to", "in"),
+        minStopRatio = 0.02, minTokens = 20, gramN = 4,
+        windowTokens = 2048L, packParts = 256)
+      r.cache().count()
+      r
+    }
+    val inv = out.agg(
+      count(lit(1)).as("rows"),
+      min(col("start_token")).as("minStart"),
+      max(col("start_token") + col("n_tokens")).as("maxEnd"),
+      sum(col("n_tokens")).as("total")).collect()(0)
+    println(s"[pipescale] rows=${inv.getLong(0)} minStart=${inv.getLong(1)} " +
+      s"maxEnd=${inv.getLong(2)} totalTokens=${inv.getLong(3)}")
+    // closed-form oracle: a plain integer loop on the driver
+    var expected = 0L
+    var s = 0L
+    while (s < n) {
+      if (s % 100 != 1 && s % 97 != 3) expected += 1
+      s += 1
+    }
+    val targeted = scala.collection.mutable.Set.empty[Long]
+    var j = 0L
+    while (j < b) {
+      val t0 = 211L * j + 5
+      val t = if (t0 % 100 == 1) t0 - 1 else t0 // mirror docsOf's sid rule
+      if (t < n && t % 97 != 3) targeted += t
+      j += 1
+    }
+    expected -= targeted.size
+    println(s"[pipescale] expected survivors (closed form): $expected")
+    require(inv.getLong(0) == expected,
+      s"survivor count ${inv.getLong(0)} != closed-form $expected")
+    require(inv.getLong(1) == 0L && inv.getLong(2) == inv.getLong(3) &&
+      inv.getLong(3) == 40L * expected, "packing invariants broken")
+    // the packed frame is RDD-backed, so audit the pre-pack stages
+    val clean = graft.ops.PreparePipeline.cleanCorpus(
+      train, bench, Seq("the", "a", "of", "and", "or", "is", "to", "in"),
+      minStopRatio = 0.02, minTokens = 20, gramN = 4)
+    clean.count() // materialize so AQE finalizes join strategies
+    val plan = clean.queryExecution.executedPlan.toString
+    require(plan.contains("BroadcastHashJoin"), s"bench grams not broadcast:\n$plan")
+    println("[pipescale] plan: broadcast gram join confirmed; pipeline count exact")
   }
 
   def decontam(spark: SparkSession, n: Long, b: Int): Unit = {
