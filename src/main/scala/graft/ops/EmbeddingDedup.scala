@@ -33,6 +33,33 @@ object EmbeddingDedup {
       .select(col("a"), col("b"), col("cos"))
   }
 
+  /** Semantic near-dup via coarse-cluster bucketing — the SemDeDup
+    * shape (Abbas et al. 2023: k-means the embeddings, look for
+    * duplicates only WITHIN a cluster): pairs sharing a trained IVF
+    * list with exact cosine ≥ threshold. `assigned` is an
+    * IVFIndex.assign output (`id`, `vec`, `list_no`).
+    *
+    * Scale shape: the pair enumeration is an equi-join on `list_no` —
+    * per-cluster quadratic work sharded across executors, never
+    * corpus-quadratic, with task cost bounded by the largest list
+    * exactly as IVF probe cost is. A corpus that is already
+    * IVF-indexed for ANN gets semantic dedup from its existing layout
+    * for one within-list join — no signatures, no extra passes
+    * (contrast [[lshPairs]], which buckets by sign-bit bands and
+    * needs no trained model). Near-identical vectors assign to the
+    * same list (assignment is a deterministic argmin over centroid
+    * distances), so recall on true duplicates is governed by the
+    * clustering only at the threshold margin. */
+  def ivfPairs(assigned: DataFrame, threshold: Double): DataFrame = {
+    val a = assigned.select(col("list_no"), col("id").as("a"), col("vec").as("va"))
+    val b = assigned.select(col("list_no"), col("id").as("b"), col("vec").as("vb"))
+    a.join(b, Seq("list_no"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"))
+  }
+
   /** Exact top-k most-similar pairs by cosine, distributed: each task
     * sees two row blocks and keeps a bounded pair heap; the global merge
     * is a k-row sort. Ties break on (a, b) ascending. Ids must fit in

@@ -310,6 +310,46 @@ object Vector {
       |  FROM u x JOIN u y ON x.id < y.id)
       |SELECT a, b, cos FROM p WHERE cos >= 0.99 ORDER BY a, b""".stripMargin
 
+  /** Semantic near-dup via coarse-cluster bucketing (SemDeDup): the
+    * TRAINED-partition variant of the bucketed near-dup scale path —
+    * v15 buckets by LSH sign-bit bands, v32 by the k-means lists an
+    * ANN-indexed corpus already has, so semantic dedup costs one
+    * within-list join over the existing layout. Planted identical
+    * duplicates assign to identical lists (assignment is a
+    * deterministic argmin), so recall on the planted pairs is 1 by
+    * construction and the 0.99 exact-cosine filter rejects everything
+    * else (the data's max original-pair cosine is ≈0.6). The trained
+    * partition is data, not SQL — persisted as a side table; the
+    * oracle replays the within-cluster enumeration + cosine against
+    * it declaratively. */
+  def v32SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir).select(col("id"), col("vec"))
+    val planted = b.unionByName(
+      b.select((col("id") + 1000000L).as("id"), col("vec")))
+    val model = graft.index.IVFIndex.train(planted, nlist = 8)
+    val assigned = graft.index.IVFIndex.assign(planted, model)
+    assigned.select(col("id"), col("list_no")).coalesce(1)
+      .write.mode("overwrite").parquet(s"${odir(dir)}/v32_assign.parquet")
+    graft.ops.EmbeddingDedup.ivfPairs(assigned, threshold = 0.99)
+      .orderBy(col("a"), col("b"))
+  }
+
+  def v32Sql(dir: String): String = {
+    val od = odir(dir)
+    s"""WITH u AS (
+       |  SELECT vec_id AS id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS id, embedding FROM embeddings),
+       |asg AS (SELECT id, list_no FROM read_parquet('$od/v32_assign.parquet/*.parquet')),
+       |p AS (SELECT ax.id AS a, ay.id AS b,
+       |  list_sum(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) /
+       |  (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))) *
+       |   sqrt(list_sum(list_transform(range(1, 65), i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))) AS cos
+       |  FROM asg ax JOIN asg ay ON ax.list_no = ay.list_no AND ax.id < ay.id
+       |  JOIN u x ON x.id = ax.id JOIN u y ON y.id = ay.id)
+       |SELECT a, b, cos FROM p WHERE cos >= 0.99 ORDER BY a, b""".stripMargin
+  }
+
   /** O5+PQ — IVFPQ with exact-rerank refinement, configured so the
     * candidate pool covers the collection (nprobe=nlist, kFactor·k ≥ N):
     * the ADC stage is exercised end-to-end and the refined result is
@@ -1398,6 +1438,7 @@ object Vector {
     "v06_ivf_probe" -> v06IvfProbe _,
     "v07_neardup_pairs" -> v07NearDupPairs _,
     "v15_neardup_lsh" -> v15NeardupLsh _,
+    "v32_semantic_dedup" -> v32SemanticDedup _,
     "v16_scalar_codecs" -> v16ScalarCodecs _,
     "v17_hamming_wide" -> v17HammingWide _,
     "v18_polysemous" -> v18Polysemous _,
@@ -1444,6 +1485,7 @@ object Vector {
     "v05_ivf_exact" -> v05Sql,
     "v07_neardup_pairs" -> v07Sql,
     "v15_neardup_lsh" -> v15Sql,
+    "v32_semantic_dedup" -> v32Sql(dir),
     "v16_scalar_codecs" -> v16Sql,
     "v17_hamming_wide" -> v17Sql(dir),
     "v18_polysemous" -> v18Sql(dir),

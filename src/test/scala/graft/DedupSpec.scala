@@ -85,6 +85,35 @@ class DedupSpec extends SparkSpec {
     assert((got -- want).isEmpty)
   }
 
+  test("ivfPairs: cluster-bucketed semantic dedup == exact pairs on planted twins") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // three well-separated clusters of 40 points each in 16-dim
+    val centers = Array(0, 5, 10).map(o =>
+      Array.tabulate(16)(j => if (j == o) 10f else 0f))
+    val pts = (0 until 120).map { i =>
+      val c = centers(i / 40)
+      Array.tabulate(16)(j => c(j) + 0.3f * rnd.nextGaussian().toFloat)
+    }.toArray
+    // plant twins for the first 10 points of each cluster, ids 1000+
+    val twins = (0 until 120).collect { case i if i % 40 < 10 => pts(i) }
+    val all = pts ++ twins
+    val ids = (0 until 120).map(_.toLong) ++
+      (0 until 120).collect { case i if i % 40 < 10 => 1000L + i }
+    val df = ids.zip(all.map(_.toSeq)).toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val model = graft.index.IVFIndex.train(df, nlist = 3)
+    val assigned = graft.index.IVFIndex.assign(df, model)
+    // identical vectors land in identical lists: argmin is deterministic
+    val got = EmbeddingDedup.ivfPairs(assigned, threshold = 0.99)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    val want = EmbeddingDedup.exactPairs(df, threshold = 0.99)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    assert(want.size >= 30, s"expected the 30 planted twin pairs, exact found ${want.size}")
+    assert(got == want,
+      s"cluster-bucketed pairs diverge: missing ${(want -- got).size}, extra ${(got -- want).size}")
+  }
+
   test("wide-signature banded near-dup matches the exact oracle on planted dups") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

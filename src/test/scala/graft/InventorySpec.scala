@@ -11,9 +11,9 @@ import graft.queries.Relational
   */
 class InventorySpec extends SparkSpec {
 
-  test("driver inventory holds 86 queries, each with an oracle") {
+  test("driver inventory holds 87 queries, each with an oracle") {
     val q = SparkEntry.queries
-    assert(q.size == 86, s"expected 86 driver rows, got ${q.size}")
+    assert(q.size == 87, s"expected 87 driver rows, got ${q.size}")
     val oracles = SparkEntry.oracleSqlFor(sf("sf0.001"))
     val missing = q.keySet -- oracles.keySet
     assert(missing.isEmpty, s"queries without oracle: ${missing.toList.sorted.mkString(",")}")
