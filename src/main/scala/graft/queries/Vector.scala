@@ -326,8 +326,11 @@ object Vector {
     val b = base(s, dir).select(col("id"), col("vec"))
     val planted = b.unionByName(
       b.select((col("id") + 1000000L).as("id"), col("vec")))
-    val model = graft.index.IVFIndex.train(planted, nlist = 8)
-    val assigned = graft.index.IVFIndex.assign(planted, model)
+    // model+assignment cached per dataset dir (the v06 contract: the
+    // cache key is the dir, staleness on in-place rewrite is the
+    // documented IndexCache limitation) — warm runs skip retraining
+    val (_, assigned) =
+      graft.index.IndexCache.ivf(s"$dir|v32planted", planted, nlist = 8)
     assigned.select(col("id"), col("list_no")).coalesce(1)
       .write.mode("overwrite").parquet(s"${odir(dir)}/v32_assign.parquet")
     graft.ops.EmbeddingDedup.ivfPairs(assigned, threshold = 0.99)

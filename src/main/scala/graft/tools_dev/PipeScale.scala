@@ -32,7 +32,8 @@ object PipeScale {
       case Some("pack")     => pack(spark, args(1).toLong)
       case Some("decontam") => decontam(spark, args(1).toLong, args(2).toInt)
       case Some("e2e")      => e2e(spark, args(1).toLong, args(2).toInt)
-      case _ => sys.error("usage: PipeScale pack N | decontam N B | e2e N B")
+      case Some("semdedup") => semdedup(spark, args(1).toLong, args(2).toInt)
+      case _ => sys.error("usage: PipeScale pack N | decontam N B | e2e N B | semdedup N nlist")
     }
     spark.stop()
   }
@@ -177,6 +178,67 @@ object PipeScale {
     val plan = clean.queryExecution.executedPlan.toString
     require(plan.contains("BroadcastHashJoin"), s"bench grams not broadcast:\n$plan")
     println("[pipescale] plan: broadcast gram join confirmed; pipeline count exact")
+  }
+
+  /** `semdedup N nlist` — EmbeddingDedup.ivfPairs (the v32 production
+    * path) at corpus scale: N spread 64-dim vectors (the LshScale
+    * corpus shape — per-id noise over 256 cluster means, realistic for
+    * embeddings) with an identical twin planted at every 100th id.
+    * k-means trains on a deterministic ~5% sample (training cost is
+    * sample-bound, assignment streams the corpus once), then the
+    * within-list pair join runs with exact cosine at 0.99.
+    *
+    * Checks: every planted twin pair is found (identical vectors
+    * assign to identical lists — recall 1.0 by construction,
+    * independent of clustering quality); extras are reported with
+    * their cosine range (legitimately-similar corpus pairs, not false
+    * positives — the threshold is the definition); the max list size
+    * is printed because it bounds per-task pair work. */
+  def semdedup(spark: SparkSession, n: Long, nlist: Int): Unit = {
+    println(s"[pipescale] semdedup n=$n nlist=$nlist")
+    val d = 64
+    val nClusters = 256
+    val gen = udf { (id: Long) =>
+      val r = new scala.util.Random(id * 2654435761L + 42)
+      val c = new scala.util.Random((id % nClusters) * 7919 + 1)
+      Array.fill(d)((c.nextGaussian() + 1.0 * r.nextGaussian()).toFloat)
+    }
+    val baseDF = spark.range(n).toDF("id").withColumn("vec", gen(col("id"))).cache()
+    baseDF.count()
+    val planted = baseDF.filter(col("id") % 100 === 0)
+      .select((col("id") + n).as("id"), col("vec"))
+    val corpus = baseDF.unionByName(planted).cache()
+    val nPlanted = planted.count()
+    val sample = baseDF.filter(col("id") % 20 === 0) // deterministic ~5%
+    val model = timed(s"kmeans train (sample=${n / 20}, k=$nlist)") {
+      graft.index.IVFIndex.train(sample, nlist = nlist)
+    }
+    val assigned = timed("assign corpus") {
+      val a = graft.index.IVFIndex.assign(corpus, model).cache()
+      a.count(); a
+    }
+    val maxList = assigned.groupBy(col("list_no")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    println(s"[pipescale] max list size: $maxList (mean ${(n + nPlanted) / nlist})")
+    val pairs = timed(s"ivfPairs threshold=0.99") {
+      val p = graft.ops.EmbeddingDedup.ivfPairs(assigned, threshold = 0.99).cache()
+      p.count(); p
+    }
+    val total = pairs.count()
+    // planted pair = (i, i+n) for i % 100 == 0
+    val plantedFound = pairs
+      .filter(col("b") === col("a") + n && col("a") % 100 === 0).count()
+    println(s"[pipescale] pairs=$total plantedFound=$plantedFound of $nPlanted")
+    require(plantedFound == nPlanted,
+      s"missed planted twins: $plantedFound of $nPlanted")
+    val extras = total - plantedFound
+    if (extras > 0) {
+      val ex = pairs.filter(!(col("b") === col("a") + n && col("a") % 100 === 0))
+        .agg(min(col("cos")), max(col("cos"))).collect()(0)
+      println(s"[pipescale] extras=$extras cos in [${ex.get(0)}, ${ex.get(1)}] " +
+        "(genuinely >= threshold corpus pairs, not false positives)")
+    } else println("[pipescale] extras=0")
+    baseDF.unpersist(); corpus.unpersist(); assigned.unpersist(); pairs.unpersist()
   }
 
   def decontam(spark: SparkSession, n: Long, b: Int): Unit = {
