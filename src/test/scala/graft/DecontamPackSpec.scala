@@ -161,6 +161,31 @@ class DecontamPackSpec extends SparkSpec {
     }
   }
 
+  test("prepare pipeline degenerate inputs: empty bench, nothing-survives corpus") {
+    val sw = Seq("the", "a", "of", "and", "or", "is", "to", "in")
+    val longDoc = (0 until 30).map(i => if (i % 10 == 0) "the" else s"w$i").mkString(" ")
+    val corpus = Seq((1L, longDoc), (2L, longDoc + " tail"), (3L, "too short"))
+      .toDF("doc_id", "text")
+    val emptyBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // empty benchmark: decontamination is a no-op, quality gate still applies
+    val out = graft.ops.PreparePipeline
+      .run(corpus, emptyBench, sw, 0.02, 20, 4, 64L)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.head.getLong(2) == 0L, "first survivor starts at offset 0")
+    // nothing survives the gate: the packed frame is empty, not a crash
+    val shorts = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val none = graft.ops.PreparePipeline
+      .run(shorts, emptyBench, sw, 0.02, 20, 4, 64L)
+    assert(none.count() == 0L)
+    assert(none.columns.toSeq == Seq("doc_id", "n_tokens", "start_token",
+      "window_id", "end_window", "spans_boundary"))
+    // a benchmark that hits every survivor: empty output again, by decontam
+    val allBench = Seq((9L, longDoc), (10L, longDoc + " tail")).toDF("doc_id", "text")
+    assert(graft.ops.PreparePipeline
+      .run(corpus, allBench, sw, 0.02, 20, 4, 64L).count() == 0L)
+  }
+
   test("packOffsets: spans_boundary marks exactly the chunk-split docs") {
     // tokens 10 each, window 32: docs at offsets 30,60,... straddle
     val df = (0L until 20L).map(i => (i, 10L)).toDF("doc_id", "n_tokens")
