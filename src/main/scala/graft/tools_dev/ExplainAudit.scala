@@ -40,6 +40,17 @@ object ExplainAudit {
 
     println("=== v19 PQR rerank: candidate broadcast join (no big-side shuffle) ===")
     graft.queries.Vector.v19IvfpqrKnn(spark, dir).explain("formatted")
+
+    println("=== d12 prepare e2e (pre-pack stages): gate fused into scan, md5 dedup shuffle, broadcast gram join, anti-join on hit ids ===")
+    val docsDF = spark.read.parquet(s"$dir/documents.parquet")
+    graft.ops.PreparePipeline.cleanCorpus(
+      docsDF.filter(col("doc_id") % 10 =!= 7),
+      docsDF.filter(col("doc_id") % 10 === 7),
+      Seq("the", "a", "of", "and", "or", "is", "to", "in"),
+      minStopRatio = 0.02, minTokens = 20, gramN = 4).explain("formatted")
+
+    println("=== v32 semantic dedup: within-list equi-join + codegen'd cosine (no cartesian) ===")
+    graft.queries.Vector.v32SemanticDedup(spark, dir).explain("formatted")
     spark.stop()
   }
 }
