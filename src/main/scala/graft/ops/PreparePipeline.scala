@@ -15,7 +15,15 @@ import org.apache.spark.sql.functions._
   * joins just the contaminated ids ([[Decontaminate.contaminatedIds]]
   * — sized by the contamination rate, so AQE broadcasts it);
   * packing is the distributed two-pass prefix sum
-  * ([[SequencePack.packOffsets]]). */
+  * ([[SequencePack.packOffsets]]).
+  *
+  * Deliberate trade: the deduped corpus text is read TWICE (once to
+  * generate grams for the contamination probe, once as the anti-join
+  * left side) instead of carrying each document's gram array through
+  * the dedup shuffle — columnar scans with pushdown are cheap at any
+  * scale, while shuffling every document's n-grams alongside the
+  * 16-byte dedup key would multiply the one corpus-sized shuffle's
+  * bytes by the gram blow-up factor. */
 object PreparePipeline {
 
   def run(train: DataFrame, bench: DataFrame, stopwords: Seq[String],
