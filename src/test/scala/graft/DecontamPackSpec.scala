@@ -186,6 +186,14 @@ class DecontamPackSpec extends SparkSpec {
       .run(corpus, allBench, sw, 0.02, 20, 4, 64L).count() == 0L)
   }
 
+  test("PipeScale closed-form harnesses hold at spec scale (e2e 20k, semdedup 20k)") {
+    // the same planted-structure accounting the 20M/2M evidence runs
+    // use (r13_prepare_e2e_20m.log, r13_semdedup_2m.log) — require()s
+    // inside throw on any count/plan mismatch
+    graft.tools_dev.PipeScale.e2e(spark, 20000, 20)
+    graft.tools_dev.PipeScale.semdedup(spark, 20000, 32)
+  }
+
   test("packOffsets: spans_boundary marks exactly the chunk-split docs") {
     // tokens 10 each, window 32: docs at offsets 30,60,... straddle
     val df = (0L until 20L).map(i => (i, 10L)).toDF("doc_id", "n_tokens")
