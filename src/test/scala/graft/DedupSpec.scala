@@ -114,6 +114,24 @@ class DedupSpec extends SparkSpec {
       s"cluster-bucketed pairs diverge: missing ${(want -- got).size}, extra ${(got -- want).size}")
   }
 
+  test("ivfPairs ⊆ exactPairs under ANY assignment (bucketing can only drop pairs)") {
+    import spark.implicits._
+    val vecs = randVecs(80, 8, seed = 99)
+    val df = vecDF(vecs)
+    // arbitrary, even adversarial, bucketing: modulus classes, not clusters
+    val assigned = df.withColumn("list_no", (col("id") % 5).cast("int"))
+    val threshold = 0.35 // low enough that random 8-dim pairs cross it
+    val bucketed = EmbeddingDedup.ivfPairs(assigned, threshold)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    val exact = EmbeddingDedup.exactPairs(df, threshold)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "threshold too high for the fixture")
+    assert(bucketed.subsetOf(exact), s"bucketed produced non-pairs: ${bucketed -- exact}")
+    // and equals exact restricted to same-bucket pairs
+    val sameBucket = exact.filter { case (a, b) => a % 5 == b % 5 }
+    assert(bucketed == sameBucket)
+  }
+
   test("wide-signature banded near-dup matches the exact oracle on planted dups") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
