@@ -82,12 +82,17 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md"))))
       catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
     println(renderWorstLine(results, pins))
-    // third line, LAST so it survives the harvester's tail capture best:
-    // every row's ratio (or median sec) keyed by SHORT name. The full
-    // `queries` map above runs ~2.3k chars with long names and the
-    // capture keeps ~2k, so rows a01–mm01 were invisible in BENCH_r11;
-    // short keys fit the whole inventory in under 1k chars.
+    // third line: every row's ratio (or median sec) keyed by SHORT
+    // name. The full `queries` map above runs ~2.3k chars with long
+    // names and the capture keeps ~2k, so rows a01–mm01 were invisible
+    // in BENCH_r11; short keys fit the whole inventory in under 1k chars.
     println(renderAllRowsLine(results, pins))
+    // fourth line, LAST: every row's ABSOLUTE median seconds, short
+    // keys. r13's harvest cut the head-of-line `queries` map mid-row,
+    // so the artifact had complete ratios but incomplete absolute
+    // times; with seconds emitted last, the ~4 KB tail capture holds
+    // the ratio line AND the seconds line — fully self-contained.
+    println(renderSecondsLine(results))
     spark.stop()
   }
 
@@ -163,6 +168,22 @@ object Bench {
       "\"" + key(n) + f"\":$x%.3f"
     }.mkString("{", ",", "}")
     s"""{"rows":$rows,"basis":"$basis","n":${results.size}}"""
+  }
+
+  /** One compact JSON line with EVERY row's absolute median seconds,
+    * short-keyed like [[renderAllRowsLine]] (same duplicate-prefix
+    * fallback to full names). Failed rows report -1. Emitted LAST so
+    * the harvester's tail capture always holds complete absolute
+    * times next to the complete ratio line. */
+  private[graft] def renderSecondsLine(results: Seq[(String, Double)]): String = {
+    def short(name: String): String = name.takeWhile(_ != '_')
+    val shorts = results.map(r => short(r._1))
+    val key: String => String =
+      if (shorts.distinct.size == shorts.size) short else identity
+    val rows = results.map { case (n, v) =>
+      "\"" + key(n) + f"\":${if (v < 0) -1.0 else v}%.3f"
+    }.mkString("{", ",", "}")
+    s"""{"secs":$rows,"n":${results.size}}"""
   }
 
   /** Renders the one-line JSON artifact. The verdict fields (`value`,

@@ -436,14 +436,14 @@ object Eval {
           val sec = now() - t
           val rows = fullBatch.map { case (qid, v) =>
             scanRows(v, nps(qid)).toDouble }
-          (name, sec, rows, got)
+          (name, sec, rows, got, nps)
         }
         val baseRows = fullRuns.head._3
         val fullWorst: Map[String, Double] = fullRuns.map {
-          case (name, _, _, got) =>
+          case (name, _, _, got, _) =>
             name -> CompareMetrics.thresholdRecall(got, kthMap, kk).values.min
         }.toMap
-        fullRuns.foreach { case (name, sec, rows, _) =>
+        fullRuns.foreach { case (name, sec, rows, _, _) =>
           println(f"$name%-9s ${sec * 1000 / fullBatch.size}%14.2f  " +
             f"${rows.sum / rows.size}%9.0f  " +
             f"${CompareMetrics.tailRatio(rows)}%13.2f  " +
@@ -455,6 +455,33 @@ object Eval {
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(s"$outDir/graft_compare_${name}_scanrows.log"),
             rows.map(r => f"$r%.0f").mkString("", "\n", "\n"))
+        }
+        // per-query scan TIME measured on executors (the latency axis
+        // beside the scan-work axis above — r13 VERDICT item 6): each
+        // engine's per-query probe decisions re-executed probe-major
+        // with per-probe nanoTime, summed per query. Wall-clock of the
+        // probe-major re-scan differs from the production data-major
+        // kernel (cache locality), so the columns that matter are the
+        // DISTRIBUTION ones (p99/mean, per-query slowdown) — measured
+        // per query on executors, not modeled from row counts and not
+        // micro-batch scheduler noise
+        println("per-query scan-time distribution (probe-major re-scan, " +
+          "executor-measured):")
+        println("engine    qtime_ms_mean  qtime_p99/mean  slow_vs_bounded(time)")
+        val timeRuns = fullRuns.map { case (name, _, _, _, nps) =>
+          val nanos = perQueryScanNanos(assigned, model,
+            fullBatch.toArray, nps, kk)
+          (name, fullBatch.map { case (qid, _) =>
+            nanos.getOrElse(qid, 0L).toDouble / 1e6 })
+        }
+        val baseT = timeRuns.head._2
+        timeRuns.foreach { case (name, ms) =>
+          println(f"$name%-9s ${ms.sum / ms.size}%13.3f  " +
+            f"${CompareMetrics.tailRatio(ms)}%14.2f  " +
+            f"${CompareMetrics.slowdownVs(baseT, ms)}%21.2f")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/graft_compare_${name}_qtime_ms.log"),
+            ms.map(m => f"$m%.4f").mkString("", "\n", "\n"))
         }
         println(f"anchor (run.sh:5 sift10M k=100 err=10): LAET budget " +
           f"7530 units = mean 75.3 lists/q on IVF1024 = frac 0.0735")
@@ -599,4 +626,59 @@ object Eval {
   }
 
   private def now(): Double = System.nanoTime() / 1e9
+
+  /** Per-query scan time measured ON EXECUTORS (the figure-10 latency
+    * axis): re-executes each query's probe set PROBE-MAJOR — every
+    * (list, query) probe scans the list's materialized rows through
+    * the same bounded heap + distance kernel as production, with
+    * nanoTime around the scan — and sums each query's probe nanos in
+    * one Spark aggregate. The production kernels are data-major (all
+    * probes of a list interleave in one streaming pass), where
+    * per-query time is not separable without timing every row; the
+    * probe-major re-scan keeps the per-pair arithmetic identical, so
+    * the per-QUERY time distribution is measured, not modeled from
+    * row counts. Task memory: one list's rows (the IVF list bound). */
+  private def perQueryScanNanos(assigned: DataFrame,
+      model: graft.index.IVFModel, q: Array[(Long, Array[Float])],
+      nps: Map[Long, Int], k: Int): Map[Long, Long] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val metric = model.metric
+    val qScan =
+      if (metric == "ip") q.map { case (i, v) => (i, Kernels.l2Normalize(v)) }
+      else q
+    val bq = spark.sparkContext.broadcast(qScan)
+    val maxNp = qScan.map { case (qid, _) => nps(qid) }.max
+    val ranks = IVFSearch.rankTop(spark, model, qScan, maxNp)
+    val probes: Seq[(Int, Int)] = qScan.indices.flatMap { qi =>
+      ranks(qi).take(nps(qScan(qi)._1)).map { case (l, _) => (l, qi) }
+    }
+    val probeG = probes.toDF("list_no", "qi").as[(Int, Int)].groupByKey(_._1)
+    val dataG = assigned
+      .select(col("list_no").cast("int"), col("id").cast("long"), col("vec"))
+      .as[(Int, Long, Array[Float])].groupByKey(_._1)
+    dataG.cogroup(probeG) { (_, dataIt, probeIt) =>
+      val ps = probeIt.toArray
+      if (ps.isEmpty) Iterator.empty
+      else {
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        dataIt.foreach { case (_, id, v) => ids += id; vecs += v }
+        val n = ids.length
+        val qs = bq.value
+        ps.iterator.map { case (_, qi) =>
+          val qv = qs(qi)._2
+          val h = new graft.operators.TopK(k)
+          val t0 = System.nanoTime()
+          var i = 0
+          while (i < n) {
+            h.add(Kernels.distance(metric, qv, vecs(i)), ids(i))
+            i += 1
+          }
+          (qs(qi)._1, System.nanoTime() - t0)
+        }
+      }
+    }.groupByKey(_._1).mapGroups((qid, it) => (qid, it.map(_._2).sum))
+      .collect().toMap
+  }
 }

@@ -253,10 +253,14 @@ object IndexCache {
     // sameResult guard (the rowCounts discipline): on a hash collision
     // the stored entry may belong to a DIFFERENT plan — deleting that
     // plan's sidecar would orphan its persisted count while leaving
-    // this plan's stale one alive. Only delete what provably matches.
+    // this plan's stale one alive. Only delete what provably matches,
+    // and evict with the atomic two-arg remove so a concurrent
+    // countOrSeed registering a colliding plan between the get and the
+    // remove cannot have ITS fresh entry evicted (which would leave
+    // that sidecar un-invalidatable).
     val cached = rowCountSidecars.get(h)
-    if (cached != null && cached._1.sameResult(plan)) {
-      rowCountSidecars.remove(h)
+    if (cached != null && cached._1.sameResult(plan) &&
+        rowCountSidecars.remove(h, cached)) {
       scala.util.Try(java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(cached._2)))
     }

@@ -29,10 +29,12 @@ import org.apache.spark.sql.functions._
   * per round, so the plan doubles each iteration and the driver dies
   * in plan analysis long before any executor works (observed as an
   * explain-string OOM at ~8 rounds; the checkpoint truncates the plan
-  * to the materialized RDD). On a fault-tolerant cluster run, swap in
-  * a reliable `checkpoint()` — localCheckpoint trades recomputability
-  * for speed. Never collects anything but the per-round convergence
-  * flag (one scalar job).
+  * to the materialized RDD). localCheckpoint trades recomputability
+  * for speed: on a fault-tolerant cluster run, pass `checkpointDir`
+  * to use reliable `checkpoint()` instead — a lost executor then
+  * re-reads the round's labels from the checkpoint store rather than
+  * forcing a job restart. Never collects anything but the per-round
+  * convergence flag (one scalar job).
   */
 object Components {
 
@@ -47,25 +49,37 @@ object Components {
   /** Connected components of the undirected graph given by `edges`
     * (columns `a`, `b`, one row per edge; direction ignored). Nodes not
     * present in any edge are absent from the result — union your full
-    * id domain with `component = id` for singleton semantics. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): ComponentsResult = {
+    * id domain with `component = id` for singleton semantics.
+    *
+    * @param checkpointDir when set, per-round label tables take a
+    *                      reliable eager `checkpoint()` into this
+    *                      directory (registered via
+    *                      `sparkContext.setCheckpointDir`) instead of
+    *                      `localCheckpoint()` — the fault-tolerant
+    *                      cluster mode the object doc describes.
+    *                      Labels are identical on both paths; only the
+    *                      storage of the per-round snapshot differs. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): ComponentsResult = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    // eager either way: materializes AND truncates the plan
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val sym = edges.select(col("a").cast("long").as("x"), col("b").cast("long").as("y"))
       .union(edges.select(col("b").cast("long").as("x"), col("a").cast("long").as("y")))
       .persist()
-    var labels = sym.select(col("x").as("node")).distinct()
-      .select(col("node"), col("node").as("component"))
-      .localCheckpoint() // eager: materializes AND truncates the plan
+    var labels = snap(sym.select(col("x").as("node")).distinct()
+      .select(col("node"), col("node").as("component")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       // each node's best neighbor label this round
       val nbrMin = sym.join(labels, sym("y") === labels("node"))
         .groupBy(col("x")).agg(min(col("component")).as("nbr"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("x"), "left")
+      val next = snap(labels.join(nbrMin, labels("node") === nbrMin("x"), "left")
         .select(col("node"), col("component").as("old"),
           least(col("component"), coalesce(col("nbr"), col("component")))
-            .as("component"))
-        .localCheckpoint()
+            .as("component")))
       converged = next.filter(col("component") < col("old")).isEmpty
       labels = next.select(col("node"), col("component"))
       iter += 1

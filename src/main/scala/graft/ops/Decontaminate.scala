@@ -19,9 +19,17 @@ import org.apache.spark.sql.functions._
   * Gram generation is a fused scalar kernel (the d02/shingleU
   * precedent: one pass per document, per-document dedup locally)
   * rather than explode + distinct, so the corpus-side cost is one
-  * projection. Grams are joined as strings for engine portability
-  * (the DuckDB oracle replays them verbatim); at petabyte scale the
-  * join key would be xxhash64(gram) — same plan shape, 8-byte keys.
+  * projection. Grams join as strings by default for engine
+  * portability (the DuckDB oracle replays them verbatim); at
+  * petabyte scale pass `hashGrams = true` to join on
+  * `xxhash64(gram)` instead — IDENTICAL plan shape (fused kernel →
+  * explode → broadcast hash join → per-doc aggregate) with 8-byte
+  * keys in the broadcast and the corpus-side projection, so the
+  * broadcast table shrinks ~10× for 4-gram English text. A 64-bit
+  * hash collision can only ADD a false contamination hit (never
+  * lose one); with |bench grams| ~ 10⁷ the per-gram collision odds
+  * are ~10⁷/2⁶⁴ ≈ 5·10⁻¹³ — the right trade at scale, kept off by
+  * default so oracle SQL replays stay byte-exact.
   */
 object Decontaminate {
 
@@ -45,16 +53,28 @@ object Decontaminate {
     }
   }
 
-  /** One row per training document: `n_hit_grams` distinct n-grams
-    * shared with the benchmark set, and a `contaminated` flag.
-    * Training documents with fewer than n words report 0 hits.
-    *
-    * @param train    the (huge) training corpus
-    * @param bench    the (small) benchmark/eval set — broadcast
-    * @param n        n-gram length (contamination granularity; 4 by
-    *                 default — long enough that common phrases do not
-    *                 flood the flag, short enough to catch excerpts)
-    */
+  /** Shared prefix of both public forms: fused gram kernel on both
+    * sides, optional xxhash64 key projection, distinct bench gram set
+    * broadcast against the exploded corpus grams. One row per
+    * (training doc, hit gram-key). gramUdf dedups per document, so
+    * when `hashGrams` is off the hit rows per doc are exactly its
+    * distinct shared grams (hashed: modulo the ~2⁻⁶⁴ in-doc collision
+    * caveat in the object doc). */
+  private def gramHits(train: DataFrame, bench: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int, hashGrams: Boolean): DataFrame = {
+    val grams = gramUdf(n)
+    def key(c: org.apache.spark.sql.Column) =
+      if (hashGrams) xxhash64(c) else c
+    val benchGrams = bench
+      .select(explode(grams(col(textCol))).as("g"))
+      .select(key(col("g")).as("gram")).distinct()
+    train
+      .select(col(idCol), explode(grams(col(textCol))).as("g"))
+      .select(col(idCol), key(col("g")).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+  }
+
   /** Just the contaminated document ids — the anti-join input for a
     * filter-out pipeline (d12). Skips [[flagContaminated]]'s corpus-wide
     * left join back: only HIT rows enter the shuffle (one distinct on
@@ -63,26 +83,25 @@ object Decontaminate {
     * anti-join (AQE picks that up from the runtime size). */
   def contaminatedIds(train: DataFrame, bench: DataFrame,
                       idCol: String = "doc_id", textCol: String = "text",
-                      n: Int = 4): DataFrame = {
-    val grams = gramUdf(n)
-    val benchGrams = bench
-      .select(explode(grams(col(textCol))).as("gram")).distinct()
-    train
-      .select(col(idCol), explode(grams(col(textCol))).as("gram"))
-      .join(broadcast(benchGrams), Seq("gram"))
+                      n: Int = 4, hashGrams: Boolean = false): DataFrame =
+    gramHits(train, bench, idCol, textCol, n, hashGrams)
       .select(col(idCol)).distinct()
-  }
 
+  /** One row per training document: `n_hit_grams` distinct n-grams
+    * shared with the benchmark set, and a `contaminated` flag.
+    * Training documents with fewer than n words report 0 hits.
+    *
+    * @param train     the (huge) training corpus
+    * @param bench     the (small) benchmark/eval set — broadcast
+    * @param n         n-gram length (contamination granularity; 4 by
+    *                  default — long enough that common phrases do not
+    *                  flood the flag, short enough to catch excerpts)
+    * @param hashGrams join on `xxhash64(gram)` instead of the gram
+    *                  string — the petabyte-scale key (object doc) */
   def flagContaminated(train: DataFrame, bench: DataFrame,
                        idCol: String = "doc_id", textCol: String = "text",
-                       n: Int = 4): DataFrame = {
-    val grams = gramUdf(n)
-    val benchGrams = bench
-      .select(explode(grams(col(textCol))).as("gram")).distinct()
-    val hits = train
-      .select(col(idCol), explode(grams(col(textCol))).as("gram"))
-      .join(broadcast(benchGrams), Seq("gram"))
-      // gramUdf dedups per document, so plain count == distinct hits
+                       n: Int = 4, hashGrams: Boolean = false): DataFrame = {
+    val hits = gramHits(train, bench, idCol, textCol, n, hashGrams)
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit_grams"))
     train.select(col(idCol))
       .join(hits, Seq(idCol), "left")

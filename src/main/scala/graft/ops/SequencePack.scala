@@ -39,7 +39,13 @@ object SequencePack {
     *
     * Offsets depend only on the id order and token counts — partition
     * count/boundaries never change the output, so the result is
-    * deterministic under any parallelism. */
+    * deterministic under any parallelism.
+    *
+    * Zero-token rows: `end_window` treats them as occupying one token
+    * (`greatest(n_tokens, 1)`), so an empty document gets
+    * `end_window == window_id` rather than the nonsensical
+    * `window_id - 1`; the d10/d12 oracle SQL mirrors the same
+    * GREATEST guard. */
   def packOffsets(df: DataFrame, idCol: String, tokensCol: String,
                   windowTokens: Long, numPartitions: Int = 0): DataFrame = {
     require(windowTokens > 0, "windowTokens must be positive")

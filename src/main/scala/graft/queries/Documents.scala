@@ -754,8 +754,8 @@ object Documents {
        |      FROM t)
        |SELECT doc_id, n_tokens, start_token,
        |  start_token // $PackWindow AS window_id,
-       |  (start_token + n_tokens - 1) // $PackWindow AS end_window,
-       |  ((start_token + n_tokens - 1) // $PackWindow) > (start_token // $PackWindow) AS spans_boundary
+       |  (start_token + GREATEST(n_tokens, 1) - 1) // $PackWindow AS end_window,
+       |  ((start_token + GREATEST(n_tokens, 1) - 1) // $PackWindow) > (start_token // $PackWindow) AS spans_boundary
        |FROM p ORDER BY doc_id""".stripMargin
 
   /** Corpus vocabulary: top-K words by total frequency with document
@@ -849,8 +849,8 @@ object Documents {
        |      FROM clean)
        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, start_token,
        |  start_token // $PackWindow AS window_id,
-       |  (start_token + n_tokens - 1) // $PackWindow AS end_window,
-       |  ((start_token + n_tokens - 1) // $PackWindow) > (start_token // $PackWindow) AS spans_boundary
+       |  (start_token + GREATEST(n_tokens, 1) - 1) // $PackWindow AS end_window,
+       |  ((start_token + GREATEST(n_tokens, 1) - 1) // $PackWindow) > (start_token // $PackWindow) AS spans_boundary
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
@@ -883,7 +883,8 @@ object Documents {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 2,
       s"s06 ran in $dataBatches micro-batches (expected >= 2)")
-    s.read.parquet(outDir).orderBy(col("doc_id"))
+    // per-batch sink dirs (the decontamServe exactly-once contract)
+    s.read.parquet(s"$outDir/batch-*").orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -107,7 +107,8 @@ object Vector {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 2,
       s"s05 ran in $dataBatches micro-batches (expected >= 2)")
-    s.read.parquet(outDir).orderBy(col("qid"), col("rank"))
+    // per-batch sink dirs (the knnServe exactly-once contract)
+    s.read.parquet(s"$outDir/batch-*").orderBy(col("qid"), col("rank"))
   }
 
   val s05Sql: String = knnFlatSql("vec_id < 64")

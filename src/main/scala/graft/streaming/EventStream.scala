@@ -48,6 +48,17 @@ object EventStream {
     * corpus side stays partition-parallel per micro-batch while query
     * arrival drives scheduling.
     *
+    * Exactly-once sink contract: each micro-batch OVERWRITES its own
+    * `outDir/batch-<batchId>` directory (read the sink with
+    * `outDir/batch-*`). foreachBatch is at-least-once — on a restart
+    * (run with `option("checkpointLocation", …)` so batch ids are
+    * stable) a re-delivered batch rewrites the same path instead of
+    * double-appending rows, which a plain `mode("append")` sink on
+    * `outDir` cannot guarantee. Checkpoint-less one-shot runs (the
+    * in-repo s05/s06 pattern) should delete `outDir` first: a rerun
+    * that lands fewer micro-batches would otherwise leave stale
+    * higher-numbered batch directories behind.
+    *
     * @return the started query — caller awaits termination (default
     *         trigger AvailableNow: drain the backlog, then stop). */
   def knnServe(queryStream: DataFrame, corpus: DataFrame, k: Int,
@@ -55,10 +66,10 @@ object EventStream {
                trigger: org.apache.spark.sql.streaming.Trigger =
                  org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val fn: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) =>
+    val fn: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, bid) =>
       if (!batch.isEmpty)
         graft.search.FlatSearch.knn(corpus, batch, k)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch-$bid")
     queryStream.writeStream.foreachBatch(fn).trigger(trigger).start()
   }
 
@@ -68,16 +79,19 @@ object EventStream {
     * Per-document flags depend only on that document and the benchmark
     * set, so the sink union over micro-batches is bit-identical to the
     * batch answer (the same argument as [[knnServe]]) — which lets a
-    * plain batch SQL oracle verify a real streaming run. */
+    * plain batch SQL oracle verify a real streaming run. Same
+    * exactly-once sink contract as [[knnServe]]: per-batch
+    * `outDir/batch-<batchId>` directories, overwritten on
+    * re-delivery; read with `outDir/batch-*`. */
   def decontamServe(docStream: DataFrame, bench: DataFrame, n: Int,
                     outDir: String,
                     trigger: org.apache.spark.sql.streaming.Trigger =
                       org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val fn: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) =>
+    val fn: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, bid) =>
       if (!batch.isEmpty)
         graft.ops.Decontaminate.flagContaminated(batch, bench, n = n)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch-$bid")
     docStream.writeStream.foreachBatch(fn).trigger(trigger).start()
   }
 

@@ -32,8 +32,9 @@ object PipeScale {
       case Some("pack")     => pack(spark, args(1).toLong)
       case Some("decontam") => decontam(spark, args(1).toLong, args(2).toInt)
       case Some("e2e")      => e2e(spark, args(1).toLong, args(2).toInt)
-      case Some("semdedup") => semdedup(spark, args(1).toLong, args(2).toInt)
-      case _ => sys.error("usage: PipeScale pack N | decontam N B | e2e N B | semdedup N nlist")
+      case Some("semdedup") => semdedup(spark, args(1).toLong, args(2).toInt,
+        if (args.length > 3) args(3).toInt else 8192)
+      case _ => sys.error("usage: PipeScale pack N | decontam N B | e2e N B | semdedup N nlist [maxList]")
     }
     spark.stop()
   }
@@ -193,9 +194,16 @@ object PipeScale {
     * independent of clustering quality); extras are reported with
     * their cosine range (legitimately-similar corpus pairs, not false
     * positives — the threshold is the definition); the max list size
-    * is printed because it bounds per-task pair work. */
-  def semdedup(spark: SparkSession, n: Long, nlist: Int): Unit = {
-    println(s"[pipescale] semdedup n=$n nlist=$nlist")
+    * is printed because it bounds per-task pair work.
+    *
+    * r14: also audits the oversized-list guard — lists over `maxList`
+    * take the banded sub-split, so the printed per-task pair bound is
+    * `max(maxNormalList, maxBucket)²/2` instead of `maxList²·skew/2`;
+    * planted-twin recall must STAY 1.0 through the guard (identical
+    * vectors ride the in-guard exact-dup candidate pass). */
+  def semdedup(spark: SparkSession, n: Long, nlist: Int,
+               maxList: Int = 8192): Unit = {
+    println(s"[pipescale] semdedup n=$n nlist=$nlist maxList=$maxList")
     val d = 64
     val nClusters = 256
     val gen = udf { (id: Long) =>
@@ -217,11 +225,20 @@ object PipeScale {
       val a = graft.index.IVFIndex.assign(corpus, model).cache()
       a.count(); a
     }
-    val maxList = assigned.groupBy(col("list_no")).count()
+    val sizes = assigned.groupBy(col("list_no")).count().cache()
+    val biggest = sizes.agg(max(col("count"))).collect()(0).getLong(0)
+    val nOver = sizes.filter(col("count") > maxList).count()
+    val maxNormal = sizes.filter(col("count") <= maxList)
       .agg(max(col("count"))).collect()(0).getLong(0)
-    println(s"[pipescale] max list size: $maxList (mean ${(n + nPlanted) / nlist})")
+    sizes.unpersist()
+    println(s"[pipescale] max list size: $biggest (mean ${(n + nPlanted) / nlist})")
+    println(s"[pipescale] guard: $nOver lists over maxList=$maxList take " +
+      s"sub-k-means refinement; every all-pairs cell <= maxList -> per-task " +
+      s"pair work <= maxList^2/2 = ${maxList.toLong * maxList / 2} " +
+      s"(max unguarded list $maxNormal)")
     val pairs = timed(s"ivfPairs threshold=0.99") {
-      val p = graft.ops.EmbeddingDedup.ivfPairs(assigned, threshold = 0.99).cache()
+      val p = graft.ops.EmbeddingDedup
+        .ivfPairs(assigned, threshold = 0.99, maxList = maxList).cache()
       p.count(); p
     }
     val total = pairs.count()

@@ -120,6 +120,23 @@ class BenchLineSpec extends AnyFunSuite {
     assert(ok.contains("\"q01\":0.250") && ok.contains("\"q02\":0.750"), ok)
   }
 
+  test("seconds line: short keys, absolute medians, -1 for failures, fits tail capture") {
+    val line = Bench.renderSecondsLine(
+      Seq("q01_pricing" -> 0.251, "a01_bounded" -> 1.5, "v02_knn" -> -1.0))
+    assert(line.contains("\"secs\":{"), line)
+    assert(line.contains("\"q01\":0.251") && line.contains("\"a01\":1.500"), line)
+    assert(line.contains("\"v02\":-1.000"), line)
+    assert(line.contains(""""n":3"""), line)
+    // a full 87-row inventory stays within the ~2k tail capture budget
+    val big = (1 to 87).map(i => f"q$i%02d_long_query_name" -> i * 0.123)
+    assert(Bench.renderSecondsLine(big).length < 1600)
+    // short-name collision falls back to full names (no shadowed keys)
+    val coll = Bench.renderSecondsLine(
+      Seq("q01_warm" -> 0.25, "q01_cold" -> 0.75))
+    assert(coll.contains("\"q01_warm\":0.250") &&
+      coll.contains("\"q01_cold\":0.750") && !coll.contains("\"q01\":"), coll)
+  }
+
   test("trailer agrees with the head fields") {
     val mixed = many.updated(3, "q04_name_of_query" -> -1.0)
     val line = Bench.renderLine(mixed, buildSec = 1.0, sfDir = "/x")

@@ -107,6 +107,35 @@ class DecontamPackSpec extends SparkSpec {
       s"bench gram set not broadcast:\n$plan")
   }
 
+  test("hashGrams: xxhash64-keyed decontamination == string-keyed, same broadcast plan") {
+    // the petabyte-scale key promised by the object doc: 8-byte join
+    // keys, identical plan shape, identical answers on real text
+    val d = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val D = graft.queries.Documents
+    val train = d.filter(col("doc_id") % 10 =!= D.BenchResidue)
+    val bench = d.filter(col("doc_id") % 10 === D.BenchResidue)
+    val viaString = Decontaminate.flagContaminated(train, bench)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val hashed = Decontaminate.flagContaminated(train, bench, hashGrams = true)
+    val viaHash = hashed
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(viaString.exists(_._3) && viaString.exists(!_._3),
+      "fixture should contain both contaminated and clean docs")
+    assert(viaHash.sameElements(viaString),
+      "hashed-gram flags diverge from string-gram flags")
+    val idsString = Decontaminate.contaminatedIds(train, bench)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val idsHash = Decontaminate.contaminatedIds(train, bench, hashGrams = true)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(idsHash == idsString)
+    // hashed path keeps the broadcast-join shape, with LONG keys
+    val plan = hashed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hashed bench gram set not broadcast:\n$plan")
+    assert(plan.contains("xxhash64"), s"hashed key projection missing:\n$plan")
+  }
+
   test("d12 prepare e2e: stage invariants over the fixture corpus") {
     val dir = sf("sf0.001")
     val D = graft.queries.Documents

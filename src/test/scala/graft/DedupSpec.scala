@@ -114,6 +114,60 @@ class DedupSpec extends SparkSpec {
       s"cluster-bucketed pairs diverge: missing ${(want -- got).size}, extra ${(got -- want).size}")
   }
 
+  test("ivfPairs oversized-list guard: sub-k-means refinement keeps planted-twin recall 1.0") {
+    import spark.implicits._
+    // ONE degenerate list holding the whole fixture (the boilerplate-
+    // cluster shape the guard exists for): 120 spread points, plus
+    // 15 positively-SCALED twins (not bit-identical → must co-assign
+    // through every refinement level: spherical argmax is
+    // scale-invariant) and 15 bit-IDENTICAL twins
+    val pts = randVecs(120, 16, seed = 21)
+    val scaled = (0 until 15).map(i => pts(i).map(_ * 1.5f)).toArray
+    val ident = (15 until 30).map(i => pts(i).clone()).toArray
+    val all = pts ++ scaled ++ ident
+    val ids = (0 until 150).map(_.toLong)
+    val df = ids.zip(all.map(_.toSeq)).toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val assigned = df.withColumn("list_no", lit(0)) // 150 ≫ maxList=32
+    val got = EmbeddingDedup.ivfPairs(assigned, threshold = 0.99, maxList = 32)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    val want = EmbeddingDedup.exactPairs(df, threshold = 0.99)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    val planted = ((0 until 15).map(i => (i.toLong, 120L + i)) ++
+      (15 until 30).map(i => (i.toLong, 120L + i))).toSet
+    assert(planted.subsetOf(want), "fixture: exact must see every twin")
+    assert(planted.subsetOf(got),
+      s"guard lost planted twins: ${planted -- got}")
+    assert(got.subsetOf(want), s"guard produced non-pairs: ${got -- want}")
+  }
+
+  test("ivfPairs guard: dropped cells still pair bit-identical twins") {
+    import spark.implicits._
+    // maxLevels=0 forces the terminal drop arm immediately (the whole
+    // 100-row list is one over-maxList cell and no refinement round is
+    // allowed) — only the density-independent exact-dup candidates
+    // remain: identical twins stay recall 1.0, scaled twins
+    // legitimately lose candidacy (the documented drop contract), and
+    // the output stays a subset of exact
+    val pts = randVecs(80, 16, seed = 22)
+    val ident = (0 until 10).map(i => pts(i).clone()).toArray
+    val scaled = (10 until 20).map(i => pts(i).map(_ * 2f)).toArray
+    val all = pts ++ ident ++ scaled
+    val ids = (0 until 100).map(_.toLong)
+    val df = ids.zip(all.map(_.toSeq)).toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val assigned = df.withColumn("list_no", lit(0))
+    val got = EmbeddingDedup.ivfPairs(assigned, threshold = 0.99,
+        maxList = 16, maxLevels = 0)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    val want = EmbeddingDedup.exactPairs(df, threshold = 0.99)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    val identTwins = (0 until 10).map(i => (i.toLong, 80L + i)).toSet
+    assert(identTwins.subsetOf(got),
+      s"identical twins lost despite exact-dup pass: ${identTwins -- got}")
+    assert(got.subsetOf(want), s"non-pairs: ${got -- want}")
+  }
+
   test("ivfPairs ⊆ exactPairs under ANY assignment (bucketing can only drop pairs)") {
     import spark.implicits._
     val vecs = randVecs(80, 8, seed = 99)
@@ -130,6 +184,12 @@ class DedupSpec extends SparkSpec {
     // and equals exact restricted to same-bucket pairs
     val sameBucket = exact.filter { case (a, b) => a % 5 == b % 5 }
     assert(bucketed == sameBucket)
+    // with the guard forced ACTIVE (every 16-row class > maxList=8) the
+    // subset property must still hold — banding only drops candidates
+    val guarded = EmbeddingDedup.ivfPairs(assigned, threshold, maxList = 8)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    assert(guarded.subsetOf(sameBucket),
+      s"guarded path crossed buckets or produced non-pairs: ${guarded -- sameBucket}")
   }
 
   test("wide-signature banded near-dup matches the exact oracle on planted dups") {

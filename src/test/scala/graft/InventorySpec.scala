@@ -6,8 +6,9 @@ import graft.queries.Relational
 /** Guards the driver contract itself (round-7 postmortem): a testdata
   * regeneration flipped `events.ts` from ns-int64 to µs-timestamp and
   * silently dropped 7 driver rows — every query must ANALYZE against the
-  * live fixtures, the inventory must stay at 81 rows, and the events
-  * reader must accept both timestamp encodings the generator has used.
+  * live fixtures, the inventory must hold exactly the row count the
+  * test below asserts, and the events reader must accept both
+  * timestamp encodings the generator has used.
   */
 class InventorySpec extends SparkSpec {
 

@@ -128,6 +128,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("connectedComponents: reliable checkpoint() path == localCheckpoint path") {
+    // the fault-tolerant cluster mode: per-round snapshots go to a
+    // checkpoint store instead of executor-local storage; labels must
+    // be identical (the snapshot mechanism is not part of the answer)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L)).toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val reliable = graft.ops.Components
+      .connectedComponents(edges, checkpointDir = Some(dir))
+    val local = graft.ops.Components.connectedComponents(edges)
+    assert(reliable.converged && local.converged)
+    assert(reliable.rounds == local.rounds)
+    val a = reliable.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = local.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, s"checkpoint modes diverge: ${a.toSet diff b.toSet}")
+    // and the reliable run actually wrote checkpoint data
+    def nonEmpty(f: java.io.File): Boolean = {
+      val kids = Option(f.listFiles).getOrElse(Array.empty)
+      kids.exists(k => k.isFile || nonEmpty(k))
+    }
+    assert(nonEmpty(new java.io.File(dir)), "no reliable checkpoint files written")
+  }
+
   test("maxIter guard reports non-convergence on a long chain") {
     val chain = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
     val res = graft.ops.Components.connectedComponents(chain, maxIter = 3)
