@@ -168,6 +168,36 @@ class DedupSpec extends SparkSpec {
     assert(got.subsetOf(want), s"non-pairs: ${got -- want}")
   }
 
+  test("ivfPairs guard: an unsplittable identical block rides refinement to the drop arm") {
+    import spark.implicits._
+    // ONE list, maxList=8: 60 spread rows + 8 scaled twins split into
+    // bounded cells within a few k-means levels, but a 20-row
+    // bit-IDENTICAL block can NEVER split (identical vectors co-assign
+    // at every level) — it must ride refinement to maxLevels, get
+    // dropped, and still emit its star pairs via the exact-dup pass
+    val pts = randVecs(60, 16, seed = 23)
+    val twins = (0 until 8).map(i => pts(i).map(_ * 1.25f)).toArray
+    val bv = Array.tabulate(16)(j => if (j % 2 == 0) 0.5f else -0.25f)
+    val block = Array.fill(20)(bv.clone())
+    val all = pts ++ twins ++ block
+    val ids = (0 until 88).map(_.toLong)
+    val df = ids.zip(all.map(_.toSeq)).toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val assigned = df.withColumn("list_no", lit(0))
+    val got = EmbeddingDedup.ivfPairs(assigned, threshold = 0.99,
+        maxList = 8, maxLevels = 6)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    val want = EmbeddingDedup.exactPairs(df, threshold = 0.99)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(want), s"non-pairs: ${got -- want}")
+    // the dropped block's star pairs (min id 68 → each of 69..87)
+    val stars = (69L to 87L).map(b => (68L, b)).toSet
+    assert(stars.subsetOf(got), s"block stars lost: ${stars -- got}")
+    // the spread twins split into bounded cells and keep their pairs
+    val planted = (0 until 8).map(i => (i.toLong, 60L + i)).toSet
+    assert(planted.subsetOf(got), s"refined-cell twins lost: ${planted -- got}")
+  }
+
   test("ivfPairs ⊆ exactPairs under ANY assignment (bucketing can only drop pairs)") {
     import spark.implicits._
     val vecs = randVecs(80, 8, seed = 99)
