@@ -518,6 +518,43 @@ object Eval {
           " (worst recall over BOTH the micro-batch and full-batch tables)" +
           s"; probe budgets (units): $budgets" + budgetNote)
 
+        // GRAFT_LATQ=<n>: the large-batch (lazy/distributed serving)
+        // latency arm — n fresh queries through every engine, then the
+        // per-query CPU-time distribution. TIMING ONLY: exact ground
+        // truth at 10⁵ queries × 10⁷ rows is a 10¹²-pair scan, and the
+        // bound for this regime is already validated by the 2000-query
+        // tables above and the 20M flagship logs. Bounded routes
+        // through its distributed fused-cogroup path here
+        // (n > eagerMaxQueries), so this measures the serving regime
+        // the micro-batch table cannot.
+        val latQ = sys.env.get("GRAFT_LATQ").map(_.toInt).getOrElse(0)
+        if (latQ > 0) {
+          val lq: Batch = mk(latQ).zipWithIndex
+            .map { case (v, i) => (i.toLong, v) }.toSeq
+          println(s"large-batch latency arm: $latQ queries (timing only)")
+          println("engine    serve_s  amortized_ms/q  qtime_ms_mean  " +
+            "qtime_p99/mean  slow_vs_bounded(time)")
+          val runs = engines.map { case (name, f) =>
+            val t = now(); val (_, nps) = f(lq); (name, now() - t, nps)
+          }
+          perQueryScanNanos(assigned, model, lq.take(64).toArray,
+            runs.head._3, kk) // JIT warm-up (see above)
+          val tRuns = runs.map { case (name, sec, nps) =>
+            val nanos = perQueryScanNanos(assigned, model, lq.toArray, nps, kk)
+            (name, sec, lq.map { case (q, _) =>
+              nanos.getOrElse(q, 0L).toDouble / 1e6 })
+          }
+          val bT = tRuns.head._3
+          tRuns.foreach { case (name, sec, ms) =>
+            println(f"$name%-9s $sec%7.1f  ${sec * 1000 / latQ}%14.2f  " +
+              f"${ms.sum / ms.size}%13.3f  ${CompareMetrics.tailRatio(ms)}%14.2f  " +
+              f"${CompareMetrics.slowdownVs(bT, ms)}%21.2f")
+            java.nio.file.Files.writeString(java.nio.file.Paths.get(
+              s"$outDir/graft_compare_${name}_qtime_ms_latq.log"),
+              ms.map(m => f"$m%.4f").mkString("", "\n", "\n"))
+          }
+        }
+
       case "dist" =>
         // Workers execute sequentially here, each getting the whole
         // local[16] machine — the per-worker parallelism a real worker

@@ -173,8 +173,14 @@ object EmbeddingDedup {
           done = true
         } else {
           val totalOver = over.map(_._2).sum
-          // ~2 cells per maxList of rows, ~100 sample rows per centroid
-          val k = math.max(2, math.ceil(totalOver * 2.0 / maxList).toInt)
+          // ~2 cells per maxList of rows, ~100 sample rows per centroid.
+          // k is CAPPED so one level's trainer stays bounded even when
+          // the oversized mass is corpus-sized (a degenerate one-list
+          // assignment would otherwise ask MLlib for millions of
+          // centroids); the cap just shifts work to the next level —
+          // 4096^maxLevels cells of headroom
+          val k = math.max(2, math.min(4096,
+            math.ceil(totalOver * 2.0 / maxList)).toInt)
           val fraction = math.min(1.0, 100.0 * k / totalOver)
           val sample =
             if (fraction >= 1.0) cur
