@@ -282,5 +282,22 @@ object PipeScale {
     val plan = res.queryExecution.executedPlan.toString
     require(plan.contains("BroadcastHashJoin"), "bench grams not broadcast")
     println("[pipescale] plan: broadcast confirmed")
+    // the petabyte-scale key variant: same corpus, xxhash64 gram keys —
+    // must flag the IDENTICAL doc set with the same broadcast plan
+    val resH = timed(s"flagContaminated hashGrams n=$n b=$b") {
+      val r = graft.ops.Decontaminate
+        .flagContaminated(train, bench, hashGrams = true)
+      r.cache().count()
+      r
+    }
+    val planH = resH.queryExecution.executedPlan.toString
+    require(planH.contains("BroadcastHashJoin"), "hashed grams not broadcast")
+    require(planH.contains("xxhash64"), "hash key projection missing")
+    val diff = res.join(resH, Seq("doc_id"))
+      .filter(res("contaminated") =!= resH("contaminated")).count()
+    require(diff == 0, s"hashed flags diverge on $diff docs")
+    println(s"[pipescale] hashGrams: flags identical on all $n docs, " +
+      "broadcast+xxhash64 plan confirmed")
+    res.unpersist(); resH.unpersist()
   }
 }
