@@ -83,13 +83,16 @@ object EmbeddingDedup {
     *    from pair enumeration with a logged count — except their
     *    bit-identical groups, which an `xxhash64(vec)`-keyed
     *    exact-dup pass still pairs (star-shaped: min-id
-    *    representative → each duplicate), so a dead embedding
+    *    representative → each duplicate, literal cos 1.0 — NaN-safe
+    *    for all-zero vectors), so a dead embedding
     *    repeated 10⁵ times can neither blow up a task nor escape
     *    dedup.
     * When the guard is inactive (no list exceeds `maxList`, e.g.
     * every in-repo verify run) output is the EXACT within-list
-    * enumeration, unchanged. Guard-active output ids are normalized
-    * to LONG. The output is a subset of [[exactPairs]] under ANY
+    * enumeration, unchanged. Output ids are normalized to LONG on
+    * BOTH paths, so the schema is stable across runs whatever the
+    * data skew (a guard that flips types with skew would break
+    * downstream joins/writers). The output is a subset of [[exactPairs]] under ANY
     * assignment either way (both paths end in the same exact-cosine
     * filter; property-pinned in DedupSpec — refinement cell keys are
     * `xxhash64(parent, sub)`, so a 2⁻⁶⁴ key collision can merge two
@@ -105,7 +108,9 @@ object EmbeddingDedup {
       .filter(col("lsize") > maxList)
       .select(col("list_no").cast("long"), col("lsize").cast("long"))
       .as[(Long, Long)].collect()
-    if (oversized.isEmpty) allPairsWithinLists(assigned, threshold)
+    if (oversized.isEmpty)
+      allPairsWithinLists(assigned, threshold)
+        .select(col("a").cast("long"), col("b").cast("long"), col("cos"))
     else {
       log.warn(s"ivfPairs: ${oversized.length} oversized lists " +
         s"(sizes max ${oversized.map(_._2).max}, total " +
@@ -138,9 +143,22 @@ object EmbeddingDedup {
     * sub-k-means refinement of oversized buckets until every cell is
     * ≤ `maxList`, then the same within-cell all-pairs join the normal
     * path uses. Cells still oversized after `maxLevels` rounds are
-    * dropped-and-logged, minus their bit-identical groups (exact-dup
-    * star candidates, scored through [[rerank]] so every output pair
-    * carries the same cosine arithmetic). */
+    * dropped-and-logged, minus their bit-identical groups: exact-dup
+    * star pairs emitted with a LITERAL cos of 1.0, exactly as
+    * [[exactDupPairs]] does — the candidates are already bit-exact
+    * verified in-bucket, and routing them through [[rerank]]'s
+    * dot/(‖a‖·‖b‖) would NaN-drop every pair of a duplicated
+    * all-zero ("dead") embedding, breaking the cannot-escape-dedup
+    * guarantee for exactly the degenerate rows it exists for.
+    *
+    * Driver-memory bound: the per-level oversized-cell key collect
+    * (`over`) holds at most `nlist` keys at level 0 and
+    * `totalOverRows / maxList` keys per deeper level (a cell must
+    * exceed `maxList` rows to appear), so reaching driver-significant
+    * size (~10⁸ keys) needs ≥ maxList·10⁸ ≈ 8×10¹¹ rows ALL living in
+    * dense-but-not-identical oversized cells — identical-vector
+    * degeneracy is NOT this case (identical rows co-assign to ONE
+    * cell and the drop arm absorbs them). */
   private def subSplitPairs(big: DataFrame, threshold: Double,
                             maxList: Int, maxLevels: Int): DataFrame = {
     val spark = big.sparkSession
@@ -229,8 +247,9 @@ object EmbeddingDedup {
               sorted.iterator.drop(1).map(dup => (sorted.head, dup))
             }
           }.toDF("a", "b")
-        cellPairs.unionByName(
-          rerank(d.select(col("id"), col("vec")), dupCand, threshold))
+        // literal 1.0, not rerank: bit-exact groups ARE cosine 1.0 by
+        // definition, and the rerank cosine is NaN for all-zero vectors
+        cellPairs.unionByName(dupCand.withColumn("cos", lit(1.0)))
     }
   }
 

@@ -946,8 +946,8 @@ object BoundedSearch {
       if (deepIdx.isEmpty) Map.empty
       else {
         val maxDeep = deepIdx.map(qi => bounds(qi)._2).max
-        // qVecs and deepIdx are qid-ascending, and rankTop returns
-        // qid-sorted rows, so the zip aligns
+        // rankTop aligns its result with input order, so the zip
+        // aligns for any qid layout
         val dr = IVFSearch.rankTop(spark, model,
           deepIdx.map(qi => qVecs(qi)).toArray, maxDeep)
         deepIdx.zip(dr).toMap

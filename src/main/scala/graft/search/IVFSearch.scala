@@ -21,12 +21,15 @@ import graft.operators.TopK
   */
 object IVFSearch {
 
-  /** Coarse quantization for a (collected, metric-normalized, qid-sorted)
-    * query batch, returning only the top `top` ranked centroids per
-    * query. Small batches rank on the driver; past ~1M query×centroid
-    * distance computations the ranking fans out to executors so the
-    * driver never does O(nq·nlist·d) float work — the coarse step
-    * scales in the query dimension like everything else. */
+  /** Coarse quantization for a (collected, metric-normalized) query
+    * batch, returning only the top `top` ranked centroids per query,
+    * ALIGNED WITH INPUT ORDER (`result(i)` ranks `q(i)` — every caller
+    * indexes positionally, so both branches key on input position, not
+    * qid; qids may be unsorted or sparse). Small batches rank on the
+    * driver; past ~1M query×centroid distance computations the ranking
+    * fans out to executors so the driver never does O(nq·nlist·d)
+    * float work — the coarse step scales in the query dimension like
+    * everything else. */
   def rankTop(spark: org.apache.spark.sql.SparkSession,
               model: IVFModel, q: Array[(Long, Array[Float])],
               top: Int): Array[Array[(Int, Float)]] = {
@@ -36,8 +39,8 @@ object IVFSearch {
     else {
       val bm = spark.sparkContext.broadcast(model)
       val slices = math.max(1, math.min(q.length, 256))
-      spark.sparkContext.parallelize(q.toSeq, slices)
-        .map { case (qid, v) => (qid, bm.value.rankCentroids(v).take(t)) }
+      spark.sparkContext.parallelize(q.toSeq.zipWithIndex, slices)
+        .map { case ((_, v), i) => (i, bm.value.rankCentroids(v).take(t)) }
         .collect().sortBy(_._1).map(_._2)
     }
   }

@@ -228,8 +228,10 @@ object PipeScale {
     val sizes = assigned.groupBy(col("list_no")).count().cache()
     val biggest = sizes.agg(max(col("count"))).collect()(0).getLong(0)
     val nOver = sizes.filter(col("count") > maxList).count()
+    // coalesce: if EVERY list is oversized (the extreme-skew regime the
+    // guard targets) the filtered max is NULL and getLong would NPE
     val maxNormal = sizes.filter(col("count") <= maxList)
-      .agg(max(col("count"))).collect()(0).getLong(0)
+      .agg(coalesce(max(col("count")), lit(0L))).collect()(0).getLong(0)
     sizes.unpersist()
     println(s"[pipescale] max list size: $biggest (mean ${(n + nPlanted) / nlist})")
     println(s"[pipescale] guard: $nOver lists over maxList=$maxList take " +

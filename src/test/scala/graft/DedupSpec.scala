@@ -168,6 +168,32 @@ class DedupSpec extends SparkSpec {
     assert(got.subsetOf(want), s"non-pairs: ${got -- want}")
   }
 
+  test("ivfPairs guard: duplicated all-zero (dead) embeddings cannot escape dedup") {
+    import spark.implicits._
+    // the documented dead-embedding guarantee: a zero vector has no
+    // cosine (dot/(‖a‖·‖b‖) = 0/0 = NaN), so if the drop arm's star
+    // pairs were rescored through the rerank cosine every dead-dup
+    // pair would silently vanish — they must carry literal cos 1.0
+    val pts = randVecs(40, 16, seed = 31)
+    val dead = Array.fill(12)(Array.fill(16)(0f))
+    val all = pts ++ dead
+    val ids = (0 until 52).map(_.toLong)
+    val df = ids.zip(all.map(_.toSeq)).toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val assigned = df.withColumn("list_no", lit(0))
+    // maxLevels=0: the single over-maxList list goes straight to the
+    // drop arm; only exact-dup star candidates remain
+    val got = EmbeddingDedup.ivfPairs(assigned, threshold = 0.99,
+        maxList = 16, maxLevels = 0)
+      .select(col("a"), col("b"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+    val stars = (41L to 51L).map(b => (40L, b)).toSet
+    val gotPairs = got.map(t => (t._1, t._2)).toSet
+    assert(stars.subsetOf(gotPairs),
+      s"dead-embedding stars lost: ${stars -- gotPairs}")
+    assert(got.forall(_._3 == 1.0), s"non-1.0 cos in star pairs: ${got.toSeq}")
+  }
+
   test("ivfPairs guard: an unsplittable identical block rides refinement to the drop arm") {
     import spark.implicits._
     // ONE list, maxList=8: 60 spread rows + 8 scaled twins split into
