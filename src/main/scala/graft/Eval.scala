@@ -527,15 +527,64 @@ object Eval {
         // through its distributed fused-cogroup path here
         // (n > eagerMaxQueries), so this measures the serving regime
         // the micro-batch table cannot.
+        //
+        // serve_s is SERVING, count-only: the r14 table reused the
+        // recall runners verbatim, so its serve_s included collecting
+        // all k×n result rows (10M at 100k queries) into driver maps —
+        // eval plumbing, not serving — and read 8.4-15 ms/q where the
+        // count-only flagship logs read 1.2-3.5 (r14 log addendum 3).
+        // These runners materialize the result frame with count() and
+        // ship only per-query nprobe (one small row per query) to the
+        // driver, which the scan-time re-execution below needs. LAET's
+        // two checkpoint collects STAY in its serve pass: its staged
+        // prediction consumes checkpoint top-k distances as features
+        // driver-side — algorithm data flow, not eval plumbing (the
+        // printed footnote carries the residue).
         val latQ = sys.env.get("GRAFT_LATQ").map(_.toInt).getOrElse(0)
         if (latQ > 0) {
+          def serveBounded(b: Batch): Map[Long, Int] = {
+            val cdf = b.map { case (q, v) => (q, v, req) }
+              .toDF("qid", "vec", "required_recall")
+            val r = BoundedSearch.search(assigned, model, traces, cdf, kk,
+              fit.multiplier, fit.stdM)
+            r.results.count()
+            r.stats.map(s => s.qid -> s.nprobeUsed).toMap
+          }
+          def serveLaet(b: Batch): Map[Long, Int] = {
+            val qdf = qdfOf(b)
+            val st0 = collectDists(LAET.searchPerQueryNprobe(
+              assigned, model, qdf, kk, b.map(_._1 -> 1).toMap))
+            val st1 = collectDists(LAET.searchPerQueryNprobe(
+              assigned, model, qdf, kk, b.map(_._1 -> 2).toMap))
+            val budgets = b.map { case (qid, v) =>
+              val stages = Map(
+                0 -> st0.getOrElse(qid, Array.empty[Double]),
+                1 -> st1.getOrElse(qid, Array.empty[Double]))
+              val lvl = math.max(laet.cpStages,
+                LAET.predictLevel(laet, model, v, stages, kk))
+              qid -> math.min(model.nlist, 1 << lvl)
+            }.toMap
+            LAET.searchPerQueryNprobe(assigned, model, qdf, kk, budgets)
+              .count()
+            budgets
+          }
+          def serveFixed(b: Batch): Map[Long, Int] = {
+            IVFSearch.search(assigned, model, qdfOf(b), kk, op.nprobe).count()
+            b.map(_._1 -> op.nprobe).toMap
+          }
+          val serveEngines: Seq[(String, Batch => Map[Long, Int])] = Seq(
+            ("bounded", serveBounded), ("laet", serveLaet),
+            ("fixed", serveFixed))
           val lq: Batch = mk(latQ).zipWithIndex
             .map { case (v, i) => (i.toLong, v) }.toSeq
-          println(s"large-batch latency arm: $latQ queries (timing only)")
+          println(s"large-batch latency arm: $latQ queries (timing only; " +
+            "serve_s = count-only serving, no result collection; laet's " +
+            "serve includes its driver-side checkpoint feature collects " +
+            "— its staged prediction's own data flow)")
           println("engine    serve_s  amortized_ms/q  qtime_ms_mean  " +
             "qtime_p99/mean  slow_vs_bounded(time)")
-          val runs = engines.map { case (name, f) =>
-            val t = now(); val (_, nps) = f(lq); (name, now() - t, nps)
+          val runs = serveEngines.map { case (name, f) =>
+            val t = now(); val nps = f(lq); (name, now() - t, nps)
           }
           perQueryScanNanos(assigned, model, lq.take(64).toArray,
             runs.head._3, kk) // JIT warm-up (see above)

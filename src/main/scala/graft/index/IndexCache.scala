@@ -78,39 +78,65 @@ object IndexCache {
       (model, assigned)
     })
 
-  /** The corpus row count is LAYOUT metadata (it sizes the bounded
-    * search's fused/cogroup routing), so it persists beside the model:
-    * a build pays the count job once (it also materializes the cache)
-    * and writes the `corpus_rows` sidecar; a fresh session's reload
-    * reads the sidecar and SEEDS the memo — its first distributed
-    * search runs zero count jobs, and the cache materializes inside
-    * that search's own scan. A pre-sidecar model directory falls back
-    * to the count and upgrades itself. The underscore prefix keeps the
-    * parquet reader from treating the sidecar as a data file (the
-    * `_SUCCESS` convention). */
+  /** The corpus row count AND the per-list sizes are LAYOUT metadata
+    * (they size the bounded search's fused/cogroup routing and the
+    * semantic-dedup oversized-list guard), so they persist beside the
+    * model: a build pays ONE `groupBy(list_no).count()` job (which
+    * also materializes the cache) yielding both — sizes directly,
+    * corpus rows as their sum — and writes the `_list_sizes` +
+    * `_corpus_rows` sidecars; a fresh session's reload reads the
+    * sidecars and SEEDS the memos, so its first distributed search or
+    * [[graft.ops.EmbeddingDedup.ivfPairs]] call runs zero metadata
+    * jobs before real work. A pre-`_list_sizes` model directory
+    * (legacy) seeds the row count from `_corpus_rows` and leaves sizes
+    * lazy — the first [[listSizes]] caller pays the job once and
+    * memoizes. The underscore prefix keeps the parquet reader from
+    * treating the sidecars as data files (the `_SUCCESS` convention). */
   private def countOrSeed(assigned: DataFrame, modelPath: String,
                           loaded: Boolean): Unit = {
-    val sidecar = new java.io.File(modelPath, "_corpus_rows")
-    val persisted =
-      if (loaded && sidecar.exists())
-        scala.util.Try(
-          java.nio.file.Files.readString(sidecar.toPath).trim.toLong).toOption
+    val szSidecar = new java.io.File(modelPath, "_list_sizes")
+    val rcSidecar = new java.io.File(modelPath, "_corpus_rows")
+    val persistedSizes: Option[Map[Long, Long]] =
+      if (loaded && szSidecar.exists())
+        scala.util.Try {
+          java.nio.file.Files.readAllLines(szSidecar.toPath)
+            .toArray(Array.empty[String]).iterator
+            .filter(_.nonEmpty).map { ln =>
+              val i = ln.indexOf('\t')
+              (ln.substring(0, i).toLong, ln.substring(i + 1).toLong)
+            }.toMap
+        }.toOption
       else None
-    persisted match {
-      case Some(n) => seedRowCount(assigned, n)
+    persistedSizes match {
+      case Some(m) =>
+        seedListSizes(assigned, m)
+        seedRowCount(assigned, m.valuesIterator.sum)
       case None =>
-        val n = rowCount(assigned) // materializes the cache AND seeds the memo
-        scala.util.Try(java.nio.file.Files.writeString(
-          sidecar.toPath, n.toString))
-        ()
+        val persistedRows =
+          if (loaded && rcSidecar.exists())
+            scala.util.Try(java.nio.file.Files.readString(rcSidecar.toPath)
+              .trim.toLong).toOption
+          else None
+        persistedRows match {
+          case Some(n) => seedRowCount(assigned, n) // legacy dir: sizes lazy
+          case None =>
+            // one job, both metadata; materializes the cache too
+            val m = listSizes(assigned)
+            seedRowCount(assigned, m.valuesIterator.sum)
+            scala.util.Try(java.nio.file.Files.writeString(szSidecar.toPath,
+              m.iterator.map { case (l, c) => s"$l\t$c" }.mkString("\n")))
+            scala.util.Try(java.nio.file.Files.writeString(
+              rcSidecar.toPath, m.valuesIterator.sum.toString))
+            ()
+        }
     }
-    // remember where this plan's count is persisted so invalidate() can
-    // retire the sidecar along with the in-memory memo (plan kept for
-    // the same sameResult collision guard rowCounts uses — a colliding
-    // hash must never delete some OTHER model's sidecar)
+    // remember where this plan's metadata is persisted so invalidate()
+    // can retire the sidecars along with the in-memory memos (plan kept
+    // for the same sameResult collision guard rowCounts uses — a
+    // colliding hash must never delete some OTHER model's sidecars)
     val plan = assigned.queryExecution.analyzed
     rowCountSidecars.put(Integer.valueOf(plan.semanticHash()),
-      (plan, sidecar.getPath))
+      (plan, Seq(rcSidecar.getPath, szSidecar.getPath)))
     ()
   }
 
@@ -237,6 +263,50 @@ object IndexCache {
     ()
   }
 
+  /** Memoized per-list sizes of an assigned (`list_no`-carrying) frame
+    * — the per-list refinement of [[rowCount]], same plan-keyed memo,
+    * same layout-metadata staleness contract (rewriting the data under
+    * a live plan requires [[invalidate]]/[[clear]], exactly as for the
+    * count). One `groupBy(list_no).count()` job per distinct table per
+    * session; frames assigned through [[ivf]]/[[imi]] never pay even
+    * that — the build writes a `_list_sizes` sidecar beside the model
+    * and reloads seed this memo from it. Consumers: the semantic-dedup
+    * oversized-list guard ([[graft.ops.EmbeddingDedup.ivfPairs]], which
+    * otherwise re-audited the corpus per call) and the bounded-search
+    * fused/cogroup crossover's probed-volume estimate. The map is
+    * nlist-sized (≤ ~10⁵ entries) — driver-trivial. */
+  def listSizes(df: DataFrame): Map[Long, Long] = {
+    val plan = df.queryExecution.analyzed
+    val h = Integer.valueOf(plan.semanticHash())
+    val cached = listSizeMemo.get(h)
+    if (cached != null && cached._1.sameResult(plan)) cached._2
+    else {
+      listSizeComputes.incrementAndGet()
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val m = df.groupBy(col("list_no"))
+        .agg(count(lit(1)).as("lsize"))
+        .select(col("list_no").cast("long"), col("lsize"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      listSizeMemo.put(h, (plan, m))
+      m
+    }
+  }
+
+  private[graft] def seedListSizes(df: DataFrame, m: Map[Long, Long]): Unit = {
+    val plan = df.queryExecution.analyzed
+    listSizeMemo.put(Integer.valueOf(plan.semanticHash()), (plan, m))
+    ()
+  }
+
+  private val listSizeMemo = new ConcurrentHashMap[
+    Integer, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+              Map[Long, Long])]()
+
+  /** Size JOBS actually run by [[listSizes]] — spec hook proving the
+    * per-call audit job is gone on sidecar-seeded frames. */
+  private[graft] val listSizeComputes =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Drop one memoized count — the targeted form of [[clear]] for when
     * the corpus is rewritten under the same path mid-session (re-ingest,
     * delete-and-overwrite) and only the count must refresh. If the count
@@ -250,6 +320,7 @@ object IndexCache {
     val plan = df.queryExecution.analyzed
     val h = Integer.valueOf(plan.semanticHash())
     rowCounts.remove(h)
+    listSizeMemo.remove(h)
     // sameResult guard (the rowCounts discipline): on a hash collision
     // the stored entry may belong to a DIFFERENT plan — deleting that
     // plan's sidecar would orphan its persisted count while leaving
@@ -261,17 +332,21 @@ object IndexCache {
     val cached = rowCountSidecars.get(h)
     if (cached != null && cached._1.sameResult(plan) &&
         rowCountSidecars.remove(h, cached)) {
-      scala.util.Try(java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(cached._2)))
+      cached._2.foreach { p =>
+        scala.util.Try(java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(p)))
+      }
     }
     ()
   }
 
-  /** Sidecar file backing each persisted count, by plan hash (plan
-    * retained for the sameResult collision guard) — lets [[invalidate]]
-    * retire the on-disk copy with the memo. */
+  /** Sidecar files backing each persisted metadata set (`_corpus_rows`
+    * + `_list_sizes`), by plan hash (plan retained for the sameResult
+    * collision guard) — lets [[invalidate]] retire the on-disk copies
+    * with the memos. */
   private val rowCountSidecars = new ConcurrentHashMap[
-    Integer, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String)]()
+    Integer, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+              Seq[String])]()
 
   /** Count JOBS actually run by [[rowCount]] — spec hook proving the
     * per-search-call count job is gone (misses don't reset it). */
@@ -281,6 +356,6 @@ object IndexCache {
   def clear(): Unit = {
     models.clear(); graphs.clear(); traces.clear(); frames.clear()
     pqModels.clear(); objects.clear(); rowCounts.clear()
-    rowCountSidecars.clear()
+    rowCountSidecars.clear(); listSizeMemo.clear()
   }
 }

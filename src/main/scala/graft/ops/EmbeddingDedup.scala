@@ -102,12 +102,15 @@ object EmbeddingDedup {
                maxList: Int = 8192, maxLevels: Int = 4): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
-    val oversized: Array[(Long, Long)] = assigned
-      .groupBy(col("list_no"))
-      .agg(count(lit(1)).as("lsize"))
-      .filter(col("lsize") > maxList)
-      .select(col("list_no").cast("long"), col("lsize").cast("long"))
-      .as[(Long, Long)].collect()
+    // per-list sizes are INDEX METADATA, not a per-call audit: frames
+    // assigned through IndexCache.ivf read the `_list_sizes` sidecar
+    // the build persisted beside the centroids (zero jobs); ad-hoc
+    // frames pay one groupBy job on first call per session (memoized
+    // by plan). Staleness follows the standing IndexCache contract —
+    // data rewritten in place under a live plan needs invalidate().
+    val oversized: Array[(Long, Long)] =
+      graft.index.IndexCache.listSizes(assigned)
+        .iterator.filter(_._2 > maxList).toArray
     if (oversized.isEmpty)
       allPairsWithinLists(assigned, threshold)
         .select(col("a").cast("long"), col("b").cast("long"), col("cos"))

@@ -4,9 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The composed training-data preparation job (driver row d12):
-  * quality gate → exact dedup → benchmark decontamination → sequence
-  * packing, as ONE declarative DAG over caller-supplied corpus and
-  * benchmark frames (`doc_id`, `text`).
+  * quality gate → exact dedup → [optional MinHash-LSH near-dup
+  * dedup] → benchmark decontamination → sequence packing, as ONE
+  * declarative DAG over caller-supplied corpus and benchmark frames
+  * (`doc_id`, `text`).
   *
   * Stage shapes at scale (see `Documents.d12PrepareE2e` for the
   * row-level commentary): the gate is map-side and fuses into the
@@ -17,6 +18,20 @@ import org.apache.spark.sql.functions._
   * packing is the distributed two-pass prefix sum
   * ([[SequencePack.packOffsets]]).
   *
+  * Petabyte knobs, OFF by default so the composed output stays
+  * byte-exact against the d12 oracle:
+  *  - [[Config.hashGrams]] switches the decontamination join keys to
+  *    `xxhash64(gram)` 8-byte longs (identical flags proven on 2M
+  *    docs, `tools/evidence/r14_decontam_hashgrams_2m.log`);
+  *  - [[Config.fuzzy]] enables the near-dup stage: fused MinHash
+  *    signatures → banded LSH candidates → signature-estimated
+  *    Jaccard filter → connected components ([[Components]]
+  *    min-label propagation, with [[FuzzyDedup.checkpointDir]]
+  *    threaded through for reliable per-round checkpoints on a
+  *    fault-tolerant cluster run) → keep each cluster's min-id
+  *    representative. Candidate volume is governed by the band
+  *    width (numHashes/bands minhashes per band key), never O(N²).
+  *
   * Deliberate trade: the deduped corpus text is read TWICE (once to
   * generate grams for the contamination probe, once as the anti-join
   * left side) instead of carrying each document's gram array through
@@ -26,33 +41,105 @@ import org.apache.spark.sql.functions._
   * bytes by the gram blow-up factor. */
 object PreparePipeline {
 
+  /** Near-dup stage config. `numHashes` must be a multiple of
+    * `bands`; a candidate pair must agree on all numHashes/bands
+    * minhashes of ≥1 band. `minJaccard` filters candidates on the
+    * signature-estimated Jaccard ([[MinHash.estimate]]). */
+  final case class FuzzyDedup(numHashes: Int = 64, bands: Int = 16,
+                              minJaccard: Double = 0.8, maxIter: Int = 20,
+                              checkpointDir: Option[String] = None)
+
+  final case class Config(stopwords: Seq[String], minStopRatio: Double,
+                          minTokens: Int, gramN: Int, windowTokens: Long,
+                          packParts: Int = 0, hashGrams: Boolean = false,
+                          fuzzy: Option[FuzzyDedup] = None)
+
   def run(train: DataFrame, bench: DataFrame, stopwords: Seq[String],
           minStopRatio: Double, minTokens: Int, gramN: Int,
           windowTokens: Long, packParts: Int = 0): DataFrame =
-    SequencePack.packOffsets(
-      cleanCorpus(train, bench, stopwords, minStopRatio, minTokens, gramN),
-      "doc_id", "n_tokens", windowTokens, packParts)
+    run(train, bench, Config(stopwords, minStopRatio, minTokens, gramN,
+      windowTokens, packParts))
 
-  /** Stages 1-3 (gate → dedup → decontaminate) without the packing
-    * pass — the survivors frame. Exposed so plan audits can inspect
-    * the join strategies (packOffsets returns an RDD-backed frame
-    * whose queryExecution no longer shows the upstream joins). */
+  def run(train: DataFrame, bench: DataFrame, cfg: Config): DataFrame =
+    SequencePack.packOffsets(cleanCorpus(train, bench, cfg),
+      "doc_id", "n_tokens", cfg.windowTokens, cfg.packParts)
+
   def cleanCorpus(train: DataFrame, bench: DataFrame, stopwords: Seq[String],
-                  minStopRatio: Double, minTokens: Int, gramN: Int): DataFrame = {
+                  minStopRatio: Double, minTokens: Int,
+                  gramN: Int): DataFrame =
+    cleanCorpus(train, bench,
+      Config(stopwords, minStopRatio, minTokens, gramN, windowTokens = 0L))
+
+  /** Stages 1-3 (gate → dedup [→ near-dup] → decontaminate) without
+    * the packing pass — the survivors frame. Exposed so plan audits
+    * can inspect the join strategies (packOffsets returns an
+    * RDD-backed frame whose queryExecution no longer shows the
+    * upstream joins). */
+  def cleanCorpus(train: DataFrame, bench: DataFrame,
+                  cfg: Config): DataFrame = {
     val ws = split(col("text"), " ")
-    val sw = array(stopwords.map(lit): _*)
+    val sw = array(cfg.stopwords.map(lit): _*)
     val normText = trim(regexp_replace(lower(col("text")), "\\s+", " "))
     val quality = train
       .withColumn("wsArr", ws)
       .withColumn("stop_ratio",
         size(filter(col("wsArr"), w => array_contains(sw, w))).cast("double") /
           size(col("wsArr")))
-      .filter(col("stop_ratio") >= minStopRatio && size(col("wsArr")) >= minTokens)
+      .filter(col("stop_ratio") >= cfg.minStopRatio &&
+        size(col("wsArr")) >= cfg.minTokens)
       .select(col("doc_id"), col("text"),
         size(col("wsArr")).as("n_tokens"), md5(normText).as("fp"))
     val keepers = quality.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     val deduped = quality.join(keepers, Seq("fp", "doc_id")).drop("fp")
-    val bad = Decontaminate.contaminatedIds(deduped, bench, n = gramN)
-    deduped.join(bad, Seq("doc_id"), "left_anti")
+    val survivors = cfg.fuzzy match {
+      case None => deduped
+      case Some(fz) =>
+        deduped.join(fuzzyDropIds(deduped, fz), Seq("doc_id"), "left_anti")
+    }
+    val bad = Decontaminate.contaminatedIds(survivors, bench,
+      n = cfg.gramN, hashGrams = cfg.hashGrams)
+    survivors.join(bad, Seq("doc_id"), "left_anti")
+  }
+
+  /** Near-dup member ids to DROP (every cluster member except its
+    * min-id representative): fused MinHash signatures → banded LSH
+    * equi-join (band key = xxhash64 of numHashes/bands consecutive
+    * minhashes, so a candidate must agree on a full band) →
+    * estimated-Jaccard filter → [[Components.connectedComponents]]
+    * (transitive closure: A≈B, B≈C land in one cluster even when A,C
+    * share no band). The component label IS the min member id, so the
+    * drop set is exactly `component != node`. The returned frame is
+    * eagerly materialized (the components loop is iterative — it
+    * cannot be part of one lazy DAG anyway) and the signature cache is
+    * released before returning. */
+  private def fuzzyDropIds(docs: DataFrame, fz: FuzzyDedup): DataFrame = {
+    require(fz.numHashes % fz.bands == 0,
+      s"numHashes ${fz.numHashes} must be a multiple of bands ${fz.bands}")
+    val rows = fz.numHashes / fz.bands
+    // cache: the band explode and estimate's two signature joins would
+    // otherwise each re-run the fused MD5 kernel over the corpus
+    val sigs = MinHash.signatures(docs, fz.numHashes).cache()
+    val bands = sigs.select(col("doc_id"), posexplode(
+      array((0 until fz.bands).map(b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
+      .as(Seq("band_idx", "band_key")))
+    val x = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("a"))
+    val y = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("b"))
+    val cand = x.join(y, Seq("band_idx", "band_key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val edges = MinHash.estimate(cand, sigs)
+      .filter(col("est_jaccard") >= fz.minJaccard)
+      .select(col("a"), col("b"))
+    val res = Components.connectedComponents(edges, fz.maxIter,
+      fz.checkpointDir)
+    require(res.converged,
+      s"near-dup component propagation did not converge in ${res.rounds} " +
+        s"rounds (maxIter=${fz.maxIter})")
+    val drop = res.labels.filter(col("component") =!= col("node"))
+      .select(col("node").as("doc_id"))
+      .localCheckpoint(true)
+    sigs.unpersist()
+    drop
   }
 }

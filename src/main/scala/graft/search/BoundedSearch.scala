@@ -329,13 +329,16 @@ object BoundedSearch {
     // measured crossover — for rounds too small to amortize the fused
     // arm's coarser task granularity.
     val nBuckets = listNoBuckets(ivfData)
-    // mean list size for the crossover guard — layout metadata, so the
-    // count job runs once per table per session (IndexCache.rowCount
-    // memo), not once per search call; only fused-eligible layouts ask
-    val meanListSize: Double =
-      if (nBuckets.isDefined)
-        graft.index.IndexCache.rowCount(ivfData).toDouble / nlist
-      else 0.0
+    // per-list sizes for the crossover guard — layout metadata
+    // (IndexCache.listSizes memo: sidecar-seeded for IndexCache-built
+    // frames, one groupBy job per table per session otherwise), so no
+    // job runs per search call; only fused-eligible layouts ask. The
+    // guard's probed-volume estimate is now EXACT (sum of the probed
+    // lists' actual sizes, not probed-count × mean) — same crossover
+    // constant, better estimate under list skew.
+    val listSizes: Map[Long, Long] =
+      if (nBuckets.isDefined) graft.index.IndexCache.listSizes(ivfData)
+      else Map.empty
     def scanRound(p: org.apache.spark.sql.Dataset[(Int, Long, Array[Float])],
                   counts: Map[Int, Long]): DataFrame = {
       // the bucket-local kernel streams one list group at a time, so
@@ -347,15 +350,16 @@ object BoundedSearch {
       // split a hot list across tasks; a bucket-local scan cannot).
       // The third clause is the engine obeying its own measurements
       // (r9 scale sweep, encoded in GraftConf.fusedMinProbedRows): a
-      // round whose estimated scan volume (probed lists × mean list
-      // size) sits below the crossover routes to the salted cogroup
+      // round whose scan volume (sum of the probed lists' sizes, from
+      // index metadata) sits below the crossover routes to the salted cogroup
       // even on a fused-eligible layout — small bucketed corpora
       // otherwise paid ~60% on every bounded query for a layout choice
       // that only helps at serving scale.
       val joinOk = nBuckets.exists { nb =>
         counts.values.max <= maxProbesPerBucket &&
           counts.values.sum / nb <= maxProbesPerBucket &&
-          counts.size * meanListSize >= graft.GraftConf.fusedMinProbedRows
+          counts.keysIterator.map(l => listSizes.getOrElse(l.toLong, 0L))
+            .sum >= graft.GraftConf.fusedMinProbedRows
       }
       lastScanRoute.set(if (joinOk) "fused" else "cogroup")
       if (joinOk) scanListsJoin(ivfData, met, p, counts.keys.toSeq.sorted, k)

@@ -272,6 +272,64 @@ class BoundedBucketSpec extends SparkSpec {
     }
   }
 
+  test("persisted list sizes: metadata ≡ counted sizes, reload serves dedup/search with zero size jobs") {
+    import spark.implicits._
+    import graft.index.IndexCache
+    val modelDir =
+      java.nio.file.Files.createTempDirectory("graft_models_ls").toString
+    val corpusDir =
+      java.nio.file.Files.createTempDirectory("ivf_ls").toString + "/corpus"
+    baseDF.write.mode("overwrite").parquet(corpusDir)
+    System.setProperty("graft.model.dir", modelDir)
+    try {
+      def corpus = spark.read.parquet(corpusDir)
+      // session 1: the build's one groupBy job yields BOTH metadata and
+      // persists the _list_sizes sidecar beside the centroids
+      val (m1, a1) = IndexCache.ivf("lsizes_spec", corpus, nlist)
+      val fromCache = IndexCache.listSizes(a1)
+      // metadata ≡ counted sizes (independent recount of the same frame)
+      val counted = a1.groupBy(col("list_no")).count()
+        .as[(Int, Long)].collect().map { case (l, c) => (l.toLong, c) }.toMap
+      assert(fromCache == counted, "memoized sizes must equal a fresh count")
+      assert(fromCache.valuesIterator.sum == base.length)
+      val sidecar = new java.io.File(modelDir).listFiles()
+        .filter(_.isDirectory)
+        .map(d => new java.io.File(d, "_list_sizes"))
+        .find(_.exists())
+        .getOrElse(fail("no _list_sizes sidecar found under the model dir"))
+      // session 2 (simulated): memos gone, disk intact — the sidecar
+      // seeds the memo, so even the FIRST ivfPairs guard audit and the
+      // FIRST distributed search's crossover estimate run zero jobs
+      IndexCache.clear()
+      val beforeSz = IndexCache.listSizeComputes.get()
+      val beforeRc = IndexCache.rowCountComputes.get()
+      val (_, a2) = IndexCache.ivf("lsizes_spec", corpus, nlist)
+      assert(IndexCache.listSizes(a2) == counted,
+        "sidecar-seeded sizes must equal the build session's count")
+      val pairs = graft.ops.EmbeddingDedup.ivfPairs(a2, threshold = 0.999)
+      pairs.count()
+      assert(IndexCache.listSizeComputes.get() == beforeSz,
+        "reload + first ivfPairs must run ZERO size jobs " +
+          "(_list_sizes sidecar seeds the memo)")
+      assert(IndexCache.rowCountComputes.get() == beforeRc,
+        "the sidecar's size sum must also seed the row-count memo")
+      // invalidate retires the size memo and the on-disk sidecar with
+      // the count, so a corpus rewrite can't be served stale sizes
+      IndexCache.invalidate(a2)
+      assert(!sidecar.exists(),
+        "invalidate must delete the persisted _list_sizes sidecar")
+      val afterInval = IndexCache.listSizeComputes.get()
+      assert(IndexCache.listSizes(a2) == counted,
+        "post-invalidate recount must see the corpus")
+      assert(IndexCache.listSizeComputes.get() == afterInval + 1,
+        "invalidate must force exactly one fresh size job")
+      assert(m1.centroids.length == nlist)
+    } finally {
+      System.clearProperty("graft.model.dir")
+      IndexCache.clear()
+    }
+  }
+
   test("memory-resident list_no distribution serves the Exchange-free join") {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import spark.implicits._

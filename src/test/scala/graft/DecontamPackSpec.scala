@@ -215,6 +215,68 @@ class DecontamPackSpec extends SparkSpec {
       .run(corpus, allBench, sw, 0.02, 20, 4, 64L).count() == 0L)
   }
 
+  test("pipeline Config: hashGrams=true output ≡ default, hashed plan reaches the DAG") {
+    import graft.ops.PreparePipeline
+    val d = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val D = graft.queries.Documents
+    val train = d.filter(col("doc_id") % 10 =!= D.BenchResidue)
+    val bench = d.filter(col("doc_id") % 10 === D.BenchResidue)
+    val sw = Seq("the", "a", "of", "and", "or", "is", "to", "in")
+    def rows(cfg: PreparePipeline.Config) =
+      PreparePipeline.run(train, bench, cfg).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val base = PreparePipeline.Config(sw, 0.02, 20, D.DecontamN, 64L)
+    val default = rows(base)
+    val hashed = rows(base.copy(hashGrams = true))
+    assert(default.nonEmpty)
+    assert(hashed.sameElements(default),
+      "hashGrams=true must not change the composed pipeline's output")
+    // the knob actually reaches the decontam stage inside the DAG
+    val plan = PreparePipeline
+      .cleanCorpus(train, bench, base.copy(hashGrams = true))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"),
+      s"hashed gram keys missing from the composed plan:\n$plan")
+  }
+
+  test("pipeline fuzzy near-dup stage: transitive chain collapses to min-id rep; checkpointDir path identical") {
+    import graft.ops.PreparePipeline
+    val sw = Seq("the", "a", "of", "and", "or", "is", "to", "in")
+    def doc(edits: Map[Int, String]): String =
+      (0 until 40).map { i =>
+        edits.getOrElse(i, if (i % 10 == 0) "the" else s"w$i")
+      }.mkString(" ")
+    // 1≈2 (one word changed) and 2≈3 (one more) — 1 vs 3 differ by two
+    // words; the transitive closure must still put all three in one
+    // cluster. 4 is unrelated; 5 is an EXACT duplicate of 1 (the exact
+    // stage, not the fuzzy stage, must absorb it, keeping min id 1).
+    val corpus = Seq(
+      (1L, doc(Map.empty)),
+      (2L, doc(Map(5 -> "x5"))),
+      (3L, doc(Map(5 -> "x5", 25 -> "x25"))),
+      (4L, (0 until 40).map(i => if (i % 10 == 0) "of" else s"z$i").mkString(" ")),
+      (5L, doc(Map.empty))).toDF("doc_id", "text")
+    val emptyBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val fz = PreparePipeline.FuzzyDedup(numHashes = 64, bands = 16,
+      minJaccard = 0.6)
+    val base = PreparePipeline.Config(sw, 0.02, 20, 4, 1024L,
+      fuzzy = Some(fz))
+    def ids(cfg: PreparePipeline.Config): Seq[Long] =
+      PreparePipeline.run(corpus, emptyBench, cfg)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(base) == Seq(1L, 4L),
+      "fuzzy stage must keep exactly the cluster rep (1) and the unrelated doc (4)")
+    // without the stage the near-dups survive (only the exact twin drops)
+    assert(ids(base.copy(fuzzy = None)) == Seq(1L, 2L, 3L, 4L))
+    // checkpointDir threads through to Components: identical output on
+    // the reliable-checkpoint path
+    val ckDir =
+      java.nio.file.Files.createTempDirectory("prep_fuzzy_ck").toString
+    assert(ids(base.copy(fuzzy = Some(fz.copy(checkpointDir = Some(ckDir)))))
+      == Seq(1L, 4L), "checkpointDir path must produce identical survivors")
+  }
+
   test("PipeScale closed-form harnesses hold at spec scale (e2e 20k, semdedup 20k)") {
     // the same planted-structure accounting the 20M/2M evidence runs
     // use (r13_prepare_e2e_20m.log, r13_semdedup_2m.log) — require()s
