@@ -3,11 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{DotExpr, L2SqrExpr}
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression,
+  ExpressionInfo, Multiply, Sqrt}
+import org.apache.spark.sql.graft.{DotExpr, HammingWideExpr, L2SqrExpr}
 
 /** SQL-surface registration of the codegen vector kernels so
-  * `spark.sql("SELECT graft_l2sqr(a, b) ...")` works.
+  * `spark.sql("SELECT graft_l2sqr(a, b) ...")` works — which is also
+  * the PYTHON surface: a PySpark session built with
+  * `spark.sql.extensions=graft.GraftExtensions` (and the library on
+  * the driver classpath) reaches every kernel by name with zero
+  * Python UDFs, so the hot path stays inside whole-stage codegen
+  * (`tools/pyspark_smoke.py`, `docs/PYTHON.md`).
   *
   * Two routes:
   *  - config `spark.sql.extensions=graft.GraftExtensions` at session
@@ -28,7 +34,17 @@ object GraftFunctions {
       (es: Seq[Expression]) => L2SqrExpr(es(0), es(1))),
     ("graft_dot",
       new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
-      (es: Seq[Expression]) => DotExpr(es(0), es(1))))
+      (es: Seq[Expression]) => DotExpr(es(0), es(1))),
+    // cosine composes the codegen'd dot kernel (dot/(‖a‖·‖b‖), the
+    // VectorFunctions.cosine arithmetic — NaN on zero vectors, like
+    // every engine's raw cosine; dedup callers guard that themselves)
+    ("graft_cosine",
+      new ExpressionInfo(classOf[DotExpr].getName, "graft_cosine"),
+      (es: Seq[Expression]) => Divide(DotExpr(es(0), es(1)),
+        Multiply(Sqrt(DotExpr(es(0), es(0))), Sqrt(DotExpr(es(1), es(1)))))),
+    ("graft_hamming",
+      new ExpressionInfo(classOf[HammingWideExpr].getName, "graft_hamming"),
+      (es: Seq[Expression]) => HammingWideExpr(es(0), es(1))))
 
   /** Register on an existing session (temp-function registry). */
   def register(spark: SparkSession): Unit =

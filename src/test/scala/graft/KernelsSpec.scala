@@ -75,6 +75,32 @@ class KernelsSpec extends SparkSpec {
     }
   }
 
+  test("SQL surface: graft_cosine/graft_hamming registered functions") {
+    import spark.implicits._
+    graft.GraftFunctions.register(spark)
+    val vs = randVecs(8, 8, seed = 19)
+    vs.zipWithIndex.map { case (v, i) => (i, v, vs(0)) }.toSeq
+      .toDF("i", "a", "b").createOrReplaceTempView("cos_pairs")
+    val gotCos = spark.sql(
+      "SELECT graft_cosine(a, b) FROM cos_pairs ORDER BY i")
+      .as[Double].collect()
+    vs.zipWithIndex.foreach { case (v, i) =>
+      val want = Kernels.dot(v, vs(0)) / (Kernels.norm(v) * Kernels.norm(vs(0)))
+      assert(math.abs(gotCos(i) - want) < 1e-12,
+        s"cosine($i): ${gotCos(i)} vs $want")
+    }
+    val sigs = Seq(
+      (0, Seq(0L, 0L), Seq(-1L, 0L)),      // 64 differing bits
+      (1, Seq(5L, 12L), Seq(5L, 12L)),     // identical
+      (2, Seq(1L, 2L), Seq(3L, 2L)))       // 1 differing bit
+      .toDF("i", "a", "b")
+    sigs.createOrReplaceTempView("ham_pairs")
+    val gotHam = spark.sql(
+      "SELECT graft_hamming(a, b) FROM ham_pairs ORDER BY i")
+      .as[Int].collect().toSeq
+    assert(gotHam == Seq(64, 0, 1), s"hamming: $gotHam")
+  }
+
   test("SQL surface: the spark.sql.extensions route injects the functions") {
     // the other documented registration route: a session built WITH the
     // extension class (what `spark.sql.extensions=graft.GraftExtensions`
