@@ -88,24 +88,18 @@ object IndexCache {
     * sidecars and SEEDS the memos, so its first distributed search or
     * [[graft.ops.EmbeddingDedup.ivfPairs]] call runs zero metadata
     * jobs before real work. A pre-`_list_sizes` model directory
-    * (legacy) seeds the row count from `_corpus_rows` and leaves sizes
-    * lazy — the first [[listSizes]] caller pays the job once and
-    * memoizes. The underscore prefix keeps the parquet reader from
+    * (legacy), or one whose sizes sidecar fails trailer verification,
+    * seeds the row count from `_corpus_rows` and leaves sizes lazy —
+    * the first [[listSizes]] caller pays the job once, memoizes, AND
+    * persists the verified sidecar (self-upgrade: later sessions seed
+    * for free). The underscore prefix keeps the parquet reader from
     * treating the sidecars as data files (the `_SUCCESS` convention). */
   private def countOrSeed(assigned: DataFrame, modelPath: String,
                           loaded: Boolean): Unit = {
     val szSidecar = new java.io.File(modelPath, "_list_sizes")
     val rcSidecar = new java.io.File(modelPath, "_corpus_rows")
     val persistedSizes: Option[Map[Long, Long]] =
-      if (loaded && szSidecar.exists())
-        scala.util.Try {
-          java.nio.file.Files.readAllLines(szSidecar.toPath)
-            .toArray(Array.empty[String]).iterator
-            .filter(_.nonEmpty).map { ln =>
-              val i = ln.indexOf('\t')
-              (ln.substring(0, i).toLong, ln.substring(i + 1).toLong)
-            }.toMap
-        }.toOption
+      if (loaded && szSidecar.exists()) readSizesSidecar(szSidecar.toPath)
       else None
     persistedSizes match {
       case Some(m) =>
@@ -118,16 +112,20 @@ object IndexCache {
               .trim.toLong).toOption
           else None
         persistedRows match {
-          case Some(n) => seedRowCount(assigned, n) // legacy dir: sizes lazy
+          case Some(n) =>
+            // legacy / unverifiable-sidecar dir: sizes stay lazy, but
+            // REGISTER the sidecar path so the first listSizes compute
+            // persists it (self-upgrade — later sessions seed for free)
+            seedRowCount(assigned, n)
+            val plan = assigned.queryExecution.analyzed
+            pendingSizeSidecars.put(Integer.valueOf(plan.semanticHash()),
+              (plan, szSidecar.getPath))
           case None =>
             // one job, both metadata; materializes the cache too
             val m = listSizes(assigned)
             seedRowCount(assigned, m.valuesIterator.sum)
-            scala.util.Try(java.nio.file.Files.writeString(szSidecar.toPath,
-              m.iterator.map { case (l, c) => s"$l\t$c" }.mkString("\n")))
-            scala.util.Try(java.nio.file.Files.writeString(
-              rcSidecar.toPath, m.valuesIterator.sum.toString))
-            ()
+            writeSizesSidecar(szSidecar.toPath, m)
+            writeAtomic(rcSidecar.toPath, m.valuesIterator.sum.toString)
         }
     }
     // remember where this plan's metadata is persisted so invalidate()
@@ -137,6 +135,53 @@ object IndexCache {
     val plan = assigned.queryExecution.analyzed
     rowCountSidecars.put(Integer.valueOf(plan.semanticHash()),
       (plan, Seq(rcSidecar.getPath, szSidecar.getPath)))
+    ()
+  }
+
+  /** `_list_sizes` sidecar format: one `list<TAB>size` line per list,
+    * then a `#sum<TAB>nLists<TAB>totalRows` trailer the reader VERIFIES.
+    * Writes go through [[writeAtomic]] (temp file + atomic rename), so a
+    * crash mid-write can never leave a half-written file under the real
+    * name; the trailer additionally catches any truncated pre-atomic /
+    * externally-damaged file. A torn sizes file is not perf-only: an
+    * under-reading would silently disable the
+    * [[graft.ops.EmbeddingDedup.ivfPairs]] oversized-list guard — the
+    * exact blowup the guard exists to prevent — so the reader falls back
+    * to the count job (returning None) on ANY verification failure. */
+  private def writeSizesSidecar(path: java.nio.file.Path,
+                                m: Map[Long, Long]): Unit = {
+    val body = m.iterator.map { case (l, c) => s"$l\t$c" }.mkString("\n")
+    val trailer = s"#sum\t${m.size}\t${m.valuesIterator.sum}"
+    writeAtomic(path, if (m.isEmpty) trailer else s"$body\n$trailer")
+  }
+
+  private def readSizesSidecar(
+      path: java.nio.file.Path): Option[Map[Long, Long]] =
+    scala.util.Try {
+      val lines = java.nio.file.Files.readAllLines(path)
+        .toArray(Array.empty[String]).iterator.filter(_.nonEmpty).toArray
+      require(lines.nonEmpty && lines.last.startsWith("#sum\t"),
+        "missing trailer")
+      val Array(_, nStr, totStr) = lines.last.split('\t')
+      val m = lines.iterator.take(lines.length - 1).map { ln =>
+        val i = ln.indexOf('\t')
+        (ln.substring(0, i).toLong, ln.substring(i + 1).toLong)
+      }.toMap
+      require(m.size == nStr.toLong && m.valuesIterator.sum == totStr.toLong,
+        "trailer mismatch")
+      m
+    }.toOption
+
+  /** Temp-file + atomic-rename write: the sidecar either has its old
+    * content or its complete new content, never a torn prefix. */
+  private def writeAtomic(path: java.nio.file.Path, content: String): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    scala.util.Try {
+      val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+      Files.writeString(tmp, content)
+      Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     ()
   }
 
@@ -288,9 +333,24 @@ object IndexCache {
         .select(col("list_no").cast("long"), col("lsize"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       listSizeMemo.put(h, (plan, m))
+      // self-upgrade: a legacy (or torn) model dir registered its sidecar
+      // path at reload — persist the freshly-computed sizes there so
+      // every LATER session seeds without this job (mirrors the old
+      // _corpus_rows upgrade behavior)
+      val pend = pendingSizeSidecars.get(h)
+      if (pend != null && pend._1.sameResult(plan) &&
+          pendingSizeSidecars.remove(h, pend))
+        writeSizesSidecar(java.nio.file.Paths.get(pend._2), m)
       m
     }
   }
+
+  /** Model-dir sidecar paths awaiting a first [[listSizes]] compute (the
+    * legacy-dir self-upgrade), by plan hash; plan kept for the standard
+    * sameResult collision guard. */
+  private val pendingSizeSidecars = new ConcurrentHashMap[
+    Integer, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+              String)]()
 
   private[graft] def seedListSizes(df: DataFrame, m: Map[Long, Long]): Unit = {
     val plan = df.queryExecution.analyzed
@@ -321,6 +381,11 @@ object IndexCache {
     val h = Integer.valueOf(plan.semanticHash())
     rowCounts.remove(h)
     listSizeMemo.remove(h)
+    // a pending self-upgrade must not later persist sizes computed for
+    // data the caller just declared rewritten
+    val pend = pendingSizeSidecars.get(h)
+    if (pend != null && pend._1.sameResult(plan))
+      pendingSizeSidecars.remove(h, pend)
     // sameResult guard (the rowCounts discipline): on a hash collision
     // the stored entry may belong to a DIFFERENT plan — deleting that
     // plan's sidecar would orphan its persisted count while leaving
@@ -357,5 +422,6 @@ object IndexCache {
     models.clear(); graphs.clear(); traces.clear(); frames.clear()
     pqModels.clear(); objects.clear(); rowCounts.clear()
     rowCountSidecars.clear(); listSizeMemo.clear()
+    pendingSizeSidecars.clear()
   }
 }

@@ -107,7 +107,13 @@ object EmbeddingDedup {
     // the build persisted beside the centroids (zero jobs); ad-hoc
     // frames pay one groupBy job on first call per session (memoized
     // by plan). Staleness follows the standing IndexCache contract —
-    // data rewritten in place under a live plan needs invalidate().
+    // data rewritten in place under a live plan needs invalidate() —
+    // and HERE staleness is sharper than for rowCount routing: an
+    // under-reading doesn't just misroute, it can leave the guard
+    // inactive and send a skewed list into a quadratic task, so a
+    // rewrite-without-invalidate voids the blowup protection, not just
+    // the plan choice. (The sidecar itself is atomic-rename-written and
+    // trailer-verified, so a torn FILE falls back to a fresh count.)
     val oversized: Array[(Long, Long)] =
       graft.index.IndexCache.listSizes(assigned)
         .iterator.filter(_._2 > maxList).toArray
@@ -155,13 +161,16 @@ object EmbeddingDedup {
     * guarantee for exactly the degenerate rows it exists for.
     *
     * Driver-memory bound: the per-level oversized-cell key collect
-    * (`over`) holds at most `nlist` keys at level 0 and
+    * holds at most `nlist` keys at level 0 and
     * `totalOverRows / maxList` keys per deeper level (a cell must
-    * exceed `maxList` rows to appear), so reaching driver-significant
-    * size (~10⁸ keys) needs ≥ maxList·10⁸ ≈ 8×10¹¹ rows ALL living in
-    * dense-but-not-identical oversized cells — identical-vector
-    * degeneracy is NOT this case (identical rows co-assign to ONE
-    * cell and the drop arm absorbs them). */
+    * exceed `maxList` rows to appear) — small in any realistic run —
+    * and is CAPPED regardless: when a level discovers more than
+    * [[subSplitCollectCap]] oversized cells, the keys never come to
+    * the driver at all; the level's anti/semi splits run as shuffle
+    * joins against the aggregated key frame instead of a collected
+    * broadcast (identical output, pinned in DedupSpec). Identical-
+    * vector degeneracy never reaches either path's limit — identical
+    * rows co-assign to ONE cell and the drop arm absorbs them. */
   private def subSplitPairs(big: DataFrame, threshold: Double,
                             maxList: Int, maxLevels: Int): DataFrame = {
     val spark = big.sparkSession
@@ -173,27 +182,44 @@ object EmbeddingDedup {
     var level = 0
     var done = false
     while (!done) {
-      val over: Array[(Long, Long)] = rest.groupBy(col("bucket"))
+      val sizeAgg = rest.groupBy(col("bucket"))
         .agg(count(lit(1)).as("bsize"))
         .filter(col("bsize") > maxList)
-        .as[(Long, Long)].collect()
-      if (over.isEmpty) {
+      // one job either way: limit(cap+1) returns the FULL set iff it is
+      // ≤ cap (the common case — broadcast path, exactly as before);
+      // an overflowing set switches this level to the join fallback
+      val head: Array[(Long, Long)] = sizeAgg
+        .as[(Long, Long)].limit(subSplitCollectCap + 1).collect()
+      if (head.isEmpty) {
         ready ::= rest
         done = true
       } else {
-        val overKeys = broadcast(over.map(_._1).toSeq.toDF("bucket"))
+        val (overKeys, nOver, totalOver, maxCell) =
+          if (head.length <= subSplitCollectCap)
+            (broadcast(head.map(_._1).toSeq.toDF("bucket")),
+              head.length.toLong, head.map(_._2).sum, head.map(_._2).max)
+          else {
+            // key set too large to collect: materialize the aggregate
+            // once (reused by the stats job + both splits) and join
+            val agg = sizeAgg.localCheckpoint(true)
+            val st = agg.agg(count(lit(1)), sum(col("bsize")),
+              max(col("bsize"))).as[(Long, Long, Long)].collect()(0)
+            log.warn(s"ivfPairs sub-split level $level: ${st._1} oversized" +
+              s" cells exceed the driver collect cap $subSplitCollectCap —" +
+              " splitting via shuffle joins on the aggregated key frame")
+            (agg.select(col("bucket")), st._1, st._2, st._3)
+          }
         ready ::= rest.join(overKeys, Seq("bucket"), "left_anti")
         val cur = rest.join(overKeys, Seq("bucket"), "left_semi")
         if (level >= maxLevels) {
-          log.warn(s"ivfPairs sub-split: ${over.length} cells still over " +
+          log.warn(s"ivfPairs sub-split: $nOver cells still over " +
             s"maxList=$maxList after $maxLevels refinement rounds " +
-            s"(${over.map(_._2).sum} rows, max cell ${over.map(_._2).max}) " +
+            s"($totalOver rows, max cell $maxCell) " +
             "— dropping their pair enumeration; bit-identical groups " +
             "inside them still pair via the exact-dup pass")
           dropped = Some(cur)
           done = true
         } else {
-          val totalOver = over.map(_._2).sum
           // ~2 cells per maxList of rows, ~100 sample rows per centroid.
           // k is CAPPED so one level's trainer stays bounded even when
           // the oversized mass is corpus-sized (a degenerate one-list
@@ -475,6 +501,14 @@ object EmbeddingDedup {
     sigs.unpersist()
     out
   }
+
+  /** Max oversized-cell keys [[subSplitPairs]] will collect/broadcast
+    * per level (~16 MB of driver longs at the default); beyond it the
+    * level splits via shuffle joins on the aggregated key frame —
+    * identical output, no driver materialization. Var (not a param):
+    * it is an engine memory knob, not operator semantics; specs lower
+    * it to force the fallback path. */
+  private[graft] var subSplitCollectCap: Int = 1 << 20
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 

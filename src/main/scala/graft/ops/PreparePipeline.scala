@@ -30,7 +30,9 @@ import org.apache.spark.sql.functions._
   *    threaded through for reliable per-round checkpoints on a
   *    fault-tolerant cluster run) → keep each cluster's min-id
   *    representative. Candidate volume is governed by the band
-  *    width (numHashes/bands minhashes per band key), never O(N²).
+  *    width (numHashes/bands minhashes per band key) AND the
+  *    [[FuzzyDedup.maxBucket]] degenerate-bucket cap — a single hot
+  *    band key can otherwise still go B² — so it is never O(N²).
   *
   * Deliberate trade: the deduped corpus text is read TWICE (once to
   * generate grams for the contamination probe, once as the anti-join
@@ -44,10 +46,22 @@ object PreparePipeline {
   /** Near-dup stage config. `numHashes` must be a multiple of
     * `bands`; a candidate pair must agree on all numHashes/bands
     * minhashes of ≥1 band. `minJaccard` filters candidates on the
-    * signature-estimated Jaccard ([[MinHash.estimate]]). */
+    * signature-estimated Jaccard ([[MinHash.estimate]]).
+    *
+    * `maxBucket`: band buckets larger than this are DROPPED from
+    * candidate generation (counted and logged), exactly as
+    * [[EmbeddingDedup.lshPairs]] caps its banded join — a degenerate
+    * band key (template/boilerplate docs all agreeing on a band, the
+    * common case at the petabyte scale this knob targets) otherwise
+    * yields B² join rows before the a<b filter (observed as a filled
+    * disk at 10M rows, r5). Bit-identical docs are NOT at risk: the
+    * exact-dedup stage upstream already collapsed them, so an
+    * oversized bucket can only cost recall on non-identical near-dups
+    * whose every agreeing band is degenerate. */
   final case class FuzzyDedup(numHashes: Int = 64, bands: Int = 16,
                               minJaccard: Double = 0.8, maxIter: Int = 20,
-                              checkpointDir: Option[String] = None)
+                              checkpointDir: Option[String] = None,
+                              maxBucket: Int = 8192)
 
   final case class Config(stopwords: Seq[String], minStopRatio: Double,
                           minTokens: Int, gramN: Int, windowTokens: Long,
@@ -115,16 +129,40 @@ object PreparePipeline {
   private def fuzzyDropIds(docs: DataFrame, fz: FuzzyDedup): DataFrame = {
     require(fz.numHashes % fz.bands == 0,
       s"numHashes ${fz.numHashes} must be a multiple of bands ${fz.bands}")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val rows = fz.numHashes / fz.bands
-    // cache: the band explode and estimate's two signature joins would
-    // otherwise each re-run the fused MD5 kernel over the corpus
+    // cache: the band explode (bucket agg + both join sides) and
+    // estimate's two signature joins would otherwise each re-run the
+    // fused MD5 kernel over the corpus
     val sigs = MinHash.signatures(docs, fz.numHashes).cache()
     val bands = sigs.select(col("doc_id"), posexplode(
       array((0 until fz.bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
       .as(Seq("band_idx", "band_key")))
-    val x = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("a"))
-    val y = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("b"))
+    // degenerate-bucket cap, the EmbeddingDedup.bandedPairs discipline:
+    // oversized buckets are few by construction (each holds > maxBucket
+    // rows, so ≤ N·bands/maxBucket exist) — collect their keys, log the
+    // recall change, and filter with a broadcast anti-join
+    val oversized: Array[(Int, Long, Long)] = bands
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > fz.maxBucket)
+      .select(col("band_idx").cast("int"), col("band_key").cast("long"),
+        col("bsize").cast("long"))
+      .as[(Int, Long, Long)].collect()
+    val kept = if (oversized.isEmpty) bands else {
+      log.warn(s"fuzzy near-dup: dropping ${oversized.length} oversized " +
+        s"band buckets (${oversized.map(_._3).sum} id rows, " +
+        s"maxBucket=${fz.maxBucket}) from candidate generation; pairs " +
+        "whose every agreeing band is oversized lose LSH candidacy — " +
+        "bit-identical docs were already collapsed by the exact stage")
+      val keys = oversized.map { case (b, k, _) => (b, k) }.toSeq
+        .toDF("band_idx", "band_key")
+      bands.join(broadcast(keys), Seq("band_idx", "band_key"), "left_anti")
+    }
+    val x = kept.select(col("band_idx"), col("band_key"), col("doc_id").as("a"))
+    val y = kept.select(col("band_idx"), col("band_key"), col("doc_id").as("b"))
     val cand = x.join(y, Seq("band_idx", "band_key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
@@ -136,10 +174,19 @@ object PreparePipeline {
     require(res.converged,
       s"near-dup component propagation did not converge in ${res.rounds} " +
         s"rounds (maxIter=${fz.maxIter})")
-    val drop = res.labels.filter(col("component") =!= col("node"))
+    // materialize eagerly (the components loop already ran); on the
+    // fault-tolerant checkpointDir path use a reliable checkpoint —
+    // localCheckpoint stores executor-local blocks, so an executor loss
+    // after this point would make the drop set unrecoverable, undoing
+    // the reliable-checkpoint intent threaded into Components
+    val dropLazy = res.labels.filter(col("component") =!= col("node"))
       .select(col("node").as("doc_id"))
-      .localCheckpoint(true)
+    val drop =
+      if (fz.checkpointDir.isDefined) dropLazy.checkpoint()
+      else dropLazy.localCheckpoint(true)
     sigs.unpersist()
     drop
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 }

@@ -854,6 +854,118 @@ object Documents {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  /** d12 with the fuzzy near-dup stage ON — the petabyte knob's own
+    * correctness row. The sf corpus has planted EXACT duplicates but no
+    * non-exact near-dups, so the fixture plants them the way the
+    * streaming rows stage derived corpora (s04's re-appearing docs):
+    * every doc_id % 10 == 3 document re-appears under id + 10⁶ with one
+    * word appended — NOT an exact duplicate (the normalized fingerprint
+    * differs), but a ≥0.9-Jaccard near-dup of its original, which the
+    * MinHash-LSH stage must collapse back to the min-id original.
+    * Planted ids keep residue 3 (mod 10), so the benchmark split
+    * (residue 7) is untouched.
+    *
+    * Fuzzy config: 16 salted-md5 minhashes in 4 bands of 4 — the d03/
+    * s02 signature family, so DuckDB reproduces it hash-for-hash; a
+    * candidate must agree on ALL 4 minhashes of some band (the oracle
+    * groups on the concatenated band tuple — fixed-width hex, injective
+    * — where Spark keys on xxhash64 of the slice: equal tuples ⇔ equal
+    * keys modulo a 2⁻⁶⁴ collision that could only ADD a candidate,
+    * which the estimated-Jaccard filter then re-judges identically in
+    * both engines). `maxBucket` (8192) never engages at sf scale —
+    * exact dedup upstream means a band bucket holds one near-dup
+    * cluster, size ≈ 2 — the [[ShingleDfCap]] precedent. Whether a
+    * planted pair clears est ≥ 0.8 is the same deterministic md5
+    * arithmetic in both engines, so the row is exact by construction
+    * at ANY sf. */
+  def d13FuzzyPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val planted = d.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zq")).as("text"))
+    val corpus = d.select(col("doc_id"), col("text")).unionByName(planted)
+    graft.ops.PreparePipeline.run(
+      train = corpus.filter(col("doc_id") % 10 =!= BenchResidue),
+      bench = corpus.filter(col("doc_id") % 10 === BenchResidue),
+      cfg = graft.ops.PreparePipeline.Config(
+        stopwords = Seq("the", "a", "of", "and", "or", "is", "to", "in"),
+        minStopRatio = 0.02, minTokens = 20, gramN = DecontamN,
+        windowTokens = PackWindow,
+        fuzzy = Some(graft.ops.PreparePipeline.FuzzyDedup(
+          numHashes = 16, bands = 4, minJaccard = FuzzyMinJaccard))))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d13's estimated-Jaccard keep threshold (matches/16 ≥ this). */
+  val FuzzyMinJaccard = 0.8
+
+  val d13Sql: String = {
+    val n = DecontamN
+    val gram = (1 until n).map(j => s" || ' ' || ws[i+$j]").mkString("ws[i]", "", "")
+    val mins = (0 until 16).map(h => s"MIN(md5('$h|' || s)) AS m$h").mkString(", ")
+    val bandRows = (0 until 4).map { b =>
+      val key = (0 until 4).map(i => s"m${b * 4 + i}").mkString(" || ")
+      if (b == 0) s"SELECT doc_id, 0 AS bi, $key AS bk FROM sig"
+      else s"SELECT doc_id, $b, $key FROM sig"
+    }.mkString(" UNION ALL ")
+    val eqSum = (0 until 16).map(h => s"CASE WHEN sa.m$h = sb.m$h THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' zq' FROM documents WHERE doc_id % 10 = 3),
+       |scored AS (
+       |  SELECT doc_id, text,
+       |    len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','of','and','or','is','to','in'], w)))::DOUBLE
+       |      / len(string_split(text, ' ')) AS stop_ratio,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM corpus WHERE doc_id % 10 <> $BenchResidue),
+       |q AS (SELECT * FROM scored WHERE stop_ratio >= 0.02 AND n_tokens >= 20),
+       |keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM q GROUP BY fp),
+       |dd AS (SELECT q.doc_id, q.text, q.n_tokens FROM q
+       |       JOIN keep ON q.fp = keep.fp AND q.doc_id = keep.doc_id),
+       |fw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM dd
+       |       WHERE len(string_split(text, ' ')) >= 3),
+       |fsh AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM fw),
+       |sig AS (SELECT doc_id, $mins FROM fsh GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.bi = y.bi AND x.bk = y.bk
+       |  WHERE x.doc_id < y.doc_id),
+       |edges AS (SELECT a, b FROM cand
+       |  JOIN sig sa ON cand.a = sa.doc_id JOIN sig sb ON cand.b = sb.doc_id
+       |  WHERE CAST($eqSum AS DOUBLE) / 16 >= $FuzzyMinJaccard),
+       |e AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+       |cc AS (
+       |  SELECT doc_id AS node, doc_id AS label FROM dd
+       |  UNION
+       |  SELECT e.b AS node, cc.label AS label FROM cc JOIN e ON e.a = cc.node),
+       |lab AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node),
+       |surv AS (SELECT dd.doc_id, dd.text, dd.n_tokens FROM dd
+       |         JOIN lab ON dd.doc_id = lab.node WHERE lab.component = lab.node),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM surv),
+       |g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - ${n - 2}),
+       |      i -> $gram)) AS gram FROM w WHERE len(ws) >= $n),
+       |bw AS (SELECT string_split(text, ' ') AS ws FROM corpus
+       |       WHERE doc_id % 10 = $BenchResidue),
+       |ev AS (SELECT DISTINCT unnest(list_transform(range(1, len(ws) - ${n - 2}),
+       |       i -> $gram)) AS gram FROM bw WHERE len(ws) >= $n),
+       |bad AS (SELECT DISTINCT doc_id FROM g JOIN ev USING (gram)),
+       |clean AS (SELECT doc_id, n_tokens FROM surv
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+       |p AS (SELECT doc_id, n_tokens,
+       |      CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+       |      FROM clean)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, start_token,
+       |  start_token // $PackWindow AS window_id,
+       |  (start_token + GREATEST(n_tokens, 1) - 1) // $PackWindow AS end_window,
+       |  ((start_token + GREATEST(n_tokens, 1) - 1) // $PackWindow) > (start_token // $PackWindow) AS spans_boundary
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   /** Streaming ingest-time decontamination (a REAL Structured Streaming
     * run): the training split is staged to parquet, streamed back
     * admission-capped (3 files/trigger over 8 staged files, so
@@ -907,6 +1019,7 @@ object Documents {
     "d10_sequence_pack" -> d10SequencePack _,
     "d11_vocab_top" -> d11VocabTop _,
     "d12_prepare_e2e" -> d12PrepareE2e _,
+    "d13_fuzzy_pipeline" -> d13FuzzyPipeline _,
     "s06_stream_decontam" -> s06StreamDecontam _,
     "t09_repetition" -> t09Repetition _,
     "t01_text_stats" -> t01TextStats _,
@@ -935,6 +1048,7 @@ object Documents {
     "d10_sequence_pack" -> d10Sql,
     "d11_vocab_top" -> d11Sql,
     "d12_prepare_e2e" -> d12Sql,
+    "d13_fuzzy_pipeline" -> d13Sql,
     "s06_stream_decontam" -> d09Sql,
     "t09_repetition" -> t09Sql,
     "t01_text_stats" -> t01Sql,

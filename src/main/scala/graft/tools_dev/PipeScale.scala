@@ -34,7 +34,10 @@ object PipeScale {
       case Some("e2e")      => e2e(spark, args(1).toLong, args(2).toInt)
       case Some("semdedup") => semdedup(spark, args(1).toLong, args(2).toInt,
         if (args.length > 3) args(3).toInt else 8192)
-      case _ => sys.error("usage: PipeScale pack N | decontam N B | e2e N B | semdedup N nlist [maxList]")
+      case Some("fuzzy")    => fuzzy(spark, args(1).toLong, args(2).toInt,
+        if (args.length > 3) args(3).toInt else 21)
+      case _ => sys.error("usage: PipeScale pack N | decontam N B | e2e N B" +
+        " | semdedup N nlist [maxList] | fuzzy N chains [len]")
     }
     spark.stop()
   }
@@ -258,6 +261,159 @@ object PipeScale {
         "(genuinely >= threshold corpus pairs, not false positives)")
     } else println("[pipescale] extras=0")
     baseDF.unpersist(); corpus.unpersist(); assigned.unpersist(); pairs.unpersist()
+  }
+
+  /** `fuzzy N chains [len]` — the PreparePipeline near-dup stage
+    * (`Config.fuzzy`, the d13 production path) at corpus scale, with
+    * PLANTED transitive near-dup chains whose collapse has a closed
+    * form:
+    *
+    *  - `chains` sliding-window chains of `len` members each: chain c
+    *    owns a private stream of 40+2(len−1) globally-unique words;
+    *    member j is the 40-word window starting at offset 2j. So
+    *    consecutive members share 36 of 38 shingles (J = 36/40 = 0.9 —
+    *    certain edges at minJaccard 0.5 with 32 hashes: est-miss
+    *    P(<16 of 32 agree | p=0.9) ≈ 1e-13, band-miss (1−0.9²)¹⁶ ≈
+    *    3e-12), offset-2m members share J = (38−2m)/(38+2m) (skip
+    *    edges down to ~m=6 — redundancy, all within-chain), and the
+    *    ENDPOINTS (offset 2(len−1) ≥ 40 for len ≥ 21) share ZERO
+    *    shingles — no estimated similarity and, structurally, no
+    *    shared band key is possible (disjoint shingle sets hash to
+    *    different md5 minima), which the harness verifies directly;
+    *  - the remaining N − chains·len background docs each use 40
+    *    globally-unique words: J = 0 against everything, so candidate
+    *    volume is governed by the chains alone, NEVER by N².
+    *
+    * Expected survivors = background + one min-id rep per chain
+    * (planted recall 1.0 ⇔ every non-rep member dropped). The harness
+    * also recomputes the banded candidate count independently and
+    * prints it against the closed-form per-chain band math, plus
+    * per-stage walls (signatures / candidates / full pipeline). */
+  def fuzzy(spark: SparkSession, n: Long, chains: Int, len: Int): Unit = {
+    require(len >= 21, s"len $len < 21: endpoints would share shingles")
+    val nChain = chains.toLong * len
+    require(nChain < n, s"chains*len $nChain must be < n $n")
+    val nBg = n - nChain
+    println(s"[pipescale] fuzzy n=$n chains=$chains len=$len bg=$nBg")
+    val lenB = len
+    val nBgB = nBg
+    val gen = udf { (id: Long) =>
+      val sb = new StringBuilder
+      if (id < nBgB) {
+        var i = 0
+        while (i < 40) {
+          if (i > 0) sb.append(' ')
+          sb.append('b').append(id).append('_').append(i)
+          i += 1
+        }
+      } else {
+        val c = (id - nBgB) / lenB
+        val j = ((id - nBgB) % lenB).toInt
+        var t = 2 * j
+        while (t < 2 * j + 40) {
+          if (t > 2 * j) sb.append(' ')
+          sb.append('c').append(c).append('_').append(t)
+          t += 1
+        }
+      }
+      sb.result()
+    }
+    val corpus = spark.range(n).toDF("doc_id")
+      .withColumn("text", gen(col("doc_id")))
+    val emptyBench = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      corpus.schema)
+    val fz = graft.ops.PreparePipeline.FuzzyDedup(
+      numHashes = 32, bands = 16, minJaccard = 0.5, maxIter = 30)
+    val cfg = graft.ops.PreparePipeline.Config(
+      stopwords = Seq("the"), minStopRatio = 0.0, minTokens = 1,
+      gramN = 4, windowTokens = 2048L, packParts = 256, fuzzy = Some(fz))
+    val out = timed(s"prepare+fuzzy e2e n=$n") {
+      val r = graft.ops.PreparePipeline.run(corpus, emptyBench, cfg)
+      r.cache().count()
+      r
+    }
+    val inv = out.agg(
+      count(lit(1)).as("rows"),
+      min(col("start_token")).as("minStart"),
+      max(col("start_token") + col("n_tokens")).as("maxEnd"),
+      sum(col("n_tokens")).as("total")).collect()(0)
+    val expected = nBg + chains
+    println(s"[pipescale] rows=${inv.getLong(0)} (expected $expected) " +
+      s"minStart=${inv.getLong(1)} maxEnd=${inv.getLong(2)} " +
+      s"totalTokens=${inv.getLong(3)} (expected ${40L * expected})")
+    // planted recall: every surviving chain id must be its chain's rep
+    // (member j=0); every rep must survive
+    val chainSurv = out.filter(col("doc_id") >= nBg)
+    val badSurv = chainSurv.filter((col("doc_id") - nBg) % lenB =!= 0).count()
+    val reps = chainSurv.count()
+    val dropped = nChain - reps // members removed by the stage
+    println(s"[pipescale] chain survivors=$reps (expected $chains reps), " +
+      s"non-rep survivors=$badSurv, dropped=$dropped of ${nChain - chains} " +
+      s"non-reps -> planted recall ${
+        (nChain - chains - badSurv).toDouble / (nChain - chains)}")
+    require(inv.getLong(0) == expected && badSurv == 0L && reps == chains,
+      "transitive collapse broken: survivors != background + one rep/chain")
+    require(inv.getLong(1) == 0L && inv.getLong(2) == inv.getLong(3) &&
+      inv.getLong(3) == 40L * expected, "packing invariants broken")
+    // endpoint separation: first (j=0) and last (j=len-1) member of each
+    // chain must share ZERO band keys — the closure joined them, bands
+    // could not have
+    val endpoints = corpus.filter(col("doc_id") >= nBg &&
+      ((col("doc_id") - nBg) % lenB === 0 ||
+       (col("doc_id") - nBg) % lenB === lenB - 1))
+    val sigs = timed("endpoint signatures") {
+      val s0 = graft.ops.MinHash.signatures(endpoints, fz.numHashes).cache()
+      s0.count(); s0
+    }
+    val rows = fz.numHashes / fz.bands
+    val bandKeys = sigs.select(col("doc_id"), posexplode(
+      array((0 until fz.bands).map(b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
+      .as(Seq("bi", "bk")))
+    val firsts = bandKeys.filter((col("doc_id") - nBg) % lenB === 0)
+      .select(((col("doc_id") - nBg) / lenB).as("c"), col("bi"), col("bk"))
+    val lasts = bandKeys.filter((col("doc_id") - nBg) % lenB === lenB - 1)
+      .select(((col("doc_id") - nBg) / lenB).as("c"), col("bi"), col("bk"))
+    val endpointShared = firsts.join(lasts, Seq("c", "bi", "bk")).count()
+    println(s"[pipescale] endpoint shared bands: $endpointShared (must be 0" +
+      " — the collapse is the transitive closure, not direct candidacy)")
+    require(endpointShared == 0L, "endpoints shared a band")
+    sigs.unpersist()
+    // candidate volume vs band math: recompute the banded candidate set
+    // independently over the full corpus signatures and compare to the
+    // per-chain closed form — candidates ∝ chains·len, never N²
+    val allSigs = timed(s"full-corpus signatures (${fz.numHashes} hashes)") {
+      val s0 = graft.ops.MinHash.signatures(corpus, fz.numHashes).cache()
+      s0.count(); s0
+    }
+    val allBands = allSigs.select(col("doc_id"), posexplode(
+      array((0 until fz.bands).map(b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
+      .as(Seq("bi", "bk")))
+    val candCount = timed("banded candidate self-join + distinct") {
+      val x = allBands.select(col("bi"), col("bk"), col("doc_id").as("a"))
+      val y = allBands.select(col("bi"), col("bk"), col("doc_id").as("b"))
+      x.join(y, Seq("bi", "bk")).filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct().count()
+    }
+    // E[candidates per chain] = Σ_m (len−m)·(1 − (1 − J_m²)^bands),
+    // J_m = (38−2m)/(38+2m) for offset-m member pairs
+    var expCand = 0.0
+    var m = 1
+    while (m < lenB) {
+      val jm = math.max(0.0, (38.0 - 2 * m) / (38.0 + 2 * m))
+      expCand += (lenB - m) * (1.0 - math.pow(1.0 - jm * jm, fz.bands))
+      m += 1
+    }
+    println(f"[pipescale] candidates=$candCount (closed form ≈ " +
+      f"${expCand * chains}%.0f = $chains chains × $expCand%.2f; " +
+      f"${candCount.toDouble / n}%.4f per doc — volume rides the chains, " +
+      "not N^2)")
+    require(candCount < 4.0 * expCand * chains + 1000,
+      "candidate volume far above the band math")
+    allSigs.unpersist()
+    out.unpersist()
   }
 
   def decontam(spark: SparkSession, n: Long, b: Int): Unit = {

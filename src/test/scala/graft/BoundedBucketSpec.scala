@@ -330,6 +330,76 @@ class BoundedBucketSpec extends SparkSpec {
     }
   }
 
+  test("torn _list_sizes sidecar falls back to a fresh count, never wrong sizes; legacy dirs self-upgrade") {
+    import graft.index.IndexCache
+    val modelDir =
+      java.nio.file.Files.createTempDirectory("graft_models_torn").toString
+    val corpusDir =
+      java.nio.file.Files.createTempDirectory("ivf_torn").toString + "/corpus"
+    baseDF.write.mode("overwrite").parquet(corpusDir)
+    System.setProperty("graft.model.dir", modelDir)
+    try {
+      def corpus = spark.read.parquet(corpusDir)
+      val (_, a1) = IndexCache.ivf("torn_spec", corpus, nlist)
+      val truth = IndexCache.listSizes(a1)
+      val sidecar = new java.io.File(modelDir).listFiles()
+        .filter(_.isDirectory)
+        .map(d => new java.io.File(d, "_list_sizes"))
+        .find(_.exists())
+        .getOrElse(fail("no _list_sizes sidecar found under the model dir"))
+      val full = java.nio.file.Files.readString(sidecar.toPath)
+      assert(full.linesIterator.toSeq.last.startsWith("#sum\t"),
+        "sidecar must carry the verification trailer")
+      // torn write simulation: truncate at a LINE boundary (drop the
+      // trailer + one size line) — the dangerous case, because the
+      // remaining lines parse cleanly and would silently under-report,
+      // disabling the ivfPairs oversized-list guard
+      val torn = full.linesIterator.toSeq.dropRight(2).mkString("\n")
+      java.nio.file.Files.writeString(sidecar.toPath, torn)
+      IndexCache.clear()
+      val before = IndexCache.listSizeComputes.get()
+      val (_, a2) = IndexCache.ivf("torn_spec", corpus, nlist)
+      assert(IndexCache.listSizes(a2) == truth,
+        "a torn sidecar must fall back to counted sizes, not a torn subset")
+      assert(IndexCache.listSizeComputes.get() == before + 1,
+        "the torn-sidecar fallback is exactly one fresh count job")
+      // the fallback compute self-heals the sidecar: next session seeds
+      assert(java.nio.file.Files.readString(sidecar.toPath)
+        .linesIterator.toSeq.last.startsWith("#sum\t"),
+        "fallback must rewrite a verified sidecar")
+      IndexCache.clear()
+      val afterHeal = IndexCache.listSizeComputes.get()
+      val (_, a3) = IndexCache.ivf("torn_spec", corpus, nlist)
+      assert(IndexCache.listSizes(a3) == truth)
+      assert(IndexCache.listSizeComputes.get() == afterHeal,
+        "the healed sidecar must seed the reload with zero size jobs")
+      // legacy dir (pre-_list_sizes): only _corpus_rows on disk — reload
+      // seeds the row count, the first listSizes pays ONE job and writes
+      // the missing sidecar (self-upgrade), later sessions seed for free
+      java.nio.file.Files.delete(sidecar.toPath)
+      IndexCache.clear()
+      val beforeLegacy = IndexCache.listSizeComputes.get()
+      val rcBefore = IndexCache.rowCountComputes.get()
+      val (_, a4) = IndexCache.ivf("torn_spec", corpus, nlist)
+      assert(IndexCache.rowCount(a4) == base.length &&
+        IndexCache.rowCountComputes.get() == rcBefore,
+        "legacy reload must still seed the row count from _corpus_rows")
+      assert(IndexCache.listSizes(a4) == truth)
+      assert(IndexCache.listSizeComputes.get() == beforeLegacy + 1)
+      assert(sidecar.exists(),
+        "legacy dir must gain a _list_sizes sidecar on first compute")
+      IndexCache.clear()
+      val afterUp = IndexCache.listSizeComputes.get()
+      val (_, a5) = IndexCache.ivf("torn_spec", corpus, nlist)
+      assert(IndexCache.listSizes(a5) == truth)
+      assert(IndexCache.listSizeComputes.get() == afterUp,
+        "the self-upgraded sidecar must seed later sessions for free")
+    } finally {
+      System.clearProperty("graft.model.dir")
+      IndexCache.clear()
+    }
+  }
+
   test("memory-resident list_no distribution serves the Exchange-free join") {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import spark.implicits._

@@ -277,12 +277,43 @@ class DecontamPackSpec extends SparkSpec {
       == Seq(1L, 4L), "checkpointDir path must produce identical survivors")
   }
 
-  test("PipeScale closed-form harnesses hold at spec scale (e2e 20k, semdedup 20k)") {
+  test("pipeline fuzzy maxBucket cap: oversized band buckets drop candidacy; headroom cap is a no-op") {
+    import graft.ops.PreparePipeline
+    val sw = Seq("the", "a", "of", "and", "or", "is", "to", "in")
+    def doc(edits: Map[Int, String]): String =
+      (0 until 40).map { i =>
+        edits.getOrElse(i, if (i % 10 == 0) "the" else s"w$i")
+      }.mkString(" ")
+    // 1≈2 near-dups (one word changed); 3 unrelated
+    val corpus = Seq(
+      (1L, doc(Map.empty)),
+      (2L, doc(Map(5 -> "x5"))),
+      (3L, (0 until 40).map(i => if (i % 10 == 0) "of" else s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val emptyBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    def ids(fz: PreparePipeline.FuzzyDedup): Seq[Long] =
+      PreparePipeline.run(corpus, emptyBench,
+        PreparePipeline.Config(sw, 0.02, 20, 4, 1024L, fuzzy = Some(fz)))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val fz = PreparePipeline.FuzzyDedup(numHashes = 64, bands = 16,
+      minJaccard = 0.6)
+    // headroom cap (default 8192): buckets of ≤2 never hit it — 2 drops
+    assert(ids(fz) == Seq(1L, 3L))
+    // cap of 1: EVERY shared bucket is "oversized" → no candidates → the
+    // near-dup pair loses LSH candidacy and both docs survive (the
+    // documented recall trade; exact dups were absorbed upstream)
+    assert(ids(fz.copy(maxBucket = 1)) == Seq(1L, 2L, 3L),
+      "maxBucket=1 must drop every band bucket from candidate generation")
+  }
+
+  test("PipeScale closed-form harnesses hold at spec scale (e2e 20k, semdedup 20k, fuzzy 20k)") {
     // the same planted-structure accounting the 20M/2M evidence runs
-    // use (r13_prepare_e2e_20m.log, r13_semdedup_2m.log) — require()s
-    // inside throw on any count/plan mismatch
+    // use (r13_prepare_e2e_20m.log, r13_semdedup_2m.log,
+    // r16_fuzzydedup_20m.log) — require()s inside throw on any
+    // count/plan/recall mismatch
     graft.tools_dev.PipeScale.e2e(spark, 20000, 20)
     graft.tools_dev.PipeScale.semdedup(spark, 20000, 32)
+    graft.tools_dev.PipeScale.fuzzy(spark, 20000, 50, 21)
   }
 
   test("packOffsets: spans_boundary marks exactly the chunk-split docs") {

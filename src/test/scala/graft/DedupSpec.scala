@@ -141,6 +141,34 @@ class DedupSpec extends SparkSpec {
     assert(got.subsetOf(want), s"guard produced non-pairs: ${got -- want}")
   }
 
+  test("ivfPairs guard: join-based oversized-key fallback ≡ the collected-broadcast path") {
+    import spark.implicits._
+    // same degenerate-list fixture as the refinement test; forcing the
+    // per-level key collect cap to 0 makes EVERY level discover "too
+    // many" oversized cells and split via shuffle joins on the
+    // aggregated key frame — output must be identical pair-for-pair
+    val pts = randVecs(120, 16, seed = 33)
+    val scaled = (0 until 15).map(i => pts(i).map(_ * 2.0f)).toArray
+    val ident = (15 until 30).map(i => pts(i).clone()).toArray
+    val all = pts ++ scaled ++ ident
+    val ids = (0 until 150).map(_.toLong)
+    val df = ids.zip(all.map(_.toSeq)).toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val assigned = df.withColumn("list_no", lit(0))
+    def run(): Set[(Long, Long, Double)] =
+      EmbeddingDedup.ivfPairs(assigned, threshold = 0.99, maxList = 32)
+        .as[(Long, Long, Double)].collect().toSet
+    val viaCollect = run()
+    val savedCap = EmbeddingDedup.subSplitCollectCap
+    val viaJoin =
+      try { EmbeddingDedup.subSplitCollectCap = 0; run() }
+      finally EmbeddingDedup.subSplitCollectCap = savedCap
+    assert(viaJoin == viaCollect,
+      s"fallback diverged: only-join=${viaJoin -- viaCollect} " +
+        s"only-collect=${viaCollect -- viaJoin}")
+    assert(viaCollect.nonEmpty, "fixture must produce pairs")
+  }
+
   test("ivfPairs guard: dropped cells still pair bit-identical twins") {
     import spark.implicits._
     // maxLevels=0 forces the terminal drop arm immediately (the whole

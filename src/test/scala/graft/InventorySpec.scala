@@ -12,9 +12,9 @@ import graft.queries.Relational
   */
 class InventorySpec extends SparkSpec {
 
-  test("driver inventory holds 87 queries, each with an oracle") {
+  test("driver inventory holds 88 queries, each with an oracle") {
     val q = SparkEntry.queries
-    assert(q.size == 87, s"expected 87 driver rows, got ${q.size}")
+    assert(q.size == 88, s"expected 88 driver rows, got ${q.size}")
     val oracles = SparkEntry.oracleSqlFor(sf("sf0.001"))
     val missing = q.keySet -- oracles.keySet
     assert(missing.isEmpty, s"queries without oracle: ${missing.toList.sorted.mkString(",")}")
