@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, Expression,
-  ExpressionInfo, Multiply, Sqrt}
-import org.apache.spark.sql.graft.{DotExpr, HammingWideExpr, L2SqrExpr}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{CosineExpr, DotExpr, HammingWideExpr,
+  L2SqrExpr}
 
 /** SQL-surface registration of the codegen vector kernels so
   * `spark.sql("SELECT graft_l2sqr(a, b) ...")` works — which is also
@@ -35,13 +35,18 @@ object GraftFunctions {
     ("graft_dot",
       new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
       (es: Seq[Expression]) => DotExpr(es(0), es(1))),
-    // cosine composes the codegen'd dot kernel (dot/(‖a‖·‖b‖), the
-    // VectorFunctions.cosine arithmetic — NaN on zero vectors, like
-    // every engine's raw cosine; dedup callers guard that themselves)
+    // one fused pass (dot + both norms accumulate together) with IEEE
+    // division, so the documented 0/0 = NaN raw-cosine semantics hold
+    // regardless of spark.sql.ansi.enabled — a composed Catalyst
+    // Divide returns NULL in legacy mode and THROWS under Spark 4's
+    // default ANSI conf (caught by the smoke's NaN assertion), and
+    // traverses the arrays three times. Dedup callers guard the
+    // zero-vector case themselves; NOTE Spark sorts/compares NaN as
+    // larger than every number, so filter nulls/zeros first if that
+    // matters to your query
     ("graft_cosine",
-      new ExpressionInfo(classOf[DotExpr].getName, "graft_cosine"),
-      (es: Seq[Expression]) => Divide(DotExpr(es(0), es(1)),
-        Multiply(Sqrt(DotExpr(es(0), es(0))), Sqrt(DotExpr(es(1), es(1)))))),
+      new ExpressionInfo(classOf[CosineExpr].getName, "graft_cosine"),
+      (es: Seq[Expression]) => CosineExpr(es(0), es(1))),
     ("graft_hamming",
       new ExpressionInfo(classOf[HammingWideExpr].getName, "graft_hamming"),
       (es: Seq[Expression]) => HammingWideExpr(es(0), es(1))))

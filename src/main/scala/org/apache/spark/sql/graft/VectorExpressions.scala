@@ -84,6 +84,53 @@ case class DotExpr(left: Expression, right: Expression) extends VectorBinaryKern
     copy(left = l, right = r)
 }
 
+/** Cosine similarity over two ARRAY<FLOAT> columns, FUSED: dot product
+  * and both squared norms accumulate in ONE pass over the arrays
+  * (composing three [[DotExpr]]s traverses them three times), then
+  * IEEE division — so `0/0` is NaN regardless of
+  * `spark.sql.ansi.enabled`, the documented raw-cosine semantics of
+  * the SQL/Python surface (`graft_cosine`, docs/PYTHON.md). Catalyst's
+  * `Divide` can express neither: it returns NULL in legacy mode and
+  * throws DIVIDE_BY_ZERO under ANSI. The factor order
+  * `dot / (sqrt(na) * sqrt(nb))` matches
+  * `graft.functions.VectorFunctions.cosine` bit-for-bit on non-zero
+  * vectors (same left-to-right double summation, same sqrt-product). */
+case class CosineExpr(left: Expression, right: Expression) extends VectorBinaryKernel {
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
+      s += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    }
+    s / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val s = ctx.freshName("s"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |double $s = 0.0; double $na = 0.0; double $nb = 0.0;
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $x.getFloat($i);
+         |  double $yi = (double) $y.getFloat($i);
+         |  $s += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $s / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Hamming distance over two ARRAY<LONG> packed signatures — per-word
   * xor popcount, the codegen'd twin of `BinaryHash.hammingWide` (same
   * word order, bit-identical integer result). */

@@ -89,6 +89,14 @@ class KernelsSpec extends SparkSpec {
       assert(math.abs(gotCos(i) - want) < 1e-12,
         s"cosine($i): ${gotCos(i)} vs $want")
     }
+    // documented raw-cosine semantics, conf-independent: a zero vector
+    // yields NaN (never NULL, never an ANSI DIVIDE_BY_ZERO — the fused
+    // CosineExpr divides in IEEE arithmetic, not via Catalyst Divide)
+    val nan = spark.sql(
+      "SELECT graft_cosine(array(0.0F, 0.0F), array(1.0F, 0.0F))")
+      .collect()(0)
+    assert(!nan.isNullAt(0) && nan.getDouble(0).isNaN,
+      s"zero-vector cosine must be NaN, got $nan")
     val sigs = Seq(
       (0, Seq(0L, 0L), Seq(-1L, 0L)),      // 64 differing bits
       (1, Seq(5L, 12L), Seq(5L, 12L)),     // identical

@@ -72,6 +72,15 @@ def main():
           row.l2 == 25.0 and row.dp == 16.0
           and abs(row.cs - 1.0) < 1e-12 and row.hm == 64,
           f"l2={row.l2} dot={row.dp} cos={row.cs} ham={row.hm}")
+    # documented semantics (docs/PYTHON.md): graft_cosine is the RAW
+    # cosine — NaN on an all-zero vector, never a silent 0 or 1
+    import math
+    nan_row = spark.sql(
+        "SELECT graft_cosine(array(0.0F, 0.0F), array(1.0F, 0.0F)) AS cs"
+    ).collect()[0]
+    check("graft_cosine(zero vector) is NaN as documented",
+          nan_row.cs is not None and math.isnan(nan_row.cs),
+          f"cos={nan_row.cs}")
 
     # --- 2. pure-pyspark cosine top-k over the embeddings table ------
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -113,6 +122,21 @@ def main():
         rows = df.count()
         check(f"inventory {name} via py4j", rows >= min_rows,
               f"rows={rows} cols={df.columns}")
+
+    # --- 4. the packaged Python module (python/graft.py) -------------
+    sys.path.insert(0, os.path.join(REPO, "python"))
+    import graft as g  # noqa: E402  (reuses this session via getOrCreate)
+    import numpy as np  # noqa: E402
+
+    rng = np.random.RandomState(7)
+    xb = rng.rand(500, 16).astype("float32")
+    idx = g.IndexFlatL2(spark, 16)
+    idx.add(xb)
+    D, I = idx.search(xb[:3], k=2)
+    check("python module IndexFlatL2 tutorial idiom",
+          idx.ntotal == 500 and (I[:, 0] == np.arange(3)).all()
+          and np.allclose(D[:, 0], 0.0, atol=1e-5),
+          f"ntotal={idx.ntotal} I0={I[:, 0].tolist()}")
 
     print("[pysmoke] ALL PASS")
     spark.stop()
