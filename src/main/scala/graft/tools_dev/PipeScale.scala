@@ -26,6 +26,10 @@ object PipeScale {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.driver.maxResultSize", "4g")
+      // long multi-job rehearsals: reclaim unreferenced shuffle files
+      // promptly (plan-truncating checkpoints drop the references; the
+      // default 30min GC let the r16 fuzzy run fill the disk)
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.headOption match {
@@ -272,23 +276,29 @@ object PipeScale {
     *    owns a private stream of 40+2(len−1) globally-unique words;
     *    member j is the 40-word window starting at offset 2j. So
     *    consecutive members share 36 of 38 shingles (J = 36/40 = 0.9 —
-    *    certain edges at minJaccard 0.5 with 32 hashes: est-miss
-    *    P(<16 of 32 agree | p=0.9) ≈ 1e-13, band-miss (1−0.9²)¹⁶ ≈
-    *    3e-12), offset-2m members share J = (38−2m)/(38+2m) (skip
-    *    edges down to ~m=6 — redundancy, all within-chain), and the
-    *    ENDPOINTS (offset 2(len−1) ≥ 40 for len ≥ 21) share ZERO
-    *    shingles — no estimated similarity and, structurally, no
-    *    shared band key is possible (disjoint shingle sets hash to
-    *    different md5 minima), which the harness verifies directly;
+    *    near-certain edges at minJaccard 0.5 with 16 hashes in 8
+    *    two-hash bands: est-miss P(<8 of 16 agree | p=0.9) ≈ 1e-8,
+    *    band-miss (1−0.9²)⁸ ≈ 1.7e-6 — a handful of the ~2M
+    *    consecutive edges may drop, but offset-2m members share
+    *    J = (38−2m)/(38+2m) down to ~m=6, so every boundary is
+    *    bridged by ~5 redundant skip edges and the CLOSURE is intact
+    *    with failure probability ≈ 1e-20), and the ENDPOINTS (offset
+    *    2(len−1) ≥ 40 for len ≥ 21) share ZERO shingles — no
+    *    estimated similarity and, structurally, no shared band key is
+    *    possible (disjoint shingle sets hash to different md5
+    *    minima), which the harness verifies directly;
     *  - the remaining N − chains·len background docs each use 40
     *    globally-unique words: J = 0 against everything, so candidate
     *    volume is governed by the chains alone, NEVER by N².
     *
     * Expected survivors = background + one min-id rep per chain
     * (planted recall 1.0 ⇔ every non-rep member dropped). The harness
-    * also recomputes the banded candidate count independently and
-    * prints it against the closed-form per-chain band math, plus
-    * per-stage walls (signatures / candidates / full pipeline). */
+    * also recomputes the banded candidate count independently over the
+    * chain docs plus a background slice (background contributes ~0 by
+    * construction — re-signing all N docs a second time just to prove
+    * a ~0 is what filled the disk on the first 20M attempt) and prints
+    * it against the closed-form per-chain band math, plus per-stage
+    * walls (signatures / candidates / full pipeline). */
   def fuzzy(spark: SparkSession, n: Long, chains: Int, len: Int): Unit = {
     require(len >= 21, s"len $len < 21: endpoints would share shingles")
     val nChain = chains.toLong * len
@@ -324,7 +334,7 @@ object PipeScale {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       corpus.schema)
     val fz = graft.ops.PreparePipeline.FuzzyDedup(
-      numHashes = 32, bands = 16, minJaccard = 0.5, maxIter = 30)
+      numHashes = 16, bands = 8, minJaccard = 0.5, maxIter = 30)
     val cfg = graft.ops.PreparePipeline.Config(
       stopwords = Seq("the"), minStopRatio = 0.0, minTokens = 1,
       gramN = 4, windowTokens = 2048L, packParts = 256, fuzzy = Some(fz))
@@ -381,10 +391,14 @@ object PipeScale {
     require(endpointShared == 0L, "endpoints shared a band")
     sigs.unpersist()
     // candidate volume vs band math: recompute the banded candidate set
-    // independently over the full corpus signatures and compare to the
-    // per-chain closed form — candidates ∝ chains·len, never N²
-    val allSigs = timed(s"full-corpus signatures (${fz.numHashes} hashes)") {
-      val s0 = graft.ops.MinHash.signatures(corpus, fz.numHashes).cache()
+    // independently over the chain docs + a background slice and compare
+    // to the per-chain closed form — candidates ∝ chains·len, never N²
+    // (globally-unique background words mean background docs share no
+    // shingle with anything, so the full-corpus count is the same number)
+    val auditRows = corpus.filter(col("doc_id") >= nBg ||
+      col("doc_id") < math.min(nBgB, 500000L))
+    val allSigs = timed(s"audit-slice signatures (${fz.numHashes} hashes)") {
+      val s0 = graft.ops.MinHash.signatures(auditRows, fz.numHashes).cache()
       s0.count(); s0
     }
     val allBands = allSigs.select(col("doc_id"), posexplode(
