@@ -273,20 +273,24 @@ object PipeScale {
     * form:
     *
     *  - `chains` sliding-window chains of `len` members each: chain c
-    *    owns a private stream of 40+2(len−1) globally-unique words;
-    *    member j is the 40-word window starting at offset 2j. So
-    *    consecutive members share 36 of 38 shingles (J = 36/40 = 0.9 —
-    *    near-certain edges at minJaccard 0.5 with 16 hashes in 8
-    *    two-hash bands: est-miss P(<8 of 16 agree | p=0.9) ≈ 1e-8,
-    *    band-miss (1−0.9²)⁸ ≈ 1.7e-6 — a handful of the ~2M
-    *    consecutive edges may drop, but offset-2m members share
-    *    J = (38−2m)/(38+2m) down to ~m=6, so every boundary is
-    *    bridged by ~5 redundant skip edges and the CLOSURE is intact
-    *    with failure probability ≈ 1e-20), and the ENDPOINTS (offset
-    *    2(len−1) ≥ 40 for len ≥ 21) share ZERO shingles — no
-    *    estimated similarity and, structurally, no shared band key is
-    *    possible (disjoint shingle sets hash to different md5
-    *    minima), which the harness verifies directly;
+    *    owns a private stream of 40+(len−1) globally-unique words;
+    *    member j is the 40-word window starting at offset j (slide 1).
+    *    Consecutive members share 37 of 39 shingles (J = 37/39 =
+    *    0.949), so at minJaccard 0.4 with 16 hashes in 8 two-hash
+    *    bands a consecutive edge misses with probability ≈ 1e-8
+    *    (band-miss (1−0.949²)⁸ plus est-miss P(<7 of 16 agree));
+    *    offset-m members share J = (38−m)/(38+m) — ~10 redundant
+    *    skip edges bridge every boundary. A first 20M attempt used
+    *    slide-2 windows with skip similarities sitting AT the est
+    *    threshold margin: per-edge binomial misses there run 1e-3…0.4
+    *    and minhash agreement is CORRELATED across edges crossing one
+    *    boundary (they share hash draws), so ~1e-5 of boundaries cut
+    *    — 19 extra survivors in 2M, a measured lesson in LSH recall
+    *    margins recorded in the evidence log. The ENDPOINTS (offset
+    *    len−1 ≥ 40 for len ≥ 41) share ZERO shingles — no estimated
+    *    similarity and, structurally, no shared band key is possible
+    *    (disjoint shingle sets hash to different md5 minima), which
+    *    the harness verifies directly;
     *  - the remaining N − chains·len background docs each use 40
     *    globally-unique words: J = 0 against everything, so candidate
     *    volume is governed by the chains alone, NEVER by N².
@@ -300,7 +304,7 @@ object PipeScale {
     * it against the closed-form per-chain band math, plus per-stage
     * walls (signatures / candidates / full pipeline). */
   def fuzzy(spark: SparkSession, n: Long, chains: Int, len: Int): Unit = {
-    require(len >= 21, s"len $len < 21: endpoints would share shingles")
+    require(len >= 41, s"len $len < 41: endpoints would share shingles")
     val nChain = chains.toLong * len
     require(nChain < n, s"chains*len $nChain must be < n $n")
     val nBg = n - nChain
@@ -319,9 +323,9 @@ object PipeScale {
       } else {
         val c = (id - nBgB) / lenB
         val j = ((id - nBgB) % lenB).toInt
-        var t = 2 * j
-        while (t < 2 * j + 40) {
-          if (t > 2 * j) sb.append(' ')
+        var t = j
+        while (t < j + 40) {
+          if (t > j) sb.append(' ')
           sb.append('c').append(c).append('_').append(t)
           t += 1
         }
@@ -334,7 +338,7 @@ object PipeScale {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       corpus.schema)
     val fz = graft.ops.PreparePipeline.FuzzyDedup(
-      numHashes = 16, bands = 8, minJaccard = 0.5, maxIter = 30)
+      numHashes = 16, bands = 8, minJaccard = 0.4, maxIter = 30)
     val cfg = graft.ops.PreparePipeline.Config(
       stopwords = Seq("the"), minStopRatio = 0.0, minTokens = 1,
       gramN = 4, windowTokens = 2048L, packParts = 256, fuzzy = Some(fz))
@@ -412,11 +416,11 @@ object PipeScale {
         .select(col("a"), col("b")).distinct().count()
     }
     // E[candidates per chain] = Σ_m (len−m)·(1 − (1 − J_m²)^bands),
-    // J_m = (38−2m)/(38+2m) for offset-m member pairs
+    // J_m = (38−m)/(38+m) for offset-m member pairs (0 beyond m=37)
     var expCand = 0.0
     var m = 1
     while (m < lenB) {
-      val jm = math.max(0.0, (38.0 - 2 * m) / (38.0 + 2 * m))
+      val jm = math.max(0.0, (38.0 - m) / (38.0 + m))
       expCand += (lenB - m) * (1.0 - math.pow(1.0 - jm * jm, fz.bands))
       m += 1
     }

@@ -313,7 +313,7 @@ class DecontamPackSpec extends SparkSpec {
     // count/plan/recall mismatch
     graft.tools_dev.PipeScale.e2e(spark, 20000, 20)
     graft.tools_dev.PipeScale.semdedup(spark, 20000, 32)
-    graft.tools_dev.PipeScale.fuzzy(spark, 20000, 50, 21)
+    graft.tools_dev.PipeScale.fuzzy(spark, 20000, 50, 41)
   }
 
   test("packOffsets: spans_boundary marks exactly the chunk-split docs") {
