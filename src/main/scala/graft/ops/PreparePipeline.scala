@@ -48,6 +48,16 @@ object PreparePipeline {
     * minhashes of ≥1 band. `minJaccard` filters candidates on the
     * signature-estimated Jaccard ([[MinHash.estimate]]).
     *
+    * Recall tuning (measured at 20M docs,
+    * `tools/evidence/r16_fuzzydedup_20m.log`): per-pair est
+    * agreements are Binomial(numHashes, J), so a duplicate class at
+    * Jaccard J is caught reliably only when J sits well above
+    * `minJaccard` — aim for J − minJaccard ≥ 5·√(J(1−J)/numHashes).
+    * At the margin, recall degrades measurably (19 missed members in
+    * 2M planted at 2–3σ margins), and misses CORRELATE across pairs
+    * sharing documents (they share hash draws), so transitive chains
+    * can cut where independent-miss math says they can't.
+    *
     * `maxBucket`: band buckets larger than this are DROPPED from
     * candidate generation (counted and logged), exactly as
     * [[EmbeddingDedup.lshPairs]] caps its banded join — a degenerate
