@@ -233,13 +233,22 @@ class IndexIVFPQ(IndexIVFFlat):
         self._pq = None
         self._encoded = None
 
+    def train(self, xb):
+        """Trains the coarse quantizer AND the residual PQ codebooks on
+        the training set — the reference's train() contract (3-IVFPQ.py
+        trains once, then add only encodes)."""
+        super().train(xb)
+        f = _facade(self.spark)
+        train_assigned = DataFrame(
+            f.assign(self._train_df._jdf, self._model), self.spark)
+        self._pq = f.trainPq(train_assigned._jdf, self._model,
+                             self.m, self.nbits, self.seed)
+
     def _added(self):
         super()._added()
-        f = _facade(self.spark)
-        if self._pq is None:
-            self._pq = f.trainPq(self._assigned._jdf, self._model,
-                                 self.m, self.nbits, self.seed)
-        jdf = f.encodePq(self._assigned._jdf, self._model, self._pq)
+        assert self._pq is not None, "train() before add()"
+        jdf = _facade(self.spark).encodePq(self._assigned._jdf, self._model,
+                                           self._pq)
         self._encoded = DataFrame(jdf, self.spark).cache()
         self._encoded.count()
 
