@@ -173,7 +173,11 @@ object IndexCache {
     }.toOption
 
   /** Temp-file + atomic-rename write: the sidecar either has its old
-    * content or its complete new content, never a torn prefix. */
+    * content or its complete new content, never a torn prefix. Failures
+    * are deliberately swallowed — sidecars are performance metadata; a
+    * read-only model dir must degrade to the count job, never fail the
+    * build (the reader's trailer check catches anything half-written by
+    * other means). */
   private def writeAtomic(path: java.nio.file.Path, content: String): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
     scala.util.Try {

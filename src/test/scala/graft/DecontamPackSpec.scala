@@ -213,6 +213,12 @@ class DecontamPackSpec extends SparkSpec {
     val allBench = Seq((9L, longDoc), (10L, longDoc + " tail")).toDF("doc_id", "text")
     assert(graft.ops.PreparePipeline
       .run(corpus, allBench, sw, 0.02, 20, 4, 64L).count() == 0L)
+    // fuzzy stage over an empty survivor set: no candidates, no edges,
+    // a zero-round components fixpoint — empty output, not a crash
+    val fuzzyCfg = graft.ops.PreparePipeline.Config(sw, 0.02, 20, 4, 64L,
+      fuzzy = Some(graft.ops.PreparePipeline.FuzzyDedup()))
+    assert(graft.ops.PreparePipeline.run(shorts, emptyBench, fuzzyCfg)
+      .count() == 0L)
   }
 
   test("pipeline Config: hashGrams=true output ≡ default, hashed plan reaches the DAG") {
