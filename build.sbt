@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to this process's stdout instead of
+// through sbt's logger: Bench's one-line JSON artifacts arrive bare
+// (machine-parseable) rather than wrapped in "[info] " — every prior
+// round's BENCH_rN.json had "parsed": null because of that prefix.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -23,6 +28,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// forward graft.* tuning properties from the sbt JVM (-J-Dgraft.…=…)
+// into forked run/test JVMs, so dev A/B experiments actually reach the app
+javaOptions ++= sys.props.toSeq.collect {
+  case (k, v) if k.startsWith("graft.") => s"-D$k=$v"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -158,6 +158,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!res.converged && res.rounds == 3)
   }
 
+  test("fuzzy oversized-band-key cap: join fallback ≡ collected broadcast") {
+    // base text long enough for stable 3-shingle overlap; four A docs
+    // are pairwise near-dups differing in ONE trailing word (they
+    // survive exact dedup but co-land in band buckets of size 4 >
+    // maxBucket=2 → flagged oversized); the B pair shares buckets of
+    // size 2 → kept, so the fuzzy stage still drops one doc either way
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$base alpha"), (2L, s"$base beta"),
+      (3L, s"$base gamma"), (4L, s"$base delta"),
+      (10L, s"zz yy xx " + (1 to 27).map(i => s"q$i").mkString(" ")),
+      (11L, s"zz yy xx " + (1 to 27).map(i => s"q$i").mkString(" ") + " end")
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, "completely unrelated benchmark text here"))
+      .toDF("doc_id", "text")
+    val cfg = graft.ops.PreparePipeline.Config(
+      stopwords = Seq("w1"), minStopRatio = 0.0, minTokens = 3, gramN = 4,
+      windowTokens = 0L,
+      fuzzy = Some(graft.ops.PreparePipeline.FuzzyDedup(
+        numHashes = 8, bands = 4, minJaccard = 0.5, maxBucket = 2)))
+    def run(): Set[Long] = graft.ops.PreparePipeline
+      .cleanCorpus(corpus, bench, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    val viaCollect = run()
+    val savedCap = graft.ops.PreparePipeline.bandKeyCollectCap
+    val viaJoin =
+      try { graft.ops.PreparePipeline.bandKeyCollectCap = 0; run() }
+      finally graft.ops.PreparePipeline.bandKeyCollectCap = savedCap
+    assert(viaJoin == viaCollect,
+      s"fallback diverged: only-join=${viaJoin -- viaCollect} " +
+        s"only-collect=${viaCollect -- viaJoin}")
+    assert(!viaCollect.contains(11L), "B near-dup pair must collapse to 10")
+    assert(viaCollect.contains(10L))
+  }
+
+  test("pointer jumping: 120-member chain converges in O(log n) rounds") {
+    // the r16 failure mode: plain min-label propagation needs
+    // diameter-many rounds, so a 120-node chain blew past maxIter=20.
+    // With the prev-labels pointer jump the covered distance roughly
+    // doubles per round, so this must converge well inside the default
+    // budget — and exactly (every node labeled 0).
+    val chain = (0L until 120L).map(i => (i, i + 1)).toDF("a", "b")
+    val res = graft.ops.Components.connectedComponents(chain)
+    assert(res.converged, s"did not converge in ${res.rounds} rounds")
+    assert(res.rounds <= 8, s"expected ≤8 rounds, took ${res.rounds}")
+    val labels = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 121 && labels.forall(_._2 == 0L))
+  }
+
   test("s05 streaming serve ≡ one-shot batch knn, and actually micro-batches") {
     val dir = sf("sf0.001")
     val streamed = VQ.s05StreamKnn(spark, dir).collect()
