@@ -53,6 +53,21 @@ object Decontaminate {
     }
   }
 
+  /** The distinct benchmark gram-key set — the broadcast side of every
+    * decontamination join. Exposed so a STREAMING caller can build (and
+    * cache) it once per query instead of re-gramming the static
+    * benchmark set on every micro-batch ([[flagContaminatedAgainst]];
+    * the batch forms below inline it unchanged). */
+  private[graft] def benchGramSet(bench: DataFrame, textCol: String = "text",
+                                  n: Int = 4,
+                                  hashGrams: Boolean = false): DataFrame = {
+    val grams = gramUdf(n)
+    def key(c: org.apache.spark.sql.Column) =
+      if (hashGrams) xxhash64(c) else c
+    bench.select(explode(grams(col(textCol))).as("g"))
+      .select(key(col("g")).as("gram")).distinct()
+  }
+
   /** Shared prefix of both public forms: fused gram kernel on both
     * sides, optional xxhash64 key projection, distinct bench gram set
     * broadcast against the exploded corpus grams. One row per
@@ -62,17 +77,39 @@ object Decontaminate {
     * caveat in the object doc). */
   private def gramHits(train: DataFrame, bench: DataFrame,
                        idCol: String, textCol: String,
-                       n: Int, hashGrams: Boolean): DataFrame = {
+                       n: Int, hashGrams: Boolean): DataFrame =
+    gramHitsAgainst(train, benchGramSet(bench, textCol, n, hashGrams),
+      idCol, textCol, n, hashGrams)
+
+  private def gramHitsAgainst(train: DataFrame, benchGrams: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int, hashGrams: Boolean): DataFrame = {
     val grams = gramUdf(n)
     def key(c: org.apache.spark.sql.Column) =
       if (hashGrams) xxhash64(c) else c
-    val benchGrams = bench
-      .select(explode(grams(col(textCol))).as("g"))
-      .select(key(col("g")).as("gram")).distinct()
     train
       .select(col(idCol), explode(grams(col(textCol))).as("g"))
       .select(col(idCol), key(col("g")).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"))
+  }
+
+  /** [[flagContaminated]] against a PREBUILT benchmark gram-key frame
+    * (from [[benchGramSet]], with the same `n`/`hashGrams`) — the
+    * per-micro-batch form: the static benchmark side is grammed once
+    * per streaming query, not once per batch. Output is identical to
+    * [[flagContaminated]] with the frame's source bench set. */
+  def flagContaminatedAgainst(train: DataFrame, benchGrams: DataFrame,
+                              idCol: String = "doc_id",
+                              textCol: String = "text",
+                              n: Int = 4,
+                              hashGrams: Boolean = false): DataFrame = {
+    val hits = gramHitsAgainst(train, benchGrams, idCol, textCol, n, hashGrams)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit_grams"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+      .withColumn("contaminated", col("n_hit_grams") > 0)
   }
 
   /** Just the contaminated document ids — the anti-join input for a
@@ -100,13 +137,8 @@ object Decontaminate {
     *                  string — the petabyte-scale key (object doc) */
   def flagContaminated(train: DataFrame, bench: DataFrame,
                        idCol: String = "doc_id", textCol: String = "text",
-                       n: Int = 4, hashGrams: Boolean = false): DataFrame = {
-    val hits = gramHits(train, bench, idCol, textCol, n, hashGrams)
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit_grams"))
-    train.select(col(idCol))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
-      .withColumn("contaminated", col("n_hit_grams") > 0)
-  }
+                       n: Int = 4, hashGrams: Boolean = false): DataFrame =
+    flagContaminatedAgainst(train,
+      benchGramSet(bench, textCol, n, hashGrams), idCol, textCol, n,
+      hashGrams)
 }

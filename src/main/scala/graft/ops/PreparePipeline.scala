@@ -153,23 +153,43 @@ object PreparePipeline {
     // degenerate-bucket cap, the EmbeddingDedup.bandedPairs discipline:
     // oversized buckets are few by construction (each holds > maxBucket
     // rows, so ≤ N·bands/maxBucket exist) — collect their keys, log the
-    // recall change, and filter with a broadcast anti-join
-    val oversized: Array[(Int, Long, Long)] = bands
+    // recall change, and filter with a broadcast anti-join. The collect
+    // is CAPPED like EmbeddingDedup.subSplitPairs' (one job either way:
+    // limit(cap+1) returns the full set iff it is ≤ cap); at 10¹¹+
+    // boilerplate-heavy docs the bound is ~10⁸ driver tuples, so beyond
+    // the cap the keys never come to the driver — the filter runs as a
+    // shuffle anti-join against the aggregated key frame instead
+    // (identical drop set, spec-pinned)
+    val sizeAgg = bands
       .groupBy(col("band_idx"), col("band_key"))
       .agg(count(lit(1)).as("bsize"))
       .filter(col("bsize") > fz.maxBucket)
+    val head: Array[(Int, Long, Long)] = sizeAgg
       .select(col("band_idx").cast("int"), col("band_key").cast("long"),
         col("bsize").cast("long"))
-      .as[(Int, Long, Long)].collect()
-    val kept = if (oversized.isEmpty) bands else {
-      log.warn(s"fuzzy near-dup: dropping ${oversized.length} oversized " +
-        s"band buckets (${oversized.map(_._3).sum} id rows, " +
-        s"maxBucket=${fz.maxBucket}) from candidate generation; pairs " +
-        "whose every agreeing band is oversized lose LSH candidacy — " +
-        "bit-identical docs were already collapsed by the exact stage")
-      val keys = oversized.map { case (b, k, _) => (b, k) }.toSeq
-        .toDF("band_idx", "band_key")
-      bands.join(broadcast(keys), Seq("band_idx", "band_key"), "left_anti")
+      .as[(Int, Long, Long)].limit(bandKeyCollectCap + 1).collect()
+    val kept = if (head.isEmpty) bands else {
+      val keys =
+        if (head.length <= bandKeyCollectCap) {
+          log.warn(s"fuzzy near-dup: dropping ${head.length} oversized " +
+            s"band buckets (${head.map(_._3).sum} id rows, " +
+            s"maxBucket=${fz.maxBucket}) from candidate generation; pairs " +
+            "whose every agreeing band is oversized lose LSH candidacy — " +
+            "bit-identical docs were already collapsed by the exact stage")
+          broadcast(head.map { case (b, k, _) => (b, k) }.toSeq
+            .toDF("band_idx", "band_key"))
+        } else {
+          // key set too large to collect: materialize the aggregate once
+          val agg = sizeAgg.localCheckpoint(true)
+          val st = agg.agg(count(lit(1)), sum(col("bsize")))
+            .as[(Long, Long)].collect()(0)
+          log.warn(s"fuzzy near-dup: ${st._1} oversized band buckets " +
+            s"(${st._2} id rows, maxBucket=${fz.maxBucket}) exceed the " +
+            s"driver collect cap $bandKeyCollectCap — dropping them via " +
+            "a shuffle anti-join on the aggregated key frame")
+          agg.select(col("band_idx"), col("band_key"))
+        }
+      bands.join(keys, Seq("band_idx", "band_key"), "left_anti")
     }
     val x = kept.select(col("band_idx"), col("band_key"), col("doc_id").as("a"))
     val y = kept.select(col("band_idx"), col("band_key"), col("doc_id").as("b"))
@@ -197,6 +217,14 @@ object PreparePipeline {
     sigs.unpersist()
     drop
   }
+
+  /** Driver-collect cap for the oversized-band-key set (the
+    * [[EmbeddingDedup.subSplitCollectCap]] discipline): above this many
+    * flagged buckets the drop filter switches from a collected
+    * broadcast to a shuffle anti-join on the aggregated key frame —
+    * identical drop set (spec-pinned via the cap-0 fallback test).
+    * `var` only so the spec can force the fallback path. */
+  private[graft] var bandKeyCollectCap: Int = 1 << 20
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 }

@@ -39,7 +39,7 @@ object TextAnalysis {
       // would diverge from both this kernel and the oracle
       // (Turkish-I class of bugs); we pin ROOT and accept that
       // documented divergence
-      val ws = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+      val ws = wsSplit(text.toLowerCase(java.util.Locale.ROOT))
       var bestLang = ""
       var bestHits = 0
       var any = false
@@ -70,6 +70,13 @@ object TextAnalysis {
   private[graft] def localMd5(): java.security.MessageDigest = {
     val md = mdLocal.get(); md.reset(); md
   }
+
+  /** Pre-compiled `\s+` splitter — `String.split("\\s+")` has no
+    * single-char fast path, so it re-compiles the regex on every call
+    * (once per ROW in the fused kernels). Same split semantics. */
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+  private[graft] def wsSplit(s: String): Array[String] =
+    wsPattern.split(s, -1)
 
   private[graft] def toHex(d: Array[Byte]): String = {
     val hex = "0123456789abcdef"
@@ -108,10 +115,21 @@ object TextAnalysis {
     val simU = udf { (text: String) =>
       val votes = new Array[Int](60)
       var anyWord = false
-      text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1).foreach { w =>
+      val buf = new Array[Byte](16)
+      val md = localMd5()
+      wsSplit(text.toLowerCase(java.util.Locale.ROOT)).foreach { w =>
         if (w.nonEmpty) {
           anyWord = true
-          val h = java.lang.Long.parseLong(md5Hex(w).substring(0, 15), 16)
+          // first 15 hex chars of md5 parsed base-16 ≡ the unsigned
+          // big-endian first-8-bytes value shifted right one nibble —
+          // same 60 bits without the hex string + parseLong round trip
+          md.reset()
+          md.update(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          md.digest(buf, 0, 16)
+          var hbe = 0L
+          var i = 0
+          while (i < 8) { hbe = (hbe << 8) | (buf(i) & 0xffL); i += 1 }
+          val h = hbe >>> 4
           var b = 0
           while (b < 60) {
             if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -126,7 +144,10 @@ object TextAnalysis {
         while (b < 60) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
         Some(fp)
       }
-    }
+    // non-deterministic marker (guide §4.4): the isNotNull filter below
+    // otherwise duplicates the UDF into a pushed-down Filter — every
+    // word of the corpus was hashed twice (r17 t08 before-plan)
+    }.asNondeterministic()
     docs.select(col(idCol), simU(col(textCol)).as("simhash"))
       .filter(col("simhash").isNotNull)
   }
@@ -171,8 +192,8 @@ object TextAnalysis {
     // codepoint iteration matches split("")+ascii on BMP and keeps
     // surrogate pairs whole exactly as Java regex split("") does.
     val fpU = udf { (text: String) =>
-      val norm = text.toLowerCase(java.util.Locale.ROOT)
-        .replaceAll("\\s+", " ").trim
+      val norm = wsPattern.matcher(text.toLowerCase(java.util.Locale.ROOT))
+        .replaceAll(" ").trim
       var acc = 0L
       val it = norm.codePoints().iterator()
       while (it.hasNext) acc = (acc * 31 + it.next()) % 1000000007L
@@ -223,7 +244,10 @@ object TextAnalysis {
         }
         Some((ws.length - 1L, m.size.toLong, top.toLong))
       }
-    }
+    // non-deterministic marker (guide §4.4): the isNotNull filter plus
+    // FOUR field extractions reference this column — collapsed/pushed
+    // copies would re-count the document's bigrams per reference
+    }.asNondeterministic()
     docs.select(col(idCol), repU(col(textCol)).as("r"))
       .filter(col("r").isNotNull)
       .select(col(idCol),

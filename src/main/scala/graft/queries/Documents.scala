@@ -69,30 +69,18 @@ object Documents {
     * salted-md5 hex strings, and ASCII-hex min ≡ Spark's binary
     * UTF8 string min; docs with < 3 words are absent in both forms. */
   def d02MinhashSig(s: SparkSession, dir: String): DataFrame = {
-    import graft.ops.TextAnalysis.{localMd5, toHex}
-    // salt prefixes as bytes: md5('0|' || sh) ≡ update(salt) + update(sh)
-    val salts = Array.tabulate(4)(h => s"$h|".getBytes("UTF-8"))
+    // the shared fused MinHash kernel (ops.MinHash.minhashHex): salted
+    // md5 minima with one UTF-8 encode per word, a reused digest
+    // buffer, and (hi, lo)-long minima — hex rendered once per doc
+    val salts = graft.ops.MinHash.saltBytes(4)
+    // non-deterministic marker (guide §4.4): without it the
+    // `m IS NOT NULL` filter is pushed below the repartition exchange
+    // with its own copy of the UDF — the corpus was signed twice, one
+    // pass single-threaded (the r17 d02 before-plan pins this)
     val sigU = udf { (text: String) =>
-      val ws = text.split(" ", -1)
-      if (ws.length < 3) None
-      else {
-        val md = localMd5()
-        val m = Array[String](null, null, null, null)
-        var i = 0
-        while (i < ws.length - 2) {
-          val shB = s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}".getBytes("UTF-8")
-          var hIdx = 0
-          while (hIdx < 4) {
-            md.reset(); md.update(salts(hIdx)); md.update(shB)
-            val h = toHex(md.digest())
-            if (m(hIdx) == null || h.compareTo(m(hIdx)) < 0) m(hIdx) = h
-            hIdx += 1
-          }
-          i += 1
-        }
-        Some((m(0), m(1), m(2), m(3)))
-      }
-    }
+      val m = graft.ops.MinHash.minhashHex(text, salts)
+      if (m(0) == null) None else Some((m(0), m(1), m(2), m(3)))
+    }.asNondeterministic()
     // repartition before the kernel: the sf-test corpus is ONE parquet
     // split, which would run the whole hash pass single-threaded; a real
     // corpus arrives in thousands of splits and skips this. Shuffling

@@ -39,7 +39,7 @@ object PipeScale {
       case Some("semdedup") => semdedup(spark, args(1).toLong, args(2).toInt,
         if (args.length > 3) args(3).toInt else 8192)
       case Some("fuzzy")    => fuzzy(spark, args(1).toLong, args(2).toInt,
-        if (args.length > 3) args(3).toInt else 21)
+        if (args.length > 3) args(3).toInt else 41)
       case _ => sys.error("usage: PipeScale pack N | decontam N B | e2e N B" +
         " | semdedup N nlist [maxList] | fuzzy N chains [len]")
     }
