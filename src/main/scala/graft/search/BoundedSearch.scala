@@ -177,18 +177,18 @@ object BoundedSearch {
     var ctrl: org.apache.spark.sql.Dataset[Ctrl] =
       qVecs.map { case (qid, _, r) => Ctrl(qid, r, 0, 0, Double.NaN, 0f, 0) }
         .toSeq.toDS().cache()
-    ctrl.count()
+    // round 0's active set is every query BY CONSTRUCTION (all control
+    // rows start with myNprobe == 0) — no job; each later round's set
+    // rides the action that materializes that round's control cache
+    // (one action per round where this loop used to pay an extra
+    // active-qid collect plus a bare count)
+    var activeQids: Set[Long] = qVecs.map(_._1).toSet
 
     var j = 0
-    var allDecided = false
-    while (j < levels && !allDecided) {
+    while (j < levels && activeQids.nonEmpty) {
       val lo = if (j == 0) 0 else 1 << (j - 1) // probe ranks (lo, hi]
       val hi = 1 << j
-      val activeQids = ctrl.filter(_.myNprobe == 0).map(_.qid).collect().toSet
-      // myNprobe only transitions active → decided, so an empty active
-      // set stays empty — skip the remaining rounds' no-op jobs
-      if (activeQids.isEmpty) allDecided = true
-      else {
+      locally {
         val active = (0 until nq).filter(qi => activeQids(qVecs(qi)._1))
         val probeMap: Map[Int, Array[Int]] = active.flatMap { qi =>
           ranks(qi).slice(lo, hi).map { case (l, _) => (l, qi) }
@@ -249,9 +249,12 @@ object BoundedSearch {
             else BoundedSearch.decideStep(st, jj, lv, kk, mult,
               rOpt.get, nOpt.get, mOpt.get)
           }.cache()
-        // materializing ctrl also materializes this round's state cache
-        // — only then is it safe to drop the previous round's copies
-        ctrl.count()
+        // ONE action: materializes the new control cache (and through
+        // it this round's state cache) AND returns the next round's
+        // active set — myNprobe only transitions active → decided, so
+        // an empty set ends the loop. Only then is it safe to drop the
+        // previous round's copies.
+        activeQids = ctrl.filter(_.myNprobe == 0).map(_.qid).collect().toSet
         prevCtrl.unpersist()
         prev.unpersist()
       }
@@ -388,26 +391,37 @@ object BoundedSearch {
           r.map(_._2), r.map(_._1), m.interdisAt, m.nlist)
         CtrlD(qid, v, req, r.map(_._1), dB, 0, 0, Double.NaN, 0f, 0)
       }.cache()
-    ctrl.count()
+
+    // per-round probe-list histogram (empty-round check, Parquet
+    // partition pruning, hot-list salt factors). Each round's map rides
+    // the SAME action that materializes that round's control cache —
+    // round 0's materializes the init — where this loop used to pay a
+    // bare count() per round PLUS a separate histogram job: one action
+    // per round instead of two. A lean list-only projection; counts are
+    // identical to grouping the full (list, qid, vec) probe rows.
+    def probeListCounts(c: org.apache.spark.sql.Dataset[CtrlD],
+                        round: Int): Map[Int, Long] = {
+      val lo = if (round == 0) 0 else 1 << (round - 1)
+      val hi = 1 << round
+      c.filter(_.myNprobe == 0)
+        .flatMap(_.lists.slice(lo, hi).iterator)
+        .groupByKey(identity).count().collect().toMap
+    }
+    var listCounts: Map[Int, Long] = probeListCounts(ctrl, 0)
 
     var state: DataFrame = spark.emptyDataset[(Long, Long, Double)]
       .toDF("qid", "id", "dist")
 
     var j = 0
-    var allDecidedD = false
-    while (j < levels && !allDecidedD) {
+    // empty histogram ⟺ no active queries (decisions never reopen):
+    // remaining rounds are no-ops — stop instead of paying a job each
+    while (j < levels && listCounts.nonEmpty) {
       val lo = if (j == 0) 0 else 1 << (j - 1)
       val hi = 1 << j
       val probes = ctrl.filter(_.myNprobe == 0).flatMap { c =>
         c.lists.slice(lo, hi).iterator.map(l => (l, c.qid, c.vec))
       }
-      // one job serves three needs: the empty-round check, Parquet
-      // partition pruning, and the hot-list salt factors
-      val listCounts = probes.groupByKey(_._1).count().collect().toMap
-      // empty ⟺ no active queries (decisions never reopen): remaining
-      // rounds are no-ops — break instead of paying a job per round
-      if (listCounts.isEmpty) allDecidedD = true
-      else {
+      locally {
         val newPartials = scanRound(probes, listCounts)
         val prev = state
         val merged = FlatSearch
@@ -440,7 +454,10 @@ object BoundedSearch {
                 next.preVal, next.predicted, next.decidedStage)
             }
           }.cache()
-        ctrl.count()
+        // ONE action: materializes the new control cache (and through
+        // it this round's state cache) AND yields the NEXT round's
+        // probe histogram — only then drop the previous round's copies
+        listCounts = probeListCounts(ctrl, j + 1)
         prevCtrl.unpersist()
         prev.unpersist()
       }
