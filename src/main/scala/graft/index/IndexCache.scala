@@ -249,7 +249,19 @@ object IndexCache {
     frames.computeIfAbsent(s"$key|disk", { _ =>
       val path = diskPath(key)
       if (!onDisk(path)) build.write.mode("overwrite").parquet(path)
-      val df = spark.read.parquet(path).cache()
+      val raw = spark.read.parquet(path)
+      // a SMALL artifact packs into one or two scan splits (file-open
+      // cost packing), and the cache inherits that: every later join or
+      // aggregation over it ran near-serial (d04's shingle self-join
+      // measured 4 tasks on 32 cores). Spread a narrow read across the
+      // session's parallelism BEFORE caching; an artifact big enough to
+      // read as ≥ defaultParallelism splits keeps its natural layout —
+      // scale-adaptive, not a local constant. Rows are unchanged; every
+      // consumer is order-independent (joins/aggregations).
+      val par = spark.sparkContext.defaultParallelism
+      val spread =
+        if (raw.rdd.getNumPartitions < par) raw.repartition(par) else raw
+      val df = spread.cache()
       df.count()
       df
     })

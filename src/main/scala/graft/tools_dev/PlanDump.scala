@@ -17,7 +17,9 @@ object PlanDump {
     val outDir = java.nio.file.Paths.get(args(0))
     java.nio.file.Files.createDirectories(outDir)
     val suffix = args(1)
-    val names = args.drop(2).toSeq
+    val names =
+      if (args(2) == "ALL") graft.SparkEntry.queries.keys.toSeq.sorted
+      else args.drop(2).toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
