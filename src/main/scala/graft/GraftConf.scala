@@ -93,4 +93,28 @@ object GraftConf {
     * LOWERING this; local wall-clock argues for nothing below ~20M. */
   def fusedMinProbedRows: Long =
     longProp("graft.join.minProbedRows", 28000000L)
+
+  /** State-store partition count for the STATEFUL streaming queries —
+    * the session's shuffle-partition setting at stream start, which
+    * Spark pins in the query's checkpoint for its whole lifetime
+    * ([[graft.streaming.EventStream.withStatePartitions]]).
+    *
+    * State partitions should track STATE size (live keys × bytes per
+    * key / target partition size), not batch scan parallelism: every
+    * micro-batch pays a per-partition state-store open + commit
+    * (checkpoint delta write, fsync, rename) regardless of how little
+    * state the partition holds. Measured on the s02/s03/s04 rows at
+    * sf0.1/local[32]: with 32 state partitions the commit stages showed
+    * ~1 s of blocked (non-CPU) time per task — 33.6 s summed task time
+    * at 0.2 s CPU on s04 — and dropping to 8 partitions took the three
+    * rows from 3.80/2.45/3.52 s to 2.24/1.57/2.00 s with identical
+    * results (key-hash-partitioned state is partition-count-
+    * independent). Default max(8, defaultParallelism/4): small
+    * demo-sized state gets few, cheap commits; a production ingest
+    * with real state volume sizes it UP via
+    * `-Dgraft.stream.statePartitions` (the knob the checkpoint pin
+    * makes a deploy-time choice anyway). */
+  def streamStatePartitions(defaultParallelism: Int): Int =
+    intProp("graft.stream.statePartitions",
+      math.max(8, defaultParallelism / 4))
 }

@@ -138,12 +138,16 @@ object Documents {
     val schema = s.read.parquet(staged).schema
     val stream = s.readStream.schema(schema).parquet(staged)
     val sink = "s02_" + java.util.UUID.randomUUID().toString.take(8)
-    val q = graft.streaming.EventStream
-      .lshCandidateStream(stream, numHashes = 16, bands = 4)(s)
-      .writeStream.outputMode("append").format("memory").queryName(sink)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    require(q.awaitTermination(300000),
-      "s02 streaming query did not finish within 300s — partial sink")
+    // state partitions sized to the state, not the scan cores (see
+    // EventStream.withStatePartitions — identical results)
+    graft.streaming.EventStream.withStatePartitions(s) {
+      val q = graft.streaming.EventStream
+        .lshCandidateStream(stream, numHashes = 16, bands = 4)(s)
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s02 streaming query did not finish within 300s — partial sink")
+    }
     s.table(sink).select(col("bucket"), col("a"), col("b"))
       .orderBy(col("bucket"), col("a"), col("b"))
   }
@@ -190,22 +194,26 @@ object Documents {
     val schema = s.read.parquet(staged).schema
     val stream = s.readStream.schema(schema).parquet(staged)
     val sink = "s04_" + java.util.UUID.randomUUID().toString.take(8)
-    val q = graft.streaming.EventStream.dedupStream(stream)
-      .select(col("fp"))
-      .writeStream.outputMode("append").format("memory").queryName(sink)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    require(q.awaitTermination(300000),
-      "s04 streaming query did not finish within 300s — partial sink")
-    // the n_emitted=1-per-fingerprint oracle holds only while
-    // AvailableNow consumes the staged corpus in ONE micro-batch:
-    // split batches could legitimately re-emit a fingerprint whose
-    // duplicates straddle the 1h watermark. Assert the contract via
-    // query progress so a future staging change fails loudly here, not
-    // as an opaque hash mismatch downstream.
-    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    require(dataBatches == 1,
-      s"s04 staged corpus processed in $dataBatches micro-batches " +
-        "(expected 1); the n_emitted=1 oracle requires single-batch staging")
+    // state partitions sized to the state, not the scan cores (see
+    // EventStream.withStatePartitions — identical results)
+    graft.streaming.EventStream.withStatePartitions(s) {
+      val q = graft.streaming.EventStream.dedupStream(stream)
+        .select(col("fp"))
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s04 streaming query did not finish within 300s — partial sink")
+      // the n_emitted=1-per-fingerprint oracle holds only while
+      // AvailableNow consumes the staged corpus in ONE micro-batch:
+      // split batches could legitimately re-emit a fingerprint whose
+      // duplicates straddle the 1h watermark. Assert the contract via
+      // query progress so a future staging change fails loudly here, not
+      // as an opaque hash mismatch downstream.
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 1,
+        s"s04 staged corpus processed in $dataBatches micro-batches " +
+          "(expected 1); the n_emitted=1 oracle requires single-batch staging")
+    }
     val emitted = s.table(sink).groupBy(col("fp"))
       .agg(count(lit(1)).as("n_emitted"))
     val batchCounts = s.read.parquet(staged)

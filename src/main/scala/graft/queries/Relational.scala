@@ -438,11 +438,15 @@ object Relational {
     val sessions = graft.streaming.EventStream.sessionize(
       s.readStream.schema(schema).parquet(staged).as[(Long, Double)])
     val sink = "s03_" + java.util.UUID.randomUUID().toString.take(8)
-    val q = sessions.toDF().writeStream.outputMode("update").format("memory")
-      .queryName(sink)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    require(q.awaitTermination(300000),
-      "s03 streaming query did not finish within 300s — partial sink")
+    // state partitions sized to the state, not the scan cores (see
+    // EventStream.withStatePartitions — identical results)
+    graft.streaming.EventStream.withStatePartitions(s) {
+      val q = sessions.toDF().writeStream.outputMode("update").format("memory")
+        .queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s03 streaming query did not finish within 300s — partial sink")
+    }
     s.table(sink)
       .groupBy(col("userId"))
       .agg(max(struct(col("nEvents"), col("totalValue"))).as("m"))

@@ -17,6 +17,31 @@ import graft.index.{IVFIndex, IVFModel}
   */
 object EventStream {
 
+  /** Runs `body` — which should build, start and drain a STATEFUL
+    * streaming query — with the session's shuffle-partition setting
+    * (i.e. the query's state-store partition count, pinned at stream
+    * start in its checkpoint) set to
+    * [[graft.GraftConf.streamStatePartitions]], restoring the caller's
+    * setting afterwards. Results are unchanged: stateful operators
+    * hash-partition state by key, so the partition COUNT only sets how
+    * many per-micro-batch store open/commit (checkpoint fsync) cycles
+    * run — the measured fixed cost this knob exists to size to the
+    * state, not to the scan cores (numbers in the GraftConf scaladoc).
+    * Queries in one session run sequentially through the driver
+    * contract; callers starting streams concurrently from several
+    * threads should set the conf themselves. */
+  def withStatePartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, graft.GraftConf.streamStatePartitions(
+      s.sparkContext.defaultParallelism).toString)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** Tumbling-window aggregation with watermark — works identically on
     * a batch DataFrame (the batch twin is q08_events_hourly). */
   def hourlyCounts(events: DataFrame): DataFrame =

@@ -21,7 +21,8 @@ object TimeQueries {
     val passes = sys.env.getOrElse("TQ_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("TQ_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
