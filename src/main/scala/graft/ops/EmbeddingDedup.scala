@@ -472,22 +472,39 @@ object EmbeddingDedup {
                           what: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val oversized: Array[(Int, Long, Long)] = bands
+    // capped like subSplitPairs / PreparePipeline.fuzzyDropIds (one job
+    // either way: limit(cap+1) returns the full set iff it is ≤ cap);
+    // beyond the cap the keys never reach the driver — the drop filter
+    // runs as a shuffle anti-join on the aggregated key frame
+    val sizeAgg = bands
       .groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("bsize"))
       .filter(col("bsize") > maxBucket)
+    val oversized: Array[(Int, Long, Long)] = sizeAgg
       .select(col("band").cast("int"), col("key").cast("long"),
         col("bsize").cast("long"))
-      .as[(Int, Long, Long)].collect()
+      .as[(Int, Long, Long)].limit(subSplitCollectCap + 1).collect()
     val kept = if (oversized.isEmpty) bands else {
-      log.warn(s"$what: dropping ${oversized.length} oversized band " +
-        s"buckets (${oversized.map(_._3).sum} id rows, " +
-        s"maxBucket=$maxBucket) from candidate generation; pairs whose " +
-        "every agreeing band is oversized lose LSH candidacy — run " +
-        "exactDupPairs first for the identical-vector guarantee")
-      val keys = oversized.map { case (b, k2, _) => (b, k2) }.toSeq
-        .toDF("band", "key")
-      bands.join(broadcast(keys), Seq("band", "key"), "left_anti")
+      val keys =
+        if (oversized.length <= subSplitCollectCap) {
+          log.warn(s"$what: dropping ${oversized.length} oversized band " +
+            s"buckets (${oversized.map(_._3).sum} id rows, " +
+            s"maxBucket=$maxBucket) from candidate generation; pairs whose " +
+            "every agreeing band is oversized lose LSH candidacy — run " +
+            "exactDupPairs first for the identical-vector guarantee")
+          broadcast(oversized.map { case (b, k2, _) => (b, k2) }.toSeq
+            .toDF("band", "key"))
+        } else {
+          val agg = sizeAgg.localCheckpoint(true)
+          val st = agg.agg(count(lit(1)), sum(col("bsize")))
+            .as[(Long, Long)].collect()(0)
+          log.warn(s"$what: ${st._1} oversized band buckets (${st._2} id " +
+            s"rows, maxBucket=$maxBucket) exceed the driver collect cap " +
+            s"$subSplitCollectCap — dropping them via a shuffle anti-join " +
+            "on the aggregated key frame")
+          agg.select(col("band"), col("key"))
+        }
+      bands.join(keys, Seq("band", "key"), "left_anti")
     }
     val x = kept.select(col("band"), col("key"), col("id").as("a"))
     val y = kept.select(col("band"), col("key"), col("id").as("b"))
@@ -502,12 +519,13 @@ object EmbeddingDedup {
     out
   }
 
-  /** Max oversized-cell keys [[subSplitPairs]] will collect/broadcast
-    * per level (~16 MB of driver longs at the default); beyond it the
-    * level splits via shuffle joins on the aggregated key frame —
-    * identical output, no driver materialization. Var (not a param):
-    * it is an engine memory knob, not operator semantics; specs lower
-    * it to force the fallback path. */
+  /** Max oversized-cell/bucket keys [[subSplitPairs]] and
+    * [[bandedPairs]] will collect/broadcast (~16 MB of driver longs at
+    * the default); beyond it the split/drop runs via shuffle joins on
+    * the aggregated key frame — identical output, no driver
+    * materialization. Var (not a param): it is an engine memory knob,
+    * not operator semantics; specs lower it to force the fallback
+    * path. */
   private[graft] var subSplitCollectCap: Int = 1 << 20
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)

@@ -85,6 +85,33 @@ class DedupSpec extends SparkSpec {
     assert((got -- want).isEmpty)
   }
 
+  test("lshPairs oversized-bucket cap: join fallback ≡ collected broadcast") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val originals = randVecs(200, 32, seed = 101)
+    // 30 IDENTICAL vectors co-bucket in every band → guaranteed
+    // oversized buckets at maxBucket=8; plus 10 genuine near-dups that
+    // live in small buckets and must survive identically on both paths
+    val heavy = Array.fill(30)(originals(50))
+    val dups = (0 until 10).map { i =>
+      Array.tabulate(32)(j => originals(i)(j) + 0.01f * rnd.nextGaussian().toFloat)
+    }
+    val df = vecDF(originals ++ dups ++ heavy)
+    val model = BinaryHash.train(d = 32, nbits = 63, seed = 11L)
+    def run(): Set[(Long, Long)] =
+      EmbeddingDedup.lshPairs(df, model, threshold = 0.99, maxBucket = 8)
+        .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    val viaCollect = run()
+    val savedCap = EmbeddingDedup.subSplitCollectCap
+    val viaJoin =
+      try { EmbeddingDedup.subSplitCollectCap = 0; run() }
+      finally EmbeddingDedup.subSplitCollectCap = savedCap
+    assert(viaJoin == viaCollect,
+      s"fallback diverged: only-join=${viaJoin -- viaCollect} " +
+        s"only-collect=${viaCollect -- viaJoin}")
+    assert(viaCollect.nonEmpty, "fixture must keep small-bucket pairs")
+  }
+
   test("ivfPairs: cluster-bucketed semantic dedup == exact pairs on planted twins") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
