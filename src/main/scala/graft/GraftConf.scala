@@ -118,4 +118,20 @@ object GraftConf {
   def streamStatePartitions(defaultParallelism: Int): Int =
     intProp("graft.stream.statePartitions",
       math.max(8, defaultParallelism / 4))
+
+  /** Largest edge count [[graft.ops.Components.connectedComponents]]
+    * may collect for its driver union-find arm (the BoundedSearch
+    * `eagerMaxQueries` contract applied to cluster resolution): a
+    * near-dup candidate graph at or below this size — 2²¹ edges ≈
+    * 32 MB of driver longs, labels ≤ 2× that — resolves in ONE
+    * collect-and-union-find job instead of O(log diameter) rounds of
+    * join+aggregate+checkpoint (each round ~5 jobs; d08's loop at
+    * sf0.1 measured 25+ jobs for a 60k-edge graph whose closure is
+    * microseconds of driver CPU). Labels are identical by definition:
+    * both arms produce min-node-id-per-component. Above the cap the
+    * distributed pointer-jumping loop runs unchanged — the 100 TB
+    * shape, where the edge table is corpus-sized. 0 disables the
+    * driver arm (specs use this to pin the distributed loop). */
+  def componentsDriverMaxEdges: Int =
+    intProp("graft.components.driverMaxEdges", 1 << 21)
 }

@@ -11,7 +11,16 @@ import org.apache.spark.sql.functions._
   * training-data pipeline needs the transitive closure (A≈B, B≈C ⇒
   * {A,B,C} is one cluster even when A,C never shared a bucket).
   *
-  * Algorithm: min-label propagation accelerated by POINTER JUMPING.
+  * Two arms, the BoundedSearch eager/lazy contract applied to cluster
+  * resolution: an edge set at or below
+  * [[graft.GraftConf.componentsDriverMaxEdges]] (2²¹ ≈ 32 MB of
+  * driver longs) collects once and resolves with a local union-find —
+  * labels identical by definition (min node id per component), one
+  * job instead of a multi-round loop. Larger graphs — the 100 TB
+  * shape — run the distributed loop below.
+  *
+  * Distributed algorithm: min-label propagation accelerated by POINTER
+  * JUMPING.
   * Every node starts labeled with itself; each round every node first
   * takes m(u) = the min of its own and its neighbors' labels, then
   * jumps one pointer: label values are themselves node ids of the same
@@ -75,6 +84,21 @@ object Components {
     *                      storage of the per-round snapshot differs. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
                           checkpointDir: Option[String] = None): ComponentsResult = {
+    // driver union-find arm (the BoundedSearch eagerMaxQueries
+    // contract): an edge set at or below the cap resolves in ONE
+    // collect + local union-find — labels identical by definition
+    // (min node id per component), rounds = 0, no checkpoint needed
+    // (nothing distributed to lose). One limit-bounded probe job either
+    // way; an over-cap graph proceeds to the distributed loop, whose
+    // own first action re-reads the edge frame (callers at that scale
+    // pass cached/materialized frames already).
+    val cap = graft.GraftConf.componentsDriverMaxEdges
+    if (cap > 0) {
+      val head = edges
+        .select(col("a").cast("long"), col("b").cast("long"))
+        .limit(cap + 1).collect()
+      if (head.length <= cap) return driverUnionFind(edges.sparkSession, head)
+    }
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     // eager either way: materializes AND truncates the plan
     def snap(df: DataFrame): DataFrame =
@@ -127,5 +151,42 @@ object Components {
     }
     sym.unpersist()
     ComponentsResult(labels, converged, iter)
+  }
+
+  /** The collect-side arm: classic union-find with path compression,
+    * roots chosen as the MIN member id (union attaches the larger root
+    * under the smaller), so every node's final label is exactly the
+    * distributed loop's fixpoint — the minimum node id of its
+    * component. Output rows are one (node, component) per distinct
+    * node appearing in the edges, same as the distributed arm. */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+      pairs: Array[org.apache.spark.sql.Row]): ComponentsResult = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // walk to the root
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    val nodes = new java.util.TreeSet[java.lang.Long]()
+    pairs.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      nodes.add(a); nodes.add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val labels = nodes.iterator().asScala
+      .map(n => (n.longValue(), find(n))).toSeq
+    import spark.implicits._
+    ComponentsResult(labels.toDF("node", "component"),
+      converged = true, rounds = 0)
   }
 }

@@ -89,20 +89,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1L) && !out(2L))
   }
 
-  test("connectedComponents matches union-find on a crafted graph") {
+  /** Runs `f` with the Components driver union-find arm disabled, so
+    * the DISTRIBUTED pointer-jumping loop is what executes. */
+  private def ccDistributed[T](f: => T): T = {
+    sys.props("graft.components.driverMaxEdges") = "0"
+    try f finally sys.props -= "graft.components.driverMaxEdges"
+  }
+
+  test("connectedComponents matches union-find on a crafted graph (both arms)") {
     // two chains (transitive closure beyond any single edge), a
     // triangle, and an isolated edge
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), // chain 1-2-3-4
       (10L, 11L), (11L, 12L),                     // chain 10-11-12
       (20L, 21L), (21L, 22L), (20L, 22L),         // triangle
       (30L, 31L)).toDF("a", "b")
-    val res = graft.ops.Components.connectedComponents(edges)
-    assert(res.converged)
-    val got = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L)
-    assert(got == want)
+    val driver = graft.ops.Components.connectedComponents(edges)
+    assert(driver.converged && driver.rounds == 0) // driver arm engaged
+    assert(driver.labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
+    val dist = ccDistributed(graft.ops.Components.connectedComponents(edges))
+    assert(dist.converged && dist.rounds > 0) // distributed loop engaged
+    assert(dist.labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
   }
 
   test("connectedComponents matches union-find on a random graph") {
@@ -122,10 +133,17 @@ class PipelineOpsSpec extends SparkSpec {
     val minOf = nodes.groupBy(x => find(x.toInt))
       .map { case (r, xs) => r -> xs.min }
     val expect = nodes.map(x => x -> minOf(find(x.toInt))).toMap
-    val res = graft.ops.Components.connectedComponents(edges.toDF("a", "b"))
+    // distributed loop (the driver arm IS a union-find — exercising it
+    // against this reference would be a tautology)
+    val res = ccDistributed(
+      graft.ops.Components.connectedComponents(edges.toDF("a", "b")))
     assert(res.converged)
     val got = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expect)
+    // and the driver arm agrees with the same reference
+    val drv = graft.ops.Components.connectedComponents(edges.toDF("a", "b"))
+    assert(drv.rounds == 0 &&
+      drv.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
   }
 
   test("connectedComponents: reliable checkpoint() path == localCheckpoint path") {
@@ -136,9 +154,13 @@ class PipelineOpsSpec extends SparkSpec {
       (10L, 11L), (11L, 12L), (20L, 21L), (21L, 22L), (20L, 22L),
       (30L, 31L)).toDF("a", "b")
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    val reliable = graft.ops.Components
-      .connectedComponents(edges, checkpointDir = Some(dir))
-    val local = graft.ops.Components.connectedComponents(edges)
+    // the checkpoint modes only exist on the distributed loop — the
+    // driver arm has no per-round snapshots to store
+    val (reliable, local) = ccDistributed {
+      (graft.ops.Components
+        .connectedComponents(edges, checkpointDir = Some(dir)),
+        graft.ops.Components.connectedComponents(edges))
+    }
     assert(reliable.converged && local.converged)
     assert(reliable.rounds == local.rounds)
     val a = reliable.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -154,7 +176,8 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("maxIter guard reports non-convergence on a long chain") {
     val chain = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
-    val res = graft.ops.Components.connectedComponents(chain, maxIter = 3)
+    val res = ccDistributed(
+      graft.ops.Components.connectedComponents(chain, maxIter = 3))
     assert(!res.converged && res.rounds == 3)
   }
 
@@ -200,7 +223,7 @@ class PipelineOpsSpec extends SparkSpec {
     // doubles per round, so this must converge well inside the default
     // budget — and exactly (every node labeled 0).
     val chain = (0L until 120L).map(i => (i, i + 1)).toDF("a", "b")
-    val res = graft.ops.Components.connectedComponents(chain)
+    val res = ccDistributed(graft.ops.Components.connectedComponents(chain))
     assert(res.converged, s"did not converge in ${res.rounds} rounds")
     assert(res.rounds <= 8, s"expected ≤8 rounds, took ${res.rounds}")
     val labels = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1))
