@@ -16,6 +16,8 @@ package graft
   * | `graft.join.maxProbesPerBucket` | 8 × cogroupMaxProbes | per-LIST probe bound of the fused bucket-local scan (its tasks stream one list group at a time) |
   * | `graft.join.minProbedRows` | 28000000 | estimated probed data rows per round (probed lists × mean list size) below which the fused bucket-local arm is skipped in favor of the salted cogroup — the measured post-fix crossover (see [[fusedMinProbedRows]]); 0 forces the fused arm wherever the layout allows it |
   * | `graft.stream.statePartitions` | max(8, cores/4) | state-store partition count pinned into stateful streaming queries' checkpoints at stream start ([[streamStatePartitions]]) |
+  * | `graft.components.driverMaxEdges` | 2²¹ | largest edge set [[graft.ops.Components.connectedComponents]] resolves with the one-collect driver union-find arm; 0 disables the driver arm ([[componentsDriverMaxEdges]]) |
+  * | `graft.prepare.materializeMaxBytes` | 4 GiB | largest corpus input (leaf parquet bytes) for which [[graft.ops.PreparePipeline]] materializes its dedup-chain intermediates once instead of re-scanning per consumer; 0 disables ([[prepareMaterializeMaxBytes]]) |
   */
 object GraftConf {
 
@@ -122,16 +124,42 @@ object GraftConf {
   /** Largest edge count [[graft.ops.Components.connectedComponents]]
     * may collect for its driver union-find arm (the BoundedSearch
     * `eagerMaxQueries` contract applied to cluster resolution): a
-    * near-dup candidate graph at or below this size — 2²¹ edges ≈
-    * 32 MB of driver longs, labels ≤ 2× that — resolves in ONE
+    * near-dup candidate graph at or below this size resolves in ONE
     * collect-and-union-find job instead of O(log diameter) rounds of
     * join+aggregate+checkpoint (each round ~5 jobs; d08's loop at
     * sf0.1 measured 25+ jobs for a 60k-edge graph whose closure is
-    * microseconds of driver CPU). Labels are identical by definition:
-    * both arms produce min-node-id-per-component. Above the cap the
-    * distributed pointer-jumping loop runs unchanged — the 100 TB
-    * shape, where the edge table is corpus-sized. 0 disables the
-    * driver arm (specs use this to pin the distributed loop). */
+    * microseconds of driver CPU). Honest driver footprint at the
+    * 2²¹ default: the typed collect holds one specialized (Long, Long)
+    * tuple object per edge (~32 B with header/padding ≈ 64 MB
+    * transient), and the union-find itself runs on primitive arrays —
+    * a sorted long[] of distinct endpoints (≤ 32 MB) plus an int[]
+    * parent table (≤ 16 MB); the boxed label rows for the
+    * LocalTableScan dominate briefly at ~2 nodes per edge. Sized for a
+    * driver with a few GiB of headroom; halve it for a small driver.
+    * Labels are identical by definition: both arms produce
+    * min-node-id-per-component. Above the cap the distributed
+    * pointer-jumping loop runs unchanged — the 100 TB shape, where the
+    * edge table is corpus-sized. 0 disables the driver arm (specs use
+    * this to pin the distributed loop). */
   def componentsDriverMaxEdges: Int =
     intProp("graft.components.driverMaxEdges", 1 << 21)
+
+  /** Largest corpus input — summed LEAF PARQUET bytes feeding the
+    * frame, the cheap exact scale proxy; logical-plan size estimates
+    * swing wildly across UDF/array projections — for which
+    * [[graft.ops.PreparePipeline]] materializes its dedup-chain
+    * intermediates (the post-gate deduped frame and the pre-packing
+    * survivors projection) once instead of re-executing the
+    * gate+dedup subtree per consumer. The d13 shape re-scans that
+    * subtree ~6× (fuzzy signatures, near-dup anti-join, gram scan,
+    * decontamination anti-join, packOffsets' range-sample + shuffle
+    * write); at collectable sizes one `localCheckpoint` feeds them
+    * all. Above the cap the re-scan is the RIGHT call — columnar
+    * scans with pushdown are cheap at any scale, while persisting a
+    * corpus-sized intermediate doubles cluster storage (the
+    * documented PreparePipeline trade) — so the 100 TB shape is
+    * unchanged. 0 disables materialization everywhere (plan audits
+    * use this to keep the dedup joins visible). */
+  def prepareMaterializeMaxBytes: Long =
+    longProp("graft.prepare.materializeMaxBytes", 4L << 30)
 }

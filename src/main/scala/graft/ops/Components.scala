@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   *
   * Two arms, the BoundedSearch eager/lazy contract applied to cluster
   * resolution: an edge set at or below
-  * [[graft.GraftConf.componentsDriverMaxEdges]] (2²¹ ≈ 32 MB of
-  * driver longs) collects once and resolves with a local union-find —
+  * [[graft.GraftConf.componentsDriverMaxEdges]] (honest footprint math
+  * in that knob's scaladoc) collects once and resolves with a local
+  * primitive-array union-find —
   * labels identical by definition (min node id per component), one
   * job instead of a multi-round loop. Larger graphs — the 100 TB
   * shape — run the distributed loop below.
@@ -84,30 +85,49 @@ object Components {
     *                      storage of the per-round snapshot differs. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
                           checkpointDir: Option[String] = None): ComponentsResult = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // Null/uncastable endpoints: the distributed loop drops them via
+    // inner-join semantics, so drop them explicitly ONCE for both arms
+    // (the driver arm would otherwise NPE on r.getLong where the loop
+    // silently skips). No declared query can produce one — candidate
+    // edges come from inner equi-joins on non-null keys.
+    val e = edges
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
     // driver union-find arm (the BoundedSearch eagerMaxQueries
     // contract): an edge set at or below the cap resolves in ONE
     // collect + local union-find — labels identical by definition
     // (min node id per component), rounds = 0, no checkpoint needed
-    // (nothing distributed to lose). One limit-bounded probe job either
-    // way; an over-cap graph proceeds to the distributed loop, whose
-    // own first action re-reads the edge frame (callers at that scale
-    // pass cached/materialized frames already).
+    // (nothing distributed to lose). The edge frame is PERSISTED before
+    // the limit-bounded probe: real callers pass UNCACHED frames (the
+    // LSH-candidate + Jaccard-estimate plan in PreparePipeline /
+    // Documents), so an over-cap graph would otherwise execute that
+    // whole plan once for the probe and again for the distributed loop
+    // — doubling candidate generation at exactly the scale the
+    // distributed arm targets. The probe's partially-computed
+    // partitions stay cached and the loop's first action finishes the
+    // rest — at most one full pass over the candidate plan either way.
     val cap = graft.GraftConf.componentsDriverMaxEdges
     if (cap > 0) {
-      val head = edges
-        .select(col("a").cast("long"), col("b").cast("long"))
-        .limit(cap + 1).collect()
-      if (head.length <= cap) return driverUnionFind(edges.sparkSession, head)
+      e.persist()
+      val head: Array[(Long, Long)] =
+        e.as[(Long, Long)].limit(cap + 1).collect()
+      if (head.length <= cap) {
+        val res = driverUnionFind(spark, head)
+        e.unpersist()
+        return res
+      }
     }
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     // eager either way: materializes AND truncates the plan
     def snap(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // pre-partitioned by the per-round join key, so each loop round's
     // edge side reads the cached exchange instead of re-shuffling (the
     // labels side changes per round; this side never does)
-    val sym = edges.select(col("a").cast("long").as("x"), col("b").cast("long").as("y"))
-      .union(edges.select(col("b").cast("long").as("x"), col("a").cast("long").as("y")))
+    val sym = e.select(col("a").as("x"), col("b").as("y"))
+      .union(e.select(col("b").as("x"), col("a").as("y")))
       .repartition(col("y"))
       .persist()
 
@@ -149,43 +169,58 @@ object Components {
       labels = next.select(col("node"), col("component"))
       iter += 1
     }
+    if (cap > 0) e.unpersist()
     sym.unpersist()
     ComponentsResult(labels, converged, iter)
   }
 
-  /** The collect-side arm: classic union-find with path compression,
-    * roots chosen as the MIN member id (union attaches the larger root
-    * under the smaller), so every node's final label is exactly the
-    * distributed loop's fixpoint — the minimum node id of its
-    * component. Output rows are one (node, component) per distinct
-    * node appearing in the edges, same as the distributed arm. */
+  /** The collect-side arm: classic union-find with path halving over
+    * PRIMITIVE arrays (no boxed rows or tree maps — the collected
+    * specialized (Long, Long) tuples are the only per-edge objects):
+    * endpoints are sorted+deduped into a long[] index, the parent
+    * table is an int[] over those indices, and union attaches the
+    * larger-INDEX root under the smaller — sorted ids make index order
+    * id order, so every root is its component's MIN member id and
+    * every node's final label is exactly the distributed loop's
+    * fixpoint. Output rows are one (node, component) per distinct node
+    * appearing in the edges, same as the distributed arm. */
   private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
-      pairs: Array[org.apache.spark.sql.Row]): ComponentsResult = {
-    val parent = new java.util.HashMap[Long, Long]()
-    def find(x0: Long): Long = {
+      pairs: Array[(Long, Long)]): ComponentsResult = {
+    val n = pairs.length
+    val all = new Array[Long](2 * n)
+    var i = 0
+    while (i < n) {
+      all(2 * i) = pairs(i)._1; all(2 * i + 1) = pairs(i)._2; i += 1
+    }
+    java.util.Arrays.sort(all)
+    var m = 0 // in-place dedupe of the sorted endpoints
+    i = 0
+    while (i < all.length) {
+      if (m == 0 || all(i) != all(m - 1)) { all(m) = all(i); m += 1 }
+      i += 1
+    }
+    val nodes = java.util.Arrays.copyOf(all, m)
+    val parent = new Array[Int](m)
+    i = 0; while (i < m) { parent(i) = i; i += 1 }
+    def find(x0: Int): Int = {
       var x = x0
-      var p = parent.getOrDefault(x, x)
-      while (p != x) { // walk to the root
-        val gp = parent.getOrDefault(p, p)
-        parent.put(x, gp) // path halving
-        x = gp
-        p = parent.getOrDefault(x, x)
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
       }
       x
     }
-    val nodes = new java.util.TreeSet[java.lang.Long]()
-    pairs.foreach { r =>
-      val a = r.getLong(0); val b = r.getLong(1)
-      nodes.add(a); nodes.add(b)
-      val ra = find(a); val rb = find(b)
+    i = 0
+    while (i < n) {
+      val ra = find(java.util.Arrays.binarySearch(nodes, pairs(i)._1))
+      val rb = find(java.util.Arrays.binarySearch(nodes, pairs(i)._2))
       if (ra != rb) {
-        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
       }
+      i += 1
     }
-    import scala.jdk.CollectionConverters._
-    val labels = nodes.iterator().asScala
-      .map(n => (n.longValue(), find(n))).toSeq
     import spark.implicits._
+    val labels = (0 until m).map(ix => (nodes(ix), nodes(find(ix))))
     ComponentsResult(labels.toDF("node", "component"),
       converged = true, rounds = 0)
   }

@@ -84,9 +84,19 @@ object PreparePipeline {
     run(train, bench, Config(stopwords, minStopRatio, minTokens, gramN,
       windowTokens, packParts))
 
-  def run(train: DataFrame, bench: DataFrame, cfg: Config): DataFrame =
-    SequencePack.packOffsets(cleanCorpus(train, bench, cfg),
+  def run(train: DataFrame, bench: DataFrame, cfg: Config): DataFrame = {
+    // packOffsets executes its input at least twice (range-boundary
+    // sampling + the shuffle write), so at collectable sizes the
+    // survivors projection is materialized once first — narrow (two
+    // LONG columns, never the text) and size-gated like `deduped`
+    // below (guide §1.2: don't re-run the whole gate→dedup→decontam
+    // DAG to sample range bounds).
+    val clean = materializeIfSmall(
+      cleanCorpus(train, bench, cfg).select(col("doc_id"), col("n_tokens")),
+      train, cfg)
+    SequencePack.packOffsets(clean,
       "doc_id", "n_tokens", cfg.windowTokens, cfg.packParts)
+  }
 
   def cleanCorpus(train: DataFrame, bench: DataFrame, stopwords: Seq[String],
                   minStopRatio: Double, minTokens: Int,
@@ -114,7 +124,24 @@ object PreparePipeline {
       .select(col("doc_id"), col("text"),
         size(col("wsArr")).as("n_tokens"), md5(normText).as("fp"))
     val keepers = quality.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-    val deduped = quality.join(keepers, Seq("fp", "doc_id")).drop("fp")
+    // Size-gated materialization (guide §1.2/§5), FUZZY PATH ONLY:
+    // with the near-dup stage on, this gate+dedup subtree re-executes
+    // for the signature pass, the near-dup anti-join left side,
+    // decontamination's gram scan and the final anti-join (the d13
+    // shape measured ~6 re-scans end-to-end; same-window stash A/B:
+    // 9.8 s → 4.4 s median, summed task time 21 s → 10 s). At or
+    // below graft.prepare.materializeMaxBytes of corpus input, ONE
+    // eager snapshot feeds them all; above it the re-scan stays the
+    // documented 100 TB trade (columnar scans are cheap at any scale,
+    // a corpus-sized persisted intermediate is not). WITHOUT the fuzzy
+    // stage the re-scan is only the map-side gate + one 16-byte-key
+    // shuffle and the snapshot must store the TEXT column — measured
+    // strictly slower at sf0.1 (d12 A/B 1.76 → 2.28 median), so the
+    // batch-d12 shape keeps the re-scan at every size.
+    val deduped0 = quality.join(keepers, Seq("fp", "doc_id")).drop("fp")
+    val deduped =
+      if (cfg.fuzzy.isDefined) materializeIfSmall(deduped0, train, cfg)
+      else deduped0
     val survivors = cfg.fuzzy match {
       case None => deduped
       case Some(fz) =>
@@ -141,6 +168,10 @@ object PreparePipeline {
       s"numHashes ${fz.numHashes} must be a multiple of bands ${fz.bands}")
     val spark = docs.sparkSession
     import spark.implicits._
+    // register the reliable-checkpoint dir up front: the oversized-key
+    // fallback below may checkpoint() BEFORE Components (which also
+    // registers it) runs
+    fz.checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     val rows = fz.numHashes / fz.bands
     // cache: the band explode (bucket agg + both join sides) and
     // estimate's two signature joins would otherwise each re-run the
@@ -179,8 +210,14 @@ object PreparePipeline {
           broadcast(head.map { case (b, k, _) => (b, k) }.toSeq
             .toDF("band_idx", "band_key"))
         } else {
-          // key set too large to collect: materialize the aggregate once
-          val agg = sizeAgg.localCheckpoint(true)
+          // key set too large to collect: materialize the aggregate
+          // once — reliably when a checkpoint dir is configured
+          // (mirrors the drop-set handling below: a localCheckpoint
+          // here would make the fault-tolerant path unrecoverable on
+          // executor loss at exactly the scale this branch targets)
+          val agg =
+            if (fz.checkpointDir.isDefined) sizeAgg.checkpoint()
+            else sizeAgg.localCheckpoint(true)
           val st = agg.agg(count(lit(1)), sum(col("bsize")))
             .as[(Long, Long)].collect()(0)
           log.warn(s"fuzzy near-dup: ${st._1} oversized band buckets " +
@@ -216,6 +253,40 @@ object PreparePipeline {
       else dropLazy.localCheckpoint(true)
     sigs.unpersist()
     drop
+  }
+
+  /** Eagerly materializes a dedup-chain intermediate when the corpus
+    * input is small enough that re-executing the subtree per consumer
+    * is the wrong trade — size-gated by
+    * [[graft.GraftConf.prepareMaterializeMaxBytes]] against the SUMMED
+    * LEAF PARQUET bytes feeding `train` (driver-side file status, no
+    * job; plan-stats estimates swing wildly across the UDF/array
+    * projections in the gate). Frames with no file provenance (pure
+    * in-memory test frames) are treated as unknown scale and NOT
+    * materialized — the re-scan shape stays spec-covered. Reliable
+    * `checkpoint()` when the fuzzy config carries a checkpoint dir
+    * (registered here — this runs before Components would register
+    * it), `localCheckpoint` otherwise; rows are identical either way,
+    * only the snapshot storage differs. */
+  private def materializeIfSmall(df: DataFrame, train: DataFrame,
+                                 cfg: Config): DataFrame = {
+    val cap = graft.GraftConf.prepareMaterializeMaxBytes
+    if (cap <= 0) return df
+    val files = train.inputFiles
+    if (files.isEmpty) return df
+    val conf = train.sparkSession.sparkContext.hadoopConfiguration
+    val bytes = files.distinct.iterator.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      try p.getFileSystem(conf).getFileStatus(p).getLen
+      catch { case scala.util.control.NonFatal(_) => return df }
+    }.sum
+    if (bytes > cap) df
+    else cfg.fuzzy.flatMap(_.checkpointDir) match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint(true)
+    }
   }
 
   /** Driver-collect cap for the oversized-band-key set (the

@@ -86,6 +86,45 @@ class DecontamPackSpec extends SparkSpec {
     assert(rows.toSeq == expect)
   }
 
+  test("prepare dedup-chain materialization: gated == ungated, gate engages on parquet") {
+    val d = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val D = graft.queries.Documents
+    val train = d.filter(col("doc_id") % 10 =!= D.BenchResidue)
+    val bench = d.filter(col("doc_id") % 10 === D.BenchResidue)
+    val cfgPlain = graft.ops.PreparePipeline.Config(
+      stopwords = Seq("the", "a", "of", "and", "or", "is", "to", "in"),
+      minStopRatio = 0.02, minTokens = 20, gramN = D.DecontamN,
+      windowTokens = D.PackWindow)
+    val cfgFuzzy = cfgPlain.copy(fuzzy = Some(graft.ops.PreparePipeline
+      .FuzzyDedup(numHashes = 16, bands = 4, minJaccard = 0.8)))
+    def rows(cfg: graft.ops.PreparePipeline.Config) =
+      graft.ops.PreparePipeline.run(train, bench, cfg)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // gate engaged (fixture bytes ≪ default cap) on the FUZZY shape:
+    // the post-gate dedup chain is snapshot-backed — the survivors
+    // plan shows an RDD scan. The plain shape keeps the re-scan
+    // (measured strictly cheaper without the fuzzy consumers).
+    val fuzzyPlan = graft.ops.PreparePipeline
+      .cleanCorpus(train, bench, cfgFuzzy).queryExecution.optimizedPlan.toString
+    assert(fuzzyPlan.contains("LogicalRDD"),
+      s"materialization gate did not engage on fuzzy parquet input:\n$fuzzyPlan")
+    val plainPlan = graft.ops.PreparePipeline
+      .cleanCorpus(train, bench, cfgPlain).queryExecution.optimizedPlan.toString
+    assert(!plainPlan.contains("LogicalRDD"),
+      s"plain (no-fuzzy) shape must keep the re-scan:\n$plainPlan")
+    val gatedPlain = rows(cfgPlain)
+    val gatedFuzzy = rows(cfgFuzzy)
+    val prop = "graft.prepare.materializeMaxBytes"
+    sys.props(prop) = "0"
+    try {
+      assert(rows(cfgPlain) == gatedPlain,
+        "plain pipeline must be row-identical with materialization off")
+      assert(rows(cfgFuzzy) == gatedFuzzy,
+        "fuzzy pipeline must be row-identical with materialization off")
+    } finally sys.props -= prop
+    assert(gatedPlain.nonEmpty && gatedFuzzy.nonEmpty)
+  }
+
   test("contaminatedIds == flagContaminated's flagged set") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val train = Seq(

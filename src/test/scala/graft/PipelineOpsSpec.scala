@@ -146,6 +146,22 @@ class PipelineOpsSpec extends SparkSpec {
       drv.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
   }
 
+  test("connectedComponents: null endpoints dropped identically on both arms") {
+    // inner-join semantics on the distributed loop drop null-keyed
+    // rows; the driver arm must match instead of NPE-ing on collect
+    val edges = Seq(
+      (Option(1L), Option(2L)), (Option(2L), Option(3L)),
+      (None: Option[Long], Option(9L)), (Option(7L), None: Option[Long]),
+      (Option(10L), Option(11L))).toDF("a", "b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    val drv = graft.ops.Components.connectedComponents(edges)
+    assert(drv.rounds == 0 && drv.labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
+    val dist = ccDistributed(graft.ops.Components.connectedComponents(edges))
+    assert(dist.labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
+  }
+
   test("connectedComponents: reliable checkpoint() path == localCheckpoint path") {
     // the fault-tolerant cluster mode: per-round snapshots go to a
     // checkpoint store instead of executor-local storage; labels must
