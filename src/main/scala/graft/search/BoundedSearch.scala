@@ -85,13 +85,19 @@ object BoundedSearch {
   private def DistributedMinQueries = graft.GraftConf.distributedMinQueries
 
   /** Control row for the fully-distributed path: the query vector, its
-    * full centroid ranking and boundary-distance window ride WITH the
-    * per-query decision state, so no per-query structure ever exists on
-    * the driver. */
+    * full centroid ranking, boundary-distance window AND running top-k
+    * (`topIds`/`topDists`, sorted ascending by (dist, id)) ride WITH
+    * the per-query decision state, so no per-query structure ever
+    * exists on the driver — and each round's merge + recall prediction
+    * + decision is ONE cogroup against the round's scan output instead
+    * of a window shuffle, a summaries aggregation and a join (r18:
+    * a07's per-round stage stack measured mostly scheduling on 32-task
+    * near-empty stages). */
   final case class CtrlD(qid: Long, vec: Array[Float], require: Float,
                          lists: Array[Int], dB: Array[Float], myNprobe: Int,
                          stoped: Int, preVal: Double, predicted: Float,
-                         decidedStage: Int)
+                         decidedStage: Int,
+                         topIds: Array[Long], topDists: Array[Double])
 
   /** @param queries (qid, vec, required_recall); batches up to
     *                [[DistributedMinQueries]] are collected to the
@@ -389,7 +395,8 @@ object BoundedSearch {
         val r = m.rankCentroids(v)
         val dB = ErrorProfile.boundaryDistances(
           r.map(_._2), r.map(_._1), m.interdisAt, m.nlist)
-        CtrlD(qid, v, req, r.map(_._1), dB, 0, 0, Double.NaN, 0f, 0)
+        CtrlD(qid, v, req, r.map(_._1), dB, 0, 0, Double.NaN, 0f, 0,
+          Array.emptyLongArray, Array.emptyDoubleArray)
       }.cache()
 
     // per-round probe-list histogram (empty-round check, Parquet
@@ -409,9 +416,6 @@ object BoundedSearch {
     }
     var listCounts: Map[Int, Long] = probeListCounts(ctrl, 0)
 
-    var state: DataFrame = spark.emptyDataset[(Long, Long, Double)]
-      .toDF("qid", "id", "dist")
-
     var j = 0
     // empty histogram ⟺ no active queries (decisions never reopen):
     // remaining rounds are no-ops — stop instead of paying a job each
@@ -422,47 +426,76 @@ object BoundedSearch {
         c.lists.slice(lo, hi).iterator.map(l => (l, c.qid, c.vec))
       }
       locally {
-        val newPartials = scanRound(probes, listCounts)
-        val prev = state
-        val merged = FlatSearch
-          .mergeTopK(state.unionByName(newPartials), k)
-          .select(col("qid"), col("id"), col("dist"))
-        state = if (j >= 3) merged.localCheckpoint(eager = true)
-                else merged.cache()
-
-        val summaries = state
-          .groupBy(col("qid")).agg(sort_array(collect_list(col("dist"))).as("d"))
+        val newPartials = scanRound(probes, listCounts).as[(Long, Long, Double)]
         val bTrace = spark.sparkContext.broadcast(traces(j))
         val jj = j; val kk = k; val sm = stdM; val mult = multiplier
         val lv = levels
         val prevCtrl = ctrl
-        ctrl = ctrl.toDF().join(summaries, Seq("qid"), "left")
-          .as[(Long, Array[Float], Float, Array[Int], Array[Float], Int, Int,
-               Double, Float, Int, Option[Array[Double]])]
-          .map { case (qid, vec, req, lists, dB, np, stp, pv, pred, ds0, dOpt) =>
-            if (np != 0 || dOpt.isEmpty)
-              CtrlD(qid, vec, req, lists, dB, np, stp, pv, pred, ds0)
-            else {
-              val dArr = dOpt.get
-              val recall = BoundedSearch.predictedRecall(
-                dArr, dB, bTrace.value, jj, kk, sm, met)
-              val maxVal = if (dArr.isEmpty) Double.NaN else dArr.last
-              val next = BoundedSearch.decideStep(
-                Ctrl(qid, req, np, stp, pv, pred, ds0),
-                jj, lv, kk, mult, recall, dArr.length, maxVal)
-              CtrlD(qid, vec, req, lists, dB, next.myNprobe, next.stoped,
-                next.preVal, next.predicted, next.decidedStage)
+        // merge + recall prediction + decision in ONE cogroup on qid:
+        // the running top-k lives in the control row, so the round's
+        // only per-query state movement is the scan output — the old
+        // shape's separate state cache (window shuffle to re-rank it,
+        // sort_array summaries aggregation, left join back onto ctrl,
+        // per-late-round eager localCheckpoint) is gone. Merged arrays
+        // are identical to mergeTopK's rows by construction: both take
+        // the k smallest of the union under the same total order
+        // (dist, id), and ids are unique per query across rounds (each
+        // list is probed at most once — rank ranges are disjoint).
+        ctrl = ctrl.groupByKey(_.qid)
+          .cogroup(newPartials.groupByKey(_._1)) { (_, cIt, pIt) =>
+            cIt.map { c =>
+              val cand = pIt.toArray
+              var ids = c.topIds
+              var dists = c.topDists
+              if (cand.nonEmpty) {
+                val n = ids.length + cand.length
+                val d2 = new Array[Double](n); val i2 = new Array[Long](n)
+                System.arraycopy(dists, 0, d2, 0, dists.length)
+                System.arraycopy(ids, 0, i2, 0, ids.length)
+                var x = ids.length
+                cand.foreach { p => d2(x) = p._3; i2(x) = p._2; x += 1 }
+                val order = Array.range(0, n).sortBy(ix => (d2(ix), i2(ix)))
+                val keep = math.min(kk, n)
+                dists = new Array[Double](keep); ids = new Array[Long](keep)
+                x = 0
+                while (x < keep) {
+                  dists(x) = d2(order(x)); ids(x) = i2(order(x)); x += 1
+                }
+              }
+              // only still-active queries with ANY accumulated top-k
+              // advance — the same (np != 0 || no summary) gate the
+              // joined shape applied
+              if (c.myNprobe != 0 || ids.isEmpty)
+                c.copy(topIds = ids, topDists = dists)
+              else {
+                val recall = BoundedSearch.predictedRecall(
+                  dists, c.dB, bTrace.value, jj, kk, sm, met)
+                val maxVal = dists(dists.length - 1)
+                val next = BoundedSearch.decideStep(
+                  Ctrl(c.qid, c.require, c.myNprobe, c.stoped, c.preVal,
+                    c.predicted, c.decidedStage),
+                  jj, lv, kk, mult, recall, dists.length, maxVal)
+                c.copy(myNprobe = next.myNprobe, stoped = next.stoped,
+                  preVal = next.preVal, predicted = next.predicted,
+                  decidedStage = next.decidedStage,
+                  topIds = ids, topDists = dists)
+              }
             }
           }.cache()
-        // ONE action: materializes the new control cache (and through
-        // it this round's state cache) AND yields the NEXT round's
-        // probe histogram — only then drop the previous round's copies
+        // ONE action: materializes the new control cache AND yields the
+        // NEXT round's probe histogram — only then drop the previous
+        // round's copy
         listCounts = probeListCounts(ctrl, j + 1)
         prevCtrl.unpersist()
-        prev.unpersist()
       }
       j += 1
     }
+
+    // per-query top-k rows for the finishing merge, exploded once from
+    // the control rows (during the rounds they never leave them)
+    var state: DataFrame = ctrl.flatMap { c =>
+      c.topIds.indices.iterator.map(i => (c.qid, c.topIds(i), c.topDists(i)))
+    }.toDF("qid", "id", "dist")
 
     // finishing pass: decisionStage → stage × multiplier, probe lists
     // straight out of each control row's own ranking
