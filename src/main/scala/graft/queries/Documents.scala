@@ -137,18 +137,19 @@ object Documents {
       .repartition(16).write.mode("overwrite").parquet(staged)
     val schema = s.read.parquet(staged).schema
     val stream = s.readStream.schema(schema).parquet(staged)
-    val sink = "s02_" + java.util.UUID.randomUUID().toString.take(8)
+    val outDir = s"${Vector.sdir(dir)}/s02_out.parquet"
     // state partitions sized to the state, not the scan cores (see
-    // EventStream.withStatePartitions — identical results)
+    // EventStream.withStatePartitions); per-batch parquet sink instead
+    // of driver-memory (EventStream.parquetSink — identical rows)
     graft.streaming.EventStream.withStatePartitions(s) {
-      val q = graft.streaming.EventStream
-        .lshCandidateStream(stream, numHashes = 16, bands = 4)(s)
-        .writeStream.outputMode("append").format("memory").queryName(sink)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val q = graft.streaming.EventStream.parquetSink(
+        graft.streaming.EventStream
+          .lshCandidateStream(stream, numHashes = 16, bands = 4)(s),
+        outDir, mode = "append")
       require(q.awaitTermination(300000),
         "s02 streaming query did not finish within 300s — partial sink")
     }
-    s.table(sink).select(col("bucket"), col("a"), col("b"))
+    s.read.parquet(s"$outDir/batch-*").select(col("bucket"), col("a"), col("b"))
       .orderBy(col("bucket"), col("a"), col("b"))
   }
 
@@ -193,14 +194,14 @@ object Documents {
       .repartition(16).write.mode("overwrite").parquet(staged)
     val schema = s.read.parquet(staged).schema
     val stream = s.readStream.schema(schema).parquet(staged)
-    val sink = "s04_" + java.util.UUID.randomUUID().toString.take(8)
+    val outDir = s"${Vector.sdir(dir)}/s04_out.parquet"
     // state partitions sized to the state, not the scan cores (see
-    // EventStream.withStatePartitions — identical results)
+    // EventStream.withStatePartitions); per-batch parquet sink instead
+    // of driver-memory (EventStream.parquetSink — identical rows)
     graft.streaming.EventStream.withStatePartitions(s) {
-      val q = graft.streaming.EventStream.dedupStream(stream)
-        .select(col("fp"))
-        .writeStream.outputMode("append").format("memory").queryName(sink)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val q = graft.streaming.EventStream.parquetSink(
+        graft.streaming.EventStream.dedupStream(stream).select(col("fp")),
+        outDir, mode = "append")
       require(q.awaitTermination(300000),
         "s04 streaming query did not finish within 300s — partial sink")
       // the n_emitted=1-per-fingerprint oracle holds only while
@@ -214,7 +215,7 @@ object Documents {
         s"s04 staged corpus processed in $dataBatches micro-batches " +
           "(expected 1); the n_emitted=1 oracle requires single-batch staging")
     }
-    val emitted = s.table(sink).groupBy(col("fp"))
+    val emitted = s.read.parquet(s"$outDir/batch-*").groupBy(col("fp"))
       .agg(count(lit(1)).as("n_emitted"))
     val batchCounts = s.read.parquet(staged)
       .select(md5(normText).as("bfp"))

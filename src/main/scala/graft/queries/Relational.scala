@@ -437,17 +437,19 @@ object Relational {
     implicit val sp: SparkSession = s
     val sessions = graft.streaming.EventStream.sessionize(
       s.readStream.schema(schema).parquet(staged).as[(Long, Double)])
-    val sink = "s03_" + java.util.UUID.randomUUID().toString.take(8)
+    val outDir = s"${Vector.sdir(dir)}/s03_out.parquet"
     // state partitions sized to the state, not the scan cores (see
-    // EventStream.withStatePartitions — identical results)
+    // EventStream.withStatePartitions); per-batch parquet sink instead
+    // of driver-memory (EventStream.parquetSink — identical rows; the
+    // update-mode emissions land per micro-batch, exactly what the
+    // memory sink accumulated)
     graft.streaming.EventStream.withStatePartitions(s) {
-      val q = sessions.toDF().writeStream.outputMode("update").format("memory")
-        .queryName(sink)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val q = graft.streaming.EventStream.parquetSink(
+        sessions.toDF(), outDir, mode = "update")
       require(q.awaitTermination(300000),
         "s03 streaming query did not finish within 300s — partial sink")
     }
-    s.table(sink)
+    s.read.parquet(s"$outDir/batch-*")
       .groupBy(col("userId"))
       .agg(max(struct(col("nEvents"), col("totalValue"))).as("m"))
       .select(col("userId").as("user_id"), col("m.nEvents").as("n_events"),

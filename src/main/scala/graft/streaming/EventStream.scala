@@ -127,6 +127,35 @@ object EventStream {
     docStream.writeStream.foreachBatch(fn).trigger(trigger).start()
   }
 
+  /** Starts `df` into per-batch parquet directories under `outDir` —
+    * the [[knnServe]] exactly-once sink contract (each micro-batch
+    * overwrites its own `outDir/batch-<batchId>`; read the sink back
+    * with `outDir/batch-*`). This is the scale-safe replacement for
+    * the driver-`memory` sink the one-shot streaming rows used to
+    * drain into: a memory sink buffers the query's ENTIRE output in
+    * driver RAM, which at a 100 TB-shaped stream IS a driver OOM,
+    * while per-batch parquet lands on storage and the read-back is an
+    * ordinary distributed scan. Emitted rows are identical — the sink
+    * only changes where the same micro-batch output goes. `outDir` is
+    * cleared first (checkpoint-less one-shot contract: a rerun landing
+    * fewer micro-batches must not see stale higher-numbered batch
+    * dirs). */
+  def parquetSink(df: DataFrame, outDir: String, mode: String,
+                  trigger: org.apache.spark.sql.streaming.Trigger =
+                    org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    // no isEmpty pre-probe: every action on the batch frame re-executes
+    // the micro-batch plan (for the stateful rows that is the whole
+    // state-store pass), so the write is the batch's ONLY action —
+    // an empty batch just writes an empty (schema-preserving) dir
+    val fn: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, bid) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch-$bid")
+    df.writeStream.outputMode(mode).foreachBatch(fn).trigger(trigger).start()
+  }
+
   /** Streaming exact dedup — the streaming twin of d01 for continuous
     * training-data ingest: fingerprint the normalized text, then keep
     * the first arrival of each fingerprint, with state bounded by the
