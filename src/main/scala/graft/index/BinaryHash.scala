@@ -14,11 +14,42 @@ object BinaryHash {
 
   final case class LSHModel(planes: Array[Array[Float]]) extends Serializable {
     val nbits: Int = planes.length
+    // flattened TRANSPOSED planes (planesT(i·nbits + b) = planes(b)(i)),
+    // built lazily once per JVM/executor after broadcast: signature()
+    // walks the vector ONCE with a sequential inner loop over bits —
+    // unit-stride loads the JIT can vectorize — instead of nbits
+    // separate plane-array walks (nbits pointer chases + d·nbits
+    // strided loads per row). Per-bit accumulation order (i ascending,
+    // float product widened into a double sum) is exactly Kernels.dot's,
+    // so every dot — and every sign — is bit-identical.
+    @transient private lazy val d0: Int =
+      if (nbits == 0) 0 else planes(0).length
+    @transient private lazy val planesT: Array[Float] = {
+      val t = new Array[Float](d0 * nbits)
+      var b = 0
+      while (b < nbits) {
+        val p = planes(b)
+        var i = 0
+        while (i < d0) { t(i * nbits + b) = p(i); i += 1 }
+        b += 1
+      }
+      t
+    }
     def signature(v: Array[Float]): Long = {
+      val acc = new Array[Double](nbits)
+      val t = planesT
+      var i = 0
+      while (i < d0) {
+        val vi = v(i)
+        val base = i * nbits
+        var b = 0
+        while (b < nbits) { acc(b) += t(base + b) * vi; b += 1 }
+        i += 1
+      }
       var sig = 0L
       var b = 0
       while (b < nbits) {
-        if (Kernels.dot(planes(b), v) >= 0) sig |= (1L << b)
+        if (acc(b) >= 0) sig |= (1L << b)
         b += 1
       }
       sig
@@ -38,11 +69,36 @@ object BinaryHash {
   final case class WideLSHModel(planes: Array[Array[Float]]) extends Serializable {
     val nbits: Int = planes.length
     val nWords: Int = (nbits + 63) / 64
+    // same transposed-flat layout + loop interchange as [[LSHModel]];
+    // per-bit double sums bit-identical to the per-plane form
+    @transient private lazy val d0: Int =
+      if (nbits == 0) 0 else planes(0).length
+    @transient private lazy val planesT: Array[Float] = {
+      val t = new Array[Float](d0 * nbits)
+      var b = 0
+      while (b < nbits) {
+        val p = planes(b)
+        var i = 0
+        while (i < d0) { t(i * nbits + b) = p(i); i += 1 }
+        b += 1
+      }
+      t
+    }
     def signature(v: Array[Float]): Array[Long] = {
+      val acc = new Array[Double](nbits)
+      val t = planesT
+      var i = 0
+      while (i < d0) {
+        val vi = v(i)
+        val base = i * nbits
+        var b = 0
+        while (b < nbits) { acc(b) += t(base + b) * vi; b += 1 }
+        i += 1
+      }
       val sig = new Array[Long](nWords)
       var b = 0
       while (b < nbits) {
-        if (Kernels.dot(planes(b), v) >= 0) sig(b >> 6) |= (1L << (b & 63))
+        if (acc(b) >= 0) sig(b >> 6) |= (1L << (b & 63))
         b += 1
       }
       sig
