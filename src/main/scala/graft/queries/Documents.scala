@@ -965,8 +965,9 @@ object Documents {
 
   /** Streaming ingest-time decontamination (a REAL Structured Streaming
     * run): the training split is staged to parquet, streamed back
-    * admission-capped (3 files/trigger over 8 staged files, so
-    * AvailableNow genuinely micro-batches), and every micro-batch is
+    * admission-capped (4 files/trigger over 8 staged files, so
+    * AvailableNow genuinely micro-batches — two batches, the least
+    * that still proves it), and every micro-batch is
     * flagged against the static benchmark gram set by
     * [[graft.streaming.EventStream.decontamServe]]. Per-document flags
     * are independent of the micro-batching, so the sink union equals
@@ -984,7 +985,7 @@ object Documents {
     fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
     val schema = s.read.parquet(staged).schema
     val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "3").parquet(staged)
+      .option("maxFilesPerTrigger", "4").parquet(staged)
     val q = graft.streaming.EventStream.decontamServe(
       stream, d.filter(col("doc_id") % 10 === BenchResidue), DecontamN, outDir)
     require(q.awaitTermination(300000),

@@ -78,8 +78,10 @@ object Vector {
 
   /** Streaming vector-search serving (a REAL Structured Streaming run):
     * the query set is staged to parquet, read back as a file stream
-    * admission-capped to 3 files per trigger (so AvailableNow genuinely
-    * runs several micro-batches), and each micro-batch is served by the
+    * admission-capped to 4 files per trigger (so AvailableNow genuinely
+    * runs TWO micro-batches — the least that still proves real
+    * micro-batching, each per-batch offset/commit cycle being pure
+    * fixed cost), and each micro-batch is served by the
     * exact batch k-NN kernel via [[graft.streaming.EventStream.knnServe]].
     * Per-query results are independent of the micro-batching, so the
     * parquet sink's union equals the one-shot batch answer bit-exactly
@@ -96,13 +98,13 @@ object Vector {
     fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
     val schema = s.read.parquet(staged).schema
     val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "3").parquet(staged)
+      .option("maxFilesPerTrigger", "4").parquet(staged)
     val q = graft.streaming.EventStream.knnServe(stream, base(s, dir),
       k = 10, outDir)
     require(q.awaitTermination(300000),
       "s05 streaming query did not finish within 300s — partial sink")
     // the row exists to verify STREAMING serving — assert it actually
-    // micro-batched (3-file admission over 8 staged files) so a future
+    // micro-batched (4-file admission over 8 staged files) so a future
     // staging change can't silently turn this into a one-batch run
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 2,
