@@ -45,9 +45,15 @@ object BoundedSearch {
     * DataFrame on the lazy path (one row per query, executor-side;
     * SURVEY §7.4's state-size watch item) and in the [[Decider]]'s
     * O(nq) arrays on the small-batch eager path. */
+  /** `topIds`/`topDists` (sorted ascending by (dist, id), defaulted
+    * empty) carry the query's running top-k through the LAZY loop's
+    * control rows — the same merge-in-control fusion as [[CtrlD]];
+    * [[decideStep]] ignores and preserves them (`copy`). */
   final case class Ctrl(qid: Long, require: Float, myNprobe: Int,
                         stoped: Int, preVal: Double, predicted: Float,
-                        decidedStage: Int)
+                        decidedStage: Int,
+                        topIds: Array[Long] = Array.emptyLongArray,
+                        topDists: Array[Double] = Array.emptyDoubleArray)
 
   /** The pure one-round termination transition (`IndexIVF.cpp:504-637`
     * tune block: stagnation bookkeeping + stop decision), shared
@@ -174,10 +180,9 @@ object BoundedSearch {
           shallowDepth)
     }
 
-    var state: DataFrame = spark.emptyDataset[(Long, Long, Double)]
-      .toDF("qid", "id", "dist")
-    // distributed control state: one Ctrl row per query. The driver
-    // never holds per-query decision state on the lazy path — it
+    // distributed control state: one Ctrl row per query, CARRYING the
+    // query's running top-k (the CtrlD fusion applied to the lazy
+    // path). The driver never holds per-query decision state — it
     // collects only the shrinking active-qid list per round (to build
     // the pruned probe map) and the final O(nq) stats.
     var ctrl: org.apache.spark.sql.Dataset[Ctrl] =
@@ -201,25 +206,15 @@ object BoundedSearch {
         }.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }
 
         val newPartials = scanLists(ivfData, model.metric, probeMap,
-          qVecs.map(v => (v._1, v._2)), k)
-        val prev = state
-        val merged = FlatSearch
-          .mergeTopK(state.unionByName(newPartials), k)
-          .select(col("qid"), col("id"), col("dist"))
-        // cache: the ctrl materialization below computes this round once;
-        // without it the next round's merge recomputes every prior scan.
-        // localCheckpoint additionally truncates lineage once rounds
-        // stack up (a full materialization — skip for shallow schedules).
-        state = if (j >= 3) merged.localCheckpoint(eager = true)
-                else merged.cache()
-
-        // decision, fully executor-side: the geometric recall
-        // prediction (sumAngle over the boundary window + trace lookup
-        // + rank binary search) runs WHERE THE TOP-K ROWS ARE, and the
-        // resulting three scalars per query join straight into the
-        // control rows — the stagnation/termination transition
-        // (decideStep) runs in the same executor map. Nothing O(nq·k)
-        // or even O(nq) reaches the driver during the rounds.
+          qVecs.map(v => (v._1, v._2)), k).as[(Long, Long, Double)]
+        // merge + recall prediction + decision in ONE cogroup on qid
+        // (the searchDistributed fusion): the running top-k lives in
+        // the control row — no separate state cache, window re-rank,
+        // sort_array summaries aggregation or ctrl join per round.
+        // Merged arrays are identical to mergeTopK's rows (same
+        // k-smallest under the same (dist, id) total order; ids unique
+        // per query across rounds — rank ranges are disjoint), and the
+        // geometric recall prediction still runs WHERE THE TOP-K IS.
         val bTrace = spark.sparkContext.broadcast(traces(j))
         val jj = j
         val kk = k
@@ -227,68 +222,85 @@ object BoundedSearch {
         val sm = stdM
         val mult = multiplier
         val lv = levels
-        val summaries = state
-          .groupBy(col("qid")).agg(sort_array(collect_list(col("dist"))).as("d"))
-          .as[(Long, Array[Double])]
-          .mapPartitions { it =>
-            val tr = bTrace.value
-            val dbs = bDBs.value
-            it.map { case (qid, dRaw) =>
-              val recall = BoundedSearch.predictedRecall(
-                dRaw, dbs(qid), tr, jj, kk, sm, met)
-              val maxVal = if (dRaw.isEmpty) Double.NaN else dRaw.max
-              (qid, recall, dRaw.length, maxVal)
-            }
-          }.toDF("qid", "recall", "n_dists", "max_val")
-
         val prevCtrl = ctrl
-        ctrl = ctrl.toDF().join(summaries, Seq("qid"), "left")
-          .select(col("qid"), col("require"), col("myNprobe"), col("stoped"),
-            col("preVal"), col("predicted"), col("decidedStage"),
-            col("recall"), col("n_dists"), col("max_val"))
-          .as[(Long, Float, Int, Int, Double, Float, Int,
-               Option[Float], Option[Int], Option[Double])]
-          .map { case (qid, req, np, stp, pv, pred, ds, rOpt, nOpt, mOpt) =>
-            val st = Ctrl(qid, req, np, stp, pv, pred, ds)
-            // only still-active queries with a scanned summary advance
-            if (np != 0 || rOpt.isEmpty) st
-            else BoundedSearch.decideStep(st, jj, lv, kk, mult,
-              rOpt.get, nOpt.get, mOpt.get)
+        ctrl = ctrl.groupByKey(_.qid)
+          .cogroup(newPartials.groupByKey(_._1)) { (_, cIt, pIt) =>
+            val dbs = bDBs.value
+            cIt.map { c =>
+              val cand = pIt.toArray
+              var ids = c.topIds
+              var dists = c.topDists
+              if (cand.nonEmpty) {
+                val n = ids.length + cand.length
+                val d2 = new Array[Double](n); val i2 = new Array[Long](n)
+                System.arraycopy(dists, 0, d2, 0, dists.length)
+                System.arraycopy(ids, 0, i2, 0, ids.length)
+                var x = ids.length
+                cand.foreach { p => d2(x) = p._3; i2(x) = p._2; x += 1 }
+                val order = Array.range(0, n).sortBy(ix => (d2(ix), i2(ix)))
+                val keep = math.min(kk, n)
+                dists = new Array[Double](keep); ids = new Array[Long](keep)
+                x = 0
+                while (x < keep) {
+                  dists(x) = d2(order(x)); ids(x) = i2(order(x)); x += 1
+                }
+              }
+              val st = c.copy(topIds = ids, topDists = dists)
+              // only still-active queries with ANY accumulated top-k
+              // advance — the same (np != 0 || no summary) gate the
+              // joined shape applied
+              if (c.myNprobe != 0 || ids.isEmpty) st
+              else {
+                val recall = BoundedSearch.predictedRecall(
+                  dists, dbs(c.qid), bTrace.value, jj, kk, sm, met)
+                BoundedSearch.decideStep(st, jj, lv, kk, mult,
+                  recall, dists.length, dists(dists.length - 1))
+              }
+            }
           }.cache()
-        // ONE action: materializes the new control cache (and through
-        // it this round's state cache) AND returns the next round's
-        // active set — myNprobe only transitions active → decided, so
-        // an empty set ends the loop. Only then is it safe to drop the
-        // previous round's copies.
+        // ONE action: materializes the new control cache AND returns
+        // the next round's active set — myNprobe only transitions
+        // active → decided, so an empty set ends the loop. Only then is
+        // it safe to drop the previous round's copy.
         activeQids = ctrl.filter(_.myNprobe == 0).map(_.qid).collect().toSet
         prevCtrl.unpersist()
-        prev.unpersist()
       }
       j += 1
     }
 
-    // the one per-query collect: final stats (O(nq) scalars), which
-    // also drive the finishing-pass probe map
-    val fin: Array[Ctrl] = ctrl.collect().sortBy(_.qid)
-    ctrl.unpersist()
+    // the one per-query collect: final stats (O(nq) scalars — the top-k
+    // arrays stay distributed), which also drive the finishing-pass
+    // probe map
+    val fin: Array[(Long, Int, Float, Int)] = ctrl
+      .map(c => (c.qid, c.myNprobe, c.predicted, c.decidedStage))
+      .collect().sortBy(_._1)
+
+    // per-query top-k rows for the finishing merge, exploded once from
+    // the control rows (during the rounds they never leave them)
+    var state: DataFrame = ctrl.flatMap { c =>
+      c.topIds.indices.iterator.map(i => (c.qid, c.topIds(i), c.topDists(i)))
+    }.toDF("qid", "id", "dist")
 
     // finishing pass: each query probes on from its decision stage out to
     // stage × multiplier lists (the reference keeps probing until
     // stage ≥ my_nprobe, `IndexIVF.cpp:612-618`)
     val extraMap = finishingProbeMap(spark, model, qVecs.map(v => (v._1, v._2)),
       ranks, shallowDepth,
-      qi => (fin(qi).decidedStage, math.min(fin(qi).myNprobe, nlist)))
+      qi => (fin(qi)._4, math.min(fin(qi)._2, nlist)))
 
     if (extraMap.nonEmpty) {
       val extra = scanLists(ivfData, model.metric, extraMap,
         qVecs.map(v => (v._1, v._2)), k)
       state = state.unionByName(extra)
     }
-    val results = FlatSearch.mergeTopK(state, k)
+    // materialize through the checkpoint so the result no longer
+    // depends on the cached control rows released below
+    val results = FlatSearch.mergeTopK(state, k).localCheckpoint(eager = true)
+    ctrl.unpersist()
 
     val stats = (0 until nq).map { qi =>
-      QueryStats(qVecs(qi)._1, math.min(fin(qi).myNprobe, nlist),
-        fin(qi).predicted, fin(qi).decidedStage)
+      QueryStats(qVecs(qi)._1, math.min(fin(qi)._2, nlist),
+        fin(qi)._3, fin(qi)._4)
     }
     Result(results, stats)
   }
