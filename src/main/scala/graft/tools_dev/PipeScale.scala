@@ -23,8 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object PipeScale {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // PIPESCALE_CPUS: core-count scaling evidence (VERDICT r17 #8) —
+    // the sf0.1 bench rows are fixed-cost-bound (8c/32c ratio ≈ 1
+    // everywhere), so parallel-scaling claims route through these
+    // generator-backed rehearsals at sizes where compute dominates:
+    // run the same command at 32 and 8 cores and compare walls.
+    val cpus = sys.env.getOrElse("PIPESCALE_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.driver.maxResultSize", "4g")
       // long multi-job rehearsals: reclaim unreferenced shuffle files
       // promptly (plan-truncating checkpoints drop the references; the
