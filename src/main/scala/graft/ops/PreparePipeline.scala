@@ -245,11 +245,15 @@ object PreparePipeline {
     // fault-tolerant checkpointDir path use a reliable checkpoint —
     // localCheckpoint stores executor-local blocks, so an executor loss
     // after this point would make the drop set unrecoverable, undoing
-    // the reliable-checkpoint intent threaded into Components
+    // the reliable-checkpoint intent threaded into Components.
+    // EXCEPT the driver union-find arm (rounds == 0): its labels are a
+    // driver-resident LocalTableScan with nothing distributed to lose
+    // or recompute — snapshotting them is a pure extra job (r18).
     val dropLazy = res.labels.filter(col("component") =!= col("node"))
       .select(col("node").as("doc_id"))
     val drop =
-      if (fz.checkpointDir.isDefined) dropLazy.checkpoint()
+      if (res.rounds == 0) dropLazy
+      else if (fz.checkpointDir.isDefined) dropLazy.checkpoint()
       else dropLazy.localCheckpoint(true)
     sigs.unpersist()
     drop
